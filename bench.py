@@ -1,0 +1,72 @@
+"""Headline-query benchmark.
+
+Runs the engine's representative queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a cheap count-style action (``foreach`` of
+nothing would skip result production; ``count`` on the final frame forces
+the full plan including output projection for aggregates; for wide detail
+outputs we use ``df.write.format("noop")`` so rows are fully produced but
+not collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from biodata_pipeline_spark import get_spark  # noqa: E402
+from biodata_pipeline_spark.registry import SPARK_QUERIES  # noqa: E402
+
+HEADLINE = [
+    "q21_pricing_summary",        # TPC-H Q1-style scan+agg on the fact table
+    "q11_multiway_join_revenue",  # 4-way join + agg
+    "q09_exact_dedup",            # distinct shuffle
+    "q27_row_number_rank",        # window
+    "q37_session_window",         # sessionization (2 windows, 1 shuffle)
+    "q30_orderby_limit_topk",     # JSON extract + global top-k
+    "q24_cosine_topk",            # vector top-k (two-phase)
+    "q26_retrieval_rank_detail",  # flagship retrieval-rank pipeline
+    "q_minhash_lsh_dedup",        # MinHash+LSH near-dup
+    "q_chunk_documents",          # chunk explode
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1000).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

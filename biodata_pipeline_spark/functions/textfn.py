@@ -1,0 +1,188 @@
+"""Text column functions: prompt templates, validity gates, text analysis.
+
+All pure Column expressions (JVM-side, codegen'd). The template strings
+reproduce the reference byte-for-byte where tests assert fidelity:
+ - narrative prompt: data_generation/generate_narratives_from_data.py:29-37
+ - Alpaca format (incl. the odd ``Response :`` spacing):
+   train_adapters/RAG-eval-create_model.py:55-67
+ - '###' suffix validity gate + strip:
+   generate_narratives_from_data.py:55-61,69
+ - word-boundary containment: rag_evaluation/RAG-eval-test_model.py:131,136
+
+The analysis helpers (token count, quality score, language guess,
+fingerprint) are the training-data-pipeline extensions: deterministic,
+UDF-free, so they run at 100 TB as pure map work with no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NARRATIVE_INSTRUCTION = (
+    "Write a narrative that describes the following genome data. "
+    "Only use the information provided in the data. "
+)
+
+ALPACA_INSTRUCTION = "Learn this biology information. "
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- templates -------------------------------------------------------------
+
+
+def narrative_prompt(record_json: Column | str) -> Column:
+    """Fixed instruction + the record serialized as JSON (stage-A prompt)."""
+    return F.concat(F.lit(NARRATIVE_INSTRUCTION), F.lit("\n"), _c(record_json))
+
+
+def alpaca_format(line: Column | str, instruction: str = ALPACA_INSTRUCTION) -> Column:
+    """Self-supervised Alpaca template: the input line echoed as response."""
+    line = _c(line)
+    return F.concat(
+        F.lit("### Instruction: \n"),
+        F.lit(instruction),
+        F.lit("\n### Input: \n"),
+        line,
+        F.lit("### Response :\n"),
+        line,
+    )
+
+
+# --- validity gates ---------------------------------------------------------
+
+
+def has_suffix_marker(col: Column | str, marker: str = "###", window: int = 10) -> Column:
+    """True when ``marker`` appears within the last ``window`` characters.
+
+    Written as substr(greatest(1, len-window+1)) so the semantics are
+    identical in Spark and ANSI SQL (negative-position substr differs
+    between engines).
+    """
+    col = _c(col)
+    tail = F.substr(col, F.greatest(F.lit(1), F.length(col) - F.lit(window - 1)))
+    return tail.contains(marker)
+
+
+def strip_suffix_marker(col: Column | str, marker_re: str = r"###\s*$") -> Column:
+    """Remove the trailing response marker."""
+    return F.regexp_replace(_c(col), marker_re, "")
+
+
+# --- matching ---------------------------------------------------------------
+
+
+def boundary_pattern(term: str) -> str:
+    """Word-boundary containment regex for a literal term (re.escape'd),
+    exactly the reference's ``(?:^|\\W)term(?:$|\\W)`` semantics but written
+    with capturing groups so the same pattern runs on Spark (Java regex)
+    and RE2-based engines."""
+    return r"(^|\W)" + re.escape(term) + r"($|\W)"
+
+
+def boundary_match(col: Column | str, term: str) -> Column:
+    """True when ``term`` occurs as a whole word in ``col``."""
+    return _c(col).rlike(boundary_pattern(term))
+
+
+# --- text analysis (training-data-pipeline extensions) ----------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Deterministic marker-word tables for the language-guess heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": (),  # CJK presence is tested by codepoint range instead
+}
+CJK_RANGE = "[一-鿿]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    col = _c(col)
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_match_count(col: Column | str, word: str) -> Column:
+    """How many whitespace tokens equal ``word`` (deterministic, JVM-side)."""
+    return F.size(F.filter(tokens(col), lambda t: t == word))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return stops / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    col = _c(col)
+    stripped = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword presence, low
+    punctuation. Mirrors the usual LLM-corpus quality filters (C4-style)."""
+    col = _c(col)
+    length_component = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return (length_component + stop_component + punct_component) / 3.0
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Deterministic language guess: CJK codepoints → zh; otherwise the
+    language whose marker words score highest (ties → alphabetical)."""
+    col = _c(col)
+    toks = tokens(col)
+
+    def marker_filter(marks):
+        # single-arg lambda factory: a default-arg lambda would make PySpark
+        # treat the second parameter as the element index
+        return lambda t: t.isin(*marks)
+
+    scores = []
+    for lang in ("de", "en", "es", "fr"):
+        s = F.size(F.filter(toks, marker_filter(LANG_MARKERS[lang])))
+        scores.append((lang, s))
+    best = F.lit("en")
+    best_score = F.lit(-1)
+    # fold right-to-left keeping strict > so earlier (alphabetical) wins ties
+    for lang, s in reversed(scores):
+        pick = s >= best_score
+        best = F.when(pick, F.lit(lang)).otherwise(best)
+        best_score = F.when(pick, s).otherwise(best_score)
+    return F.when(col.rlike(CJK_RANGE), F.lit("zh")).otherwise(best)
+
+
+def fingerprint(col: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text, truncated. md5 is identical across engines so the
+    fingerprint is oracle-checkable."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, length)

@@ -1,0 +1,170 @@
+"""Retrieval: cosine top-k + retrieval-rank metrics (the flagship).
+
+The reference scores every query against the *entire* chunk corpus
+(k = corpus size), walks the ranked list collecting 1-based positions of
+regex matches, takes the first hit, assigns a sentinel rank (= corpus
+size) to queries with no match, and averages
+(rag_evaluation/RAG-eval-test_model.py:123-153,247-248).
+
+Spark-first design:
+ - queries are tiny → ``broadcast`` them; the corpus side never shuffles
+   during scoring (BroadcastNestedLoopJoin over a map-side cross product).
+ - ranking uses a **two-phase top-k**: a salted local window prunes each
+   scored partition to its local top-k, then a single global window ranks
+   the survivors. At 1000 executors the full |Q|×|C| score stream is never
+   shuffled into |Q| partitions — only |salts|×k rows per query are.
+ - ties broken on rounded similarity then ids, so ranks are deterministic
+   and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.vector import cosine
+
+SIM_ROUND = 9  # ranking precision: collapses float64 ulp noise into ties
+
+
+def cosine_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_emb: str = "query_emb",
+    corpus_emb: str = "embedding",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact top-k by cosine similarity, scalable two-phase ranking.
+
+    Output: ``query_id, corpus_id, rank, sim`` with rank 1..k per query.
+    Ordering: round(sim, 9) DESC, corpus_id ASC (deterministic).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(query_emb), F.col(corpus_emb)), SIM_ROUND).alias("sim"),
+    )
+    order = [F.col("sim").desc(), F.col(corpus_id).asc()]
+    # Phase 1: local top-k within salt buckets (map-side pruning of the
+    # scored stream; the global shuffle only carries salt_buckets*k rows/query).
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(salt_buckets))
+    )
+    local_w = Window.partitionBy(query_id, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__salt")
+    )
+    # Phase 2: exact global rank over the pruned candidates.
+    global_w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "sim")
+    )
+
+
+def rank_all(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_emb: str = "query_emb",
+    corpus_emb: str = "embedding",
+    extra_corpus_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rank the *entire* corpus per query (reference semantics: k = corpus
+    size). One global window per query — reserved for evaluation workloads
+    where the full ranking is genuinely required."""
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        *[F.col(c) for c in extra_corpus_cols],
+        F.round(cosine(F.col(query_emb), F.col(corpus_emb)), SIM_ROUND).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sim").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def retrieval_rank_metrics(
+    queries: DataFrame,
+    chunks: DataFrame,
+    query_id: str = "term",
+    pattern_col: str = "pattern",
+    query_emb: str = "query_emb",
+    chunk_id: str = "chunk_uid",
+    chunk_text: str = "chunk_text",
+    chunk_emb: str = "embedding",
+) -> DataFrame:
+    """Per-query retrieval-rank detail (the reference's VectorTest).
+
+    For each query: rank all chunks by cosine sim, find word-boundary regex
+    matches of the query pattern in chunk text, and report::
+
+        term, n_matches, first_hit_rank, sum_match_rank, avg_match_rank
+
+    No-match queries get the sentinel rank = corpus size
+    (RAG-eval-test_model.py:145-147 — never silently dropped). All metrics
+    derive from integer rank sums (exact in float64), so values are
+    bit-identical across engines with no rounding needed.
+    """
+    n_chunks = chunks.select(
+        F.count("*").cast("long").alias("__n_chunks")
+    )  # 1-row frame, crossJoin-broadcast as the sentinel
+    ranked = rank_all(
+        queries,
+        chunks,
+        query_id=query_id,
+        corpus_id=chunk_id,
+        query_emb=query_emb,
+        corpus_emb=chunk_emb,
+        extra_corpus_cols=(chunk_text,),
+    ).join(
+        F.broadcast(queries.select(query_id, pattern_col)), query_id
+    )
+    matches = ranked.filter(F.regexp_like(F.col(chunk_text), F.col(pattern_col)))
+    per_query = matches.groupBy(query_id).agg(
+        F.count("*").alias("n_matches"),
+        F.min("rank").alias("first_hit_rank"),
+        F.sum("rank").alias("sum_match_rank"),
+    )
+    return (
+        queries.select(query_id)
+        .join(per_query, query_id, "left")
+        .crossJoin(F.broadcast(n_chunks))
+        .select(
+            query_id,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("first_hit_rank", F.col("__n_chunks"))
+            .cast("long")
+            .alias("first_hit_rank"),
+            # no-match sentinel: one rank equal to the corpus size
+            F.coalesce("sum_match_rank", F.col("__n_chunks"))
+            .cast("long")
+            .alias("sum_match_rank"),
+        )
+        .withColumn(
+            "avg_match_rank",
+            F.col("sum_match_rank") / F.greatest(F.col("n_matches"), F.lit(1)),
+        )
+    )
+
+
+def retrieval_summary(detail: DataFrame) -> DataFrame:
+    """Corpus-level aggregates (RAG-eval-test_model.py:149-150):
+    Average Search Rank = mean over every collected rank (each no-match
+    query contributes one sentinel rank), Average First Hit Rank = mean of
+    per-query first hits. Pure integer sums → exact doubles."""
+    return detail.agg(
+        (
+            F.sum("sum_match_rank")
+            / F.sum(F.greatest(F.col("n_matches"), F.lit(1)))
+        ).alias("avg_search_rank"),
+        (F.sum("first_hit_rank") / F.count("*")).alias("avg_first_hit_rank"),
+    )

@@ -1,0 +1,209 @@
+"""Pairwise similarity joins over embedding columns.
+
+Exact path: self cross-join (id < id) + cosine threshold — correct but
+O(n²); declared for oracle checking on bounded inputs.
+
+Scale path: LSH-bucketed join via random hyperplane signatures (SimHash
+for cosine). Vectors only meet if they share a band bucket, so the join is
+an equi-join on (band, bucket) — shuffle-partitioned, no cross product.
+Recall < 1 by construction (rows-only / pytest-checked, like the
+reference's Chroma index which is also approximate in spirit:
+rag_evaluation/RAG-eval-test_model.py:233-248).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.vector import cosine, dot
+
+SIM_ROUND = 9
+
+
+def similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    other: DataFrame | None = None,
+) -> DataFrame:
+    """Exact pairwise cosine-similarity join.
+
+    Self-join when ``other`` is None (emitting each unordered pair once,
+    a.id < b.id). Output: ``id_a, id_b, sim`` with sim rounded so the
+    threshold comparison is reproducible across engines.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"))
+    if other is None:
+        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        b = other.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"))
+        pairs = a.crossJoin(b)
+    return (
+        pairs.withColumn("sim", F.round(cosine(F.col("__ea"), F.col("__eb")), SIM_ROUND))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (pure function of
+    (seed, index) so every executor materializes the same planes without a
+    broadcast of driver RNG state)."""
+    import math
+
+    return [
+        math.sin(seed * 7919 + i * 104729) for i in range(dim)
+    ]
+
+
+def lsh_signature(emb, planes: list[list[float]]):
+    """Bit per hyperplane: sign of <emb, plane> (random-projection LSH)."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append((dot(emb, arr) >= 0).cast("int"))
+    return F.array(*bits)
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Approximate similarity self-join: random-hyperplane signatures split
+    into bands; candidate pairs share ≥1 band bucket; candidates are then
+    verified with the exact cosine (so precision = 1, recall < 1).
+
+    The candidate join is an equi-join on (band, bucket) — Catalyst
+    shuffle-hash/sort-merge partitions it by bucket, never a cross product.
+    """
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    rows_per_band = n_planes // n_bands
+    planes = [_hyperplane(dim, s) for s in range(n_planes)]
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        lsh_signature(F.col(emb_col), planes).alias("sig"),
+    )
+    bands = sig.select(
+        "id",
+        "emb",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("emb").alias("__ea")
+    )
+    right = bands.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("emb").alias("__eb")
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ea", "__eb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn(
+            "sim", F.round(cosine(F.col("__ea"), F.col("__eb")), SIM_ROUND)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def brute_force_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_emb: str = "query_emb",
+    corpus_emb: str = "embedding",
+) -> DataFrame:
+    """Baseline ANN: exact cosine top-k (delegates to the two-phase ranker)."""
+    from biodata_pipeline_spark.operators.retrieval import cosine_top_k
+
+    return cosine_top_k(
+        queries, corpus, k,
+        query_id=query_id, corpus_id=corpus_id,
+        query_emb=query_emb, corpus_emb=corpus_emb,
+    )
+
+
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_emb: str = "query_emb",
+    corpus_emb: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to their nearest of ``n_cells``
+    deterministic centroids (hyperplane-derived, so no training pass is
+    needed for reproducibility); each query probes its ``n_probe`` nearest
+    cells and ranks only those vectors. The probe join is an equi-join on
+    cell id → shuffle-partitioned by cell, scanning ~n_probe/n_cells of the
+    corpus per query instead of all of it."""
+    from pyspark.sql import Window
+
+    centroids = [_hyperplane(dim, 1000 + c) for c in range(n_cells)]
+
+    def best_cells(emb, n: int):
+        sims = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(emb, F.array(*[F.lit(float(x)) for x in c])), SIM_ROUND
+                    ).alias("s"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        return F.transform(top, lambda st: st["cell"])
+
+    corpus_cells = corpus.select(
+        F.col(corpus_id), F.col(corpus_emb).alias("__ce"),
+        F.element_at(best_cells(F.col(corpus_emb), 1), 1).alias("cell"),
+    )
+    query_cells = queries.select(
+        F.col(query_id), F.col(query_emb).alias("__qe"),
+        F.explode(best_cells(F.col(query_emb), n_probe)).alias("cell"),
+    )
+    scored = corpus_cells.join(F.broadcast(query_cells), "cell").select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__qe"), F.col("__ce")), SIM_ROUND).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "sim")
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis + dedup queries over ``documents`` — the training-data
+pipeline extensions (chunking, token stats, quality scoring, language
+guess, fingerprinting, n-gram Jaccard dedup) plus the approximate dedup
+paths (MinHash-LSH, SimHash) as rows-only queries.
+
+Oracle notes: DuckDB ``regexp_replace`` needs the 'g' flag to match
+Spark's replace-all default; token splitting is ``\\s+`` on trimmed text
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions import textfn
+from biodata_pipeline_spark.operators.chunking import chunk_documents
+from biodata_pipeline_spark.operators.dedup import (
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_dup_pairs,
+    simhash_dup_pairs,
+)
+from biodata_pipeline_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.05
+JACCARD_MAX_DOC = 150  # bound the O(n²) exact-oracle comparison
+
+
+def q_chunk_documents(spark, sf_dir):
+    """The chunker itself (256-char windows, 100 overlap) as a declared
+    query — every chunk row hash-checked (RAG-eval-test_model.py:239-240)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting rollup per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = textfn.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Per-document quality signals: token count, stopword ratio, punct
+    ratio, avg token length (C4-style quality filters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = textfn.token_count("text")
+    nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(textfn.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(textfn.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(nonspace / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_len"),
+    )
+
+
+def q_lang_guess(spark, sf_dir):
+    """Deterministic language-ID heuristic vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        textfn.lang_guess("text").alias("predicted_lang"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """md5 fingerprint of normalized text + duplicate-group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", textfn.fingerprint("text").alias("fingerprint"))
+    sizes = fp.groupBy("fingerprint").agg(F.count("*").alias("group_size"))
+    return fp.join(sizes, "fingerprint").select("doc_id", "fingerprint", "group_size")
+
+
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard near-dup pairs on a bounded doc set."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_MAX_DOC
+    )
+    return ngram_jaccard_dup_pairs(docs, JACCARD_THRESHOLD)
+
+
+# --- approximate dedup (rows-only + pytest recall checks) --------------------
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dup_pairs(docs, threshold=0.3)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, max_hamming=8)
+
+
+SPARK = {
+    "q_chunk_documents": q_chunk_documents,
+    "q_token_stats": q_token_stats,
+    "q_quality_score": q_quality_score,
+    "q_lang_guess": q_lang_guess,
+    "q_fingerprint": q_fingerprint,
+    "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "q_simhash_dedup": q_simhash_dedup,
+}
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+ORACLE = {
+    "q_chunk_documents": """
+        SELECT doc_id,
+               CAST(s / 156 AS INTEGER) AS chunk_id,
+               CAST(s AS INTEGER) AS chunk_start,
+               substr(text, CAST(s + 1 AS INTEGER), 256) AS chunk_text
+        FROM documents, generate_series(0, 16384, 156) AS g(s)
+        WHERE length(text) > 0 AND s <= length(text) - 1
+    """,
+    "q_token_stats": f"""
+        SELECT lang,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               round(avg(len({_TOKS})), 4) AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "q_quality_score": f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+                     / greatest(len(toks), 1), 4) AS stopword_ratio,
+               round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(nonspace / greatest(len(toks), 1), 4) AS avg_token_len
+        FROM base
+    """,
+    "q_lang_guess": """
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x IN ('der','die','und','das'))) AS s_de,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x IN ('the','a','and','of'))) AS s_en,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x IN ('el','la','los','que'))) AS s_es,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x IN ('le','la','les','et'))) AS s_fr
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scored
+    """,
+    "q_fingerprint": """
+        WITH fp AS (
+            SELECT doc_id,
+                   substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+                   AS fingerprint
+            FROM documents
+        )
+        SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS group_size
+        FROM fp
+    """,
+    "q_ngram_jaccard_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < {JACCARD_MAX_DOC}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= 3 AND i <= len(t) - 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) >= {JACCARD_THRESHOLD}
+    """,
+}

@@ -1,0 +1,292 @@
+"""Vector / similarity / retrieval queries (SURVEY §2.6: Q24-Q26 + the
+flagship) and their approximate scale-path variants (rows-only).
+
+The precomputed ``embeddings`` table is the determinism boundary
+(SURVEY §7 risk 4): cosine math runs in float64 on both engines and
+similarities are rounded to 9 dp before ranking so ulp noise collapses
+into ties broken by id.
+
+Chunk→embedding attachment for the flagship uses a deterministic modular
+key ((doc_id*31 + chunk_id) mod |embeddings|) — a stand-in for the
+reference's model-generated chunk embeddings
+(RAG-eval-test_model.py:65-87) that keeps the whole pipeline
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.textfn import boundary_pattern
+from biodata_pipeline_spark.operators.chunking import chunk_documents
+from biodata_pipeline_spark.operators.retrieval import (
+    cosine_top_k,
+    retrieval_rank_metrics,
+    retrieval_summary,
+)
+from biodata_pipeline_spark.operators.similarity import (
+    ivf_ann,
+    lsh_similarity_join,
+    similarity_join,
+)
+from biodata_pipeline_spark.functions.vector import l2_norm
+from biodata_pipeline_spark.sources.tables import load_table
+
+FLAGSHIP_TERMS = ["spark", "join", "window", "merge", "zzznomatch"]
+SIM_THRESHOLD = 0.25
+
+
+def q24_cosine_topk(spark, sf_dir):
+    """Exact cosine top-10 for the first 5 vectors against the whole corpus
+    (k = corpus retrieval, RAG-eval-test_model.py:247-248)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    out = cosine_top_k(queries, emb, k=10, salt_buckets=8)
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
+def q25_similarity_join(spark, sf_dir):
+    """Pairwise cosine-threshold self-join (dedup/near-dup surface)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity_join(emb, SIM_THRESHOLD)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def _flagship_inputs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.agg(F.count("*").alias("__n_vec"))
+    chunks = (
+        chunk_documents(docs)
+        .withColumn("chunk_uid", F.col("doc_id") * 1000 + F.col("chunk_id"))
+        .crossJoin(F.broadcast(n_vec))
+        .withColumn(
+            "cvec", F.pmod(F.col("doc_id") * 31 + F.col("chunk_id"), F.col("__n_vec"))
+        )
+        .join(
+            F.broadcast(emb.select(F.col("vec_id").alias("cvec"), "embedding")),
+            "cvec",
+        )
+        .select("chunk_uid", "chunk_text", "embedding")
+    )
+    terms = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(FLAGSHIP_TERMS)], ["term", "qvec"]
+    ).withColumn("pattern", F.concat(F.lit(r"(^|\W)"), F.col("term"), F.lit(r"($|\W)")))
+    queries = terms.join(
+        F.broadcast(
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("qvec"), F.col("embedding").alias("query_emb")
+            )
+        ),
+        "qvec",
+    ).select("term", "pattern", "query_emb")
+    return queries, chunks
+
+
+def q26_retrieval_rank_detail(spark, sf_dir):
+    """The flagship: chunk → embed → rank all chunks per query → regex
+    match → per-query rank metrics with no-match sentinel
+    (RAG-eval-test_model.py:119-153 end-to-end)."""
+    queries, chunks = _flagship_inputs(spark, sf_dir)
+    return retrieval_rank_metrics(queries, chunks)
+
+
+def q26b_retrieval_rank_summary(spark, sf_dir):
+    """Corpus aggregates: Average Search Rank / Average First Hit Rank."""
+    return retrieval_summary(q26_retrieval_rank_detail(spark, sf_dir))
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-label vector stats (array math exercised as aggregation input)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+# --- approximate scale paths: no SQL oracle (rows-only + pytest) -------------
+
+
+def q_lsh_similarity_join(spark, sf_dir):
+    """Random-hyperplane LSH near-dup candidates (recall<1; verified pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_similarity_join(emb, SIM_THRESHOLD)
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbours, top-10, 5 queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    return ivf_ann(queries, emb, k=10)
+
+
+def q_approx_count_distinct(spark, sf_dir):
+    """HLL distinct estimate (north-star scale requirement; estimator
+    differs from DuckDB's → rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SPARK = {
+    "q24_cosine_topk": q24_cosine_topk,
+    "q25_similarity_join": q25_similarity_join,
+    "q26_retrieval_rank_detail": q26_retrieval_rank_detail,
+    "q26b_retrieval_rank_summary": q26b_retrieval_rank_summary,
+    "q_embedding_stats": q_embedding_stats,
+    "q_lsh_similarity_join": q_lsh_similarity_join,
+    "q_ivf_ann": q_ivf_ann,
+    "q_approx_count_distinct": q_approx_count_distinct,
+}
+
+_EL = """
+    el AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM el GROUP BY vec_id)
+"""
+
+# DuckDB's generate_series can't take lateral column bounds, so use a
+# constant upper bound and filter (documents are well under 16384 chars).
+_CHUNKS = """
+    chunks AS (
+        SELECT doc_id,
+               CAST(s / 156 AS INTEGER) AS chunk_id,
+               s AS chunk_start,
+               substr(text, CAST(s + 1 AS INTEGER), 256) AS chunk_text
+        FROM documents, generate_series(0, 16384, 156) AS g(s)
+        WHERE length(text) > 0 AND s <= length(text) - 1
+    )
+"""
+
+_FLAGSHIP_DETAIL = (
+    """
+    WITH """
+    + _EL
+    + ","
+    + _CHUNKS
+    + """,
+    nvec AS (SELECT count(*) AS n FROM embeddings),
+    keyed AS (
+        SELECT doc_id * 1000 + chunk_id AS chunk_uid, chunk_text,
+               (doc_id * 31 + chunk_id) % (SELECT n FROM nvec) AS cvec
+        FROM chunks
+    ),
+    queries(term, qvec) AS (VALUES ('spark', 0), ('join', 1), ('window', 2),
+                                   ('merge', 3), ('zzznomatch', 4)),
+    dots AS (
+        SELECT a.vec_id AS qvec, b.vec_id AS cvec, sum(a.e * b.e) AS dot
+        FROM el a JOIN el b ON a.i = b.i
+        WHERE a.vec_id < 5
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT qvec, cvec, round(dot / (nq.nrm * nc.nrm), 9) AS sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = qvec
+        JOIN norms nc ON nc.vec_id = dots.cvec
+    ),
+    ranked AS (
+        SELECT q.term, k.chunk_uid, k.chunk_text,
+               row_number() OVER (PARTITION BY q.term
+                                  ORDER BY s.sim DESC, k.chunk_uid) AS rank
+        FROM keyed k
+        CROSS JOIN queries q
+        JOIN sims s ON s.qvec = q.qvec AND s.cvec = k.cvec
+    ),
+    matched AS (
+        SELECT term, count(*) AS n_matches, min(rank) AS first_hit,
+               sum(rank) AS sum_rank
+        FROM ranked
+        WHERE regexp_matches(chunk_text, '(^|\\W)' || term || '($|\\W)')
+        GROUP BY term
+    ),
+    nchunks AS (SELECT count(*) AS nc FROM chunks)
+    SELECT q.term,
+           CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(m.first_hit, (SELECT nc FROM nchunks)) AS BIGINT) AS first_hit_rank,
+           CAST(coalesce(m.sum_rank, (SELECT nc FROM nchunks)) AS BIGINT) AS sum_match_rank,
+           CAST(coalesce(m.sum_rank, (SELECT nc FROM nchunks)) AS BIGINT)
+             / greatest(CAST(coalesce(m.n_matches, 0) AS BIGINT), 1) AS avg_match_rank
+    FROM queries q LEFT JOIN matched m USING (term)
+"""
+)
+
+ORACLE = {
+    "q24_cosine_topk": (
+        "WITH "
+        + _EL
+        + """,
+        dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.e * b.e) AS dot
+            FROM el a JOIN el b ON a.i = b.i
+            WHERE a.vec_id < 5
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT query_id, dots.vec_id,
+                   round(dot / (nq.nrm * nc.nrm), 9) AS sim
+            FROM dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = dots.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+                   sim
+            FROM sims
+        )
+        SELECT query_id, vec_id, rank, round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 10
+    """
+    ),
+    "q25_similarity_join": (
+        "WITH "
+        + _EL
+        + f""",
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.e * b.e) AS dot
+            FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 9) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = id_a
+            JOIN norms nb ON nb.vec_id = id_b
+        )
+        SELECT id_a, id_b, round(sim, 6) AS sim
+        FROM sims WHERE sim >= {SIM_THRESHOLD}
+    """
+    ),
+    "q26_retrieval_rank_detail": _FLAGSHIP_DETAIL,
+    "q26b_retrieval_rank_summary": (
+        "WITH detail AS ("
+        + _FLAGSHIP_DETAIL
+        + """)
+        SELECT CAST(sum(sum_match_rank) AS BIGINT)
+                 / CAST(sum(greatest(n_matches, 1)) AS BIGINT) AS avg_search_rank,
+               CAST(sum(first_hit_rank) AS BIGINT) / count(*) AS avg_first_hit_rank
+        FROM detail
+    """
+    ),
+    "q_embedding_stats": (
+        "WITH "
+        + _EL
+        + """
+        SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
+        FROM embeddings JOIN norms USING (vec_id)
+        GROUP BY label
+    """
+    ),
+}

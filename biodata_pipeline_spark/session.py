@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults target the test harness (local[N], single JVM) but every knob is
+chosen so the same code runs unchanged on a multi-executor cluster:
+AQE handles runtime coalescing/skew, shuffle partitions default to the
+local core count (override via ``spark.sql.shuffle.partitions`` on a real
+cluster), Arrow is enabled for the few Pandas-UDF paths, and the session
+timezone is pinned to UTC so timestamp semantics are portable (and match
+the DuckDB oracle used by the test harness).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "biodata-pipeline-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32); on a real
+    cluster the ``master`` setting is supplied externally and this builder's
+    master/memory settings are ignored by spark-submit.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    # Only force a local master when none is configured (tests/bench); on a
+    # cluster spark-submit provides the master and memory settings.
+    if not os.environ.get("SPARK_MASTER") and "SPARK_SUBMIT_OPTS" not in os.environ:
+        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,47 @@
+"""Loaders for the harness parquet tables.
+
+Plain ``spark.read.parquet`` so Catalyst gets full pushdown: filters and
+column pruning written against these frames reach the parquet scan
+(check with ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from an ``sf_dir`` (e.g. /root/testdata/sf0.01).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; it is read as raw nanos (``nanosAsLong``) and converted
+    to a microsecond timestamp by truncation — the same ns→µs truncation
+    DuckDB applies, so the two engines agree to the microsecond.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all of them."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

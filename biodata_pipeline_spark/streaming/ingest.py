@@ -1,0 +1,61 @@
+"""Structured Streaming ingest — the reference's poll loop, declaratively.
+
+Reference: ``while True: if check_queue(): submit; sleep(15)`` with
+skip-if-exists re-drives (train_adapters/create_all_models.py:48-76) —
+i.e. at-least-once micro-batches with manual checkpointing-by-filename.
+
+Engine: a file-source stream with ``trigger(availableNow=True)`` drains the
+backlog and exits (one "PBS job" worth of work); Spark's checkpoint dir
+replaces filename-existence as the processed-offset record; an idempotent
+foreachBatch parquet sink + manifest gives the same effectively-exactly-once
+result without the qstat machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink: str = "memory",
+    query_name: str = "out",
+    output_mode: str = "append",
+    path: str | None = None,
+):
+    """Drain everything currently available, then stop (the reference's
+    one-job-per-cycle semantics). Returns the finished StreamingQuery."""
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if sink == "memory":
+        writer = writer.format("memory").queryName(query_name)
+    else:
+        writer = writer.format(sink)
+        if path:
+            writer = writer.option("path", path)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,73 @@
+"""As-of join vs pandas merge_asof (the reference semantics oracle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from biodata_pipeline_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0), (3, 5, 50.0)],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 18, "c"), (2, 20, "d")],
+        ["k", "ts", "rv"],
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.ts): (r.ts_right, r.rv)
+        for r in asof_join(left, right, on="k", right_payload=("rv",)).collect()
+    }
+    assert out[(1, 10)] == (10, "b")   # exact match allowed
+    assert out[(1, 20)] == (18, "c")
+    assert out[(2, 15)] == (None, None)  # right row is later
+    assert out[(3, 5)] == (None, None)   # no right rows for key
+
+
+def test_asof_backward_strict(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.ts): (r.ts_right, r.rv)
+        for r in asof_join(
+            left, right, on="k", right_payload=("rv",), allow_exact_matches=False
+        ).collect()
+    }
+    assert out[(1, 10)] == (5, "a")  # exact match excluded → earlier row
+
+
+def test_asof_matches_pandas(spark):
+    import random
+
+    rng = random.Random(3)
+    left_rows = [(rng.randint(1, 5), rng.randint(0, 1000)) for _ in range(200)]
+    right_rows = [
+        (rng.randint(1, 5), rng.randint(0, 1000), i) for i in range(150)
+    ]
+    # dedupe (k, ts) on the right deterministically: keep max payload
+    best = {}
+    for k, ts, v in right_rows:
+        best[(k, ts)] = max(best.get((k, ts), -1), v)
+    right_rows = [(k, ts, v) for (k, ts), v in best.items()]
+
+    left = spark.createDataFrame(left_rows, ["k", "ts"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "v"])
+    got = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, on="k", right_payload=("v",)).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row.v) else int(row.v)
+        assert got[(row.k, row.ts)] == expect

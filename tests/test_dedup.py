@@ -1,0 +1,91 @@
+"""Dedup operators: exact, n-gram Jaccard (vs brute force), MinHash-LSH
+recall, SimHash near-dup detection."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from biodata_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_dup_pairs,
+    simhash_dup_pairs,
+)
+
+# SimHash is a bit-vote over token hashes: near-dup detection needs docs
+# long enough that a few changed tokens can't flip many votes.
+_WORDS = [f"token{i}" for i in range(120)]
+BASE = "the quick brown fox jumps over the lazy dog " + " ".join(_WORDS)
+_OTHER = " ".join(f"other{i}" for i in range(120))
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact duplicate of 0
+    (2, BASE + " with a tiny suffix change"),  # near-dup of 0
+    (3, "completely different content about spark dataframes and shuffles " + _OTHER),
+    (4, "  THE quick   brown fox jumps over the lazy dog " + " ".join(_WORDS) + " "),
+    (5, "another unrelated document mentioning catalyst optimizer " + _OTHER.upper()),
+]
+
+
+def python_jaccard(a: str, b: str, n=3) -> float:
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = shingles(a), shingles(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark, docs_df):
+    kept = sorted(r.doc_id for r in exact_dedup(docs_df).collect())
+    # 1 is an exact dup of 0; 4 normalizes (case+whitespace) to the same text
+    assert kept == [0, 2, 3, 5]
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs_df):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_dup_pairs(docs_df, threshold=0.3).collect()
+    }
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = python_jaccard(ta, tb)
+        if j >= 0.3:
+            expected[(ia, ib)] = pytest.approx(j, abs=1e-9)
+    assert got == expected
+    assert (0, 1) in got  # the exact pair survives
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dup_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+    # precision: every reported pair truly exceeds the threshold
+    texts = dict(DOCS)
+    for a, b in pairs:
+        assert python_jaccard(texts[a], texts[b]) >= 0.5
+
+
+def test_simhash_near_dups(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(docs_df, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical fingerprint
+    # near-dup of 0 (doc 2) should be within a small hamming distance
+    assert (0, 2) in pairs
+    # unrelated docs must not appear at a tight radius
+    tight = {
+        (r.id_a, r.id_b)
+        for r in simhash_dup_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert (0, 3) not in tight and (0, 5) not in tight
