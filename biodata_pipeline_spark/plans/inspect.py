@@ -7,6 +7,8 @@ scan, small dims actually broadcast, no accidental extra shuffles.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -17,9 +19,11 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of exchanges in the physical plan (AQE may collapse more at
-    runtime; this is the static upper bound)."""
-    return formatted_plan(df).count("Exchange")
+    """Number of distinct exchanges in the physical plan (AQE may collapse
+    more at runtime; this is the static upper bound). Counts the detail
+    headers ``(n) Exchange`` so the tree summary line isn't double-counted;
+    ``ReusedExchange`` nodes are free and excluded."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.M))
 
 
 def has_pushed_filters(df: DataFrame) -> bool:

@@ -1,0 +1,77 @@
+"""Physical-plan quality gates — the scale contract, asserted.
+
+These tests pin the plan properties that matter at 100 TB: filters reach
+the parquet scan, column pruning holds, small dims broadcast, the LSH
+join is an equi-join (never a cartesian product), and declared queries
+contain no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.similarity import lsh_similarity_join
+from biodata_pipeline_spark.plans.inspect import (
+    count_shuffles,
+    formatted_plan,
+    has_pushed_filters,
+    is_broadcast_join,
+)
+from biodata_pipeline_spark.registry import SPARK_QUERIES
+from biodata_pipeline_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1996-01-01").select("l_orderkey")
+    assert has_pushed_filters(q)
+    plan = formatted_plan(q)
+    assert "l_quantity" not in plan.split("ReadSchema")[1][:400]  # pruned
+
+
+def test_q21_scan_prunes_columns(spark, sf_dir):
+    plan = formatted_plan(SPARK_QUERIES["q21_pricing_summary"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q10_dims_are_broadcast(spark, sf_dir):
+    df = SPARK_QUERIES["q10_broadcast_dim_join"](spark, sf_dir)
+    assert is_broadcast_join(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_q13_anti_join_is_broadcast_at_this_scale(spark, sf_dir):
+    plan = formatted_plan(SPARK_QUERIES["q13_anti_join_manifest"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_lsh_join_is_equi_not_cartesian(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(lsh_similarity_join(emb, 0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_declared_queries_contain_no_python_udfs(spark, sf_dir):
+    for name, fn in SPARK_QUERIES.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_sessionize_reuses_single_exchange(spark, sf_dir):
+    """Both windows (lag flag + cumulative sum) share partitioning/order —
+    one shuffle total."""
+    from biodata_pipeline_spark.operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    assert count_shuffles(sessionize(e)) <= 1
+
+
+def test_chunker_is_pure_map(spark, sf_dir):
+    from biodata_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert count_shuffles(chunk_documents(docs)) == 0

@@ -1,0 +1,96 @@
+"""Template byte-fidelity and text-analysis functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions import textfn
+
+
+def one(spark, col):
+    return (
+        spark.createDataFrame([("x",)], ["t"]).select(col.alias("v")).collect()[0].v
+    )
+
+
+def test_alpaca_template_byte_fidelity(spark):
+    """FIXTURES.md B3: exact spacing incl. '### Response :' must match
+    train_adapters/RAG-eval-create_model.py:55-67."""
+    df = spark.createDataFrame([("hello biology",)], ["text"])
+    got = df.select(textfn.alpaca_format("text").alias("a")).collect()[0].a
+    assert got == (
+        "### Instruction: \n"
+        "Learn this biology information. \n"
+        "### Input: \n"
+        "hello biology"
+        "### Response :\n"
+        "hello biology"
+    )
+
+
+def test_suffix_marker_gate_window(spark):
+    df = spark.createDataFrame(
+        [("ends with ###",), ("### only at start",), ("marker ### then ten+ chars",)],
+        ["text"],
+    )
+    got = [
+        r.v
+        for r in df.select(textfn.has_suffix_marker("text").alias("v")).collect()
+    ]
+    assert got == [True, False, False]
+
+
+def test_strip_suffix_marker(spark):
+    df = spark.createDataFrame([("body ###",), ("body ###  ",), ("body",)], ["text"])
+    got = [r.v for r in df.select(textfn.strip_suffix_marker("text").alias("v")).collect()]
+    assert got == ["body ", "body ", "body"]
+
+
+def test_boundary_pattern_traps(spark):
+    df = spark.createDataFrame(
+        [("the atpA gene",), ("the atpAB operon",), ("atpA",), ("xatpA",)], ["text"]
+    )
+    got = [
+        r.v
+        for r in df.select(textfn.boundary_match("text", "atpA").alias("v")).collect()
+    ]
+    assert got == [True, False, True, False]
+
+
+def test_boundary_pattern_escapes_regex_metachars(spark):
+    df = spark.createDataFrame([("cost is $5.00 here",), ("cost is $5x00 here",)], ["text"])
+    got = [
+        r.v
+        for r in df.select(textfn.boundary_match("text", "$5.00").alias("v")).collect()
+    ]
+    assert got == [True, False]
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("  a  b   c ",), ("",), ("   ",)], ["text"])
+    got = [r.v for r in df.select(textfn.token_count("text").alias("v")).collect()]
+    assert got == [3, 0, 0]
+
+
+def test_lang_guess_markers(spark):
+    rows = [
+        ("the cat and a dog of note", "en"),
+        ("el gato la casa los que", "es"),
+        ("der hund und die das katze", "de"),
+        ("le chat les et la maison", "fr"),
+        ("这是中文文本", "zh"),
+        ("no markers here xyzzy", "de"),  # all-zero tie → alphabetical first
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r.v for r in df.select(textfn.lang_guess("text").alias("v")).collect()]
+    assert got == [lang for _, lang in rows]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",), ("hello worlds",)], ["text"]
+    )
+    fps = [r.v for r in df.select(textfn.fingerprint("text").alias("v")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+    assert len(fps[0]) == 16
