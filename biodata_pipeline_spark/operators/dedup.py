@@ -96,27 +96,66 @@ def ngram_jaccard_dup_pairs(
     )
 
 
-def _seeded_hash(seed: int):
-    return lambda s: F.xxhash64(F.concat(F.lit(f"{seed}:"), s))
+def shingle_hashes(shingles_col) -> F.Column:
+    """Each distinct shingle reduced to one 64-bit hash. Every downstream
+    MinHash computation (signature derivation, exact-Jaccard verification)
+    works on these longs — the variable-length strings are hashed exactly
+    once per shingle."""
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
-def minhash_signature_from(shingles_col, num_hashes: int = 32) -> F.Column:
-    """MinHash signature over an already-materialized shingle-array column:
-    per hash function i, the min over shingles of xxhash64(i ⊕ shingle).
+def shingle_hash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``(id, hs)`` where ``hs`` is the distinct n-token shingle-hash set,
+    built without ever materializing shingle strings: each token is hashed
+    once, then n consecutive token hashes combine via one multi-arg
+    xxhash64.
+
+    The token-hash array must be evaluated once per row, but aliasing it in
+    a separate projection doesn't guarantee that — CollapseProject inlines
+    it per reference, re-tokenizing the text for every F.get (measured 5×
+    slowdown). Wrapping it as the element of a 1-element array and binding
+    it as a ``transform`` lambda variable forces exactly-once evaluation
+    inside a single projection (a poor man's let-expression)."""
+    ht_expr = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    def shingles_from(ht):
+        idx = F.sequence(F.lit(0), F.size(ht) - n)
+        combine = lambda i: F.xxhash64(*[F.get(ht, i + j) for j in range(n)])  # noqa: E731
+        return F.when(F.size(ht) < n, F.array().cast("array<bigint>")).otherwise(
+            F.array_distinct(F.transform(idx, combine))
+        )
+
+    hs = F.get(F.transform(F.array(ht_expr), shingles_from), 0)
+    return df.select(F.col(id_col).alias("id"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+
+
+def minhash_signature_from(hashes_col, num_hashes: int = 32) -> F.Column:
+    """MinHash signature over a materialized shingle-hash array column:
+    per hash function i, the min over shingles of xxhash64(shingle_hash, i)
+    — a fixed-width (long, int) rehash, ~10× cheaper than re-hashing the
+    shingle string per seed.
 
     Takes a *column reference*, not the shingling expression — inlining
     ``token_shingles`` here would make Catalyst recompute the shingling
     ``num_hashes`` times per row (measured 40× slowdown)."""
-    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    hs = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     return F.array(
-        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(hs, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
     )
 
 
 def minhash_signature(text_col, n: int = 3, num_hashes: int = 32) -> F.Column:
     """MinHash signature straight from text (convenience; for bulk use,
-    materialize the shingles first and call ``minhash_signature_from``)."""
-    return minhash_signature_from(token_shingles(text_col, n), num_hashes)
+    materialize the shingle hashes first and call ``minhash_signature_from``)."""
+    return minhash_signature_from(shingle_hashes(token_shingles(text_col, n)), num_hashes)
 
 
 def minhash_lsh_dup_pairs(
@@ -139,27 +178,24 @@ def minhash_lsh_dup_pairs(
     if num_hashes % n_bands:
         raise ValueError("num_hashes must divide evenly into n_bands")
     r = num_hashes // n_bands
-    # Materialize shingles once; every downstream expression references the
-    # column instead of re-deriving it (signature, banding, verification).
-    base = df.select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature_from("sh", num_hashes))
+    # Shingle-hash table computed once and persisted: it feeds the
+    # signature/banding pass AND both sides of candidate verification (three
+    # consumers — without the persist the tokenize+shingle pass runs 3×).
+    # At cluster scale this is the table you would checkpoint.
+    base = shingle_hash_table(df, id_col, text_col, n).persist()
+    sig = base.withColumn("sig", minhash_signature_from("hs", num_hashes))
+    # Band buckets hash the r signature longs directly (multi-arg xxhash64,
+    # band index as the first arg) — no string assembly. Only (id, band,
+    # bucket) flows into the self-join shuffle; the shingle-hash arrays
+    # rejoin after candidate dedup, so they are shuffled once, not n_bands×.
     bands = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * r + j + 1).cast("string")
-                                for j in range(r)
-                            ],
-                        )
+                        F.lit(b),
+                        *[F.element_at("sig", b * r + j + 1) for j in range(r)],
                     )
                     for b in range(n_bands)
                 ]
@@ -170,20 +206,19 @@ def minhash_lsh_dup_pairs(
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("__sa"),
-            F.col("b.sh").alias("__sb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Exact verification of candidates only (shingle sets carried along).
+    # Exact verification of candidates only. Jaccard over shingle hashes ==
+    # Jaccard over shingles up to 64-bit collisions (negligible).
+    verified = cands.join(
+        base.select(F.col("id").alias("id_a"), F.col("hs").alias("__sa")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("hs").alias("__sb")), "id_b")
     sa, sb = F.col("__sa"), F.col("__sb")
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return (
-        cands.withColumn(
+        verified.withColumn(
             "jaccard", F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 9)
         )
         .filter(F.col("jaccard") >= threshold)
@@ -191,29 +226,43 @@ def minhash_lsh_dup_pairs(
     )
 
 
+_BIT_MASKS = [1 << i for i in range(63)]
+
+
 def simhash64_from(hashed_col) -> F.Column:
-    """63-bit SimHash over a materialized token-hash array column: for each
-    bit i, sum over tokens of ±1 by token-hash bit i; fingerprint bit =
-    sign. Tokens weighted by frequency (duplicates kept)."""
+    """63-bit SimHash over a token-hash array: for each bit i, sum over
+    tokens of ±1 by token-hash bit i; fingerprint bit = sign. Tokens
+    weighted by frequency (duplicates kept).
+
+    Single pass over the array: one ``aggregate`` whose accumulator is the
+    63-vector of bit votes (vs. the naive 63 aggregates = 63 passes,
+    measured 4× slower), then the votes fold into a long. Vote masks are
+    distinct powers of two so their ANSI-mode sum cannot overflow."""
     hashed = F.col(hashed_col) if isinstance(hashed_col, str) else hashed_col
-
-    def bit_vote(bit: int):
-        mask = F.lit(1 << bit).cast("long")
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(mask) != 0, 1
-        ).otherwise(-1)
-
-    bit_votes = [F.aggregate(hashed, F.lit(0), bit_vote(i)) for i in range(63)]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 63),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash64(text_col) -> F.Column:
-    """SimHash straight from text (convenience; bulk callers materialize the
-    token-hash array first — see simhash_dup_pairs)."""
-    return simhash64_from(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    """SimHash straight from text. The token-hash array is let-bound via a
+    1-element-array ``transform`` so tokenization runs once per row even
+    though the fingerprint expression references the array many times
+    (CollapseProject would otherwise inline it per reference)."""
+    ht_expr = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    return F.get(F.transform(F.array(ht_expr), simhash64_from), 0)
 
 
 def hamming64(a, b) -> F.Column:
@@ -233,9 +282,8 @@ def simhash_dup_pairs(
     """
     bits_per_band = 63 // n_bands + 1
     fp = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
-    ).select("id", simhash64_from("__h").alias("fp"))
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp")
+    )
     bands = fp.select(
         "id",
         "fp",
