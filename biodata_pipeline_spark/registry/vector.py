@@ -70,6 +70,9 @@ def _flagship_inputs(spark, sf_dir):
             "cvec",
         )
         .select("chunk_uid", "chunk_text", "embedding")
+        # Two consumers (the score stream and the sentinel count) — persist
+        # so the chunk+attach pipeline scans documents once, not twice.
+        .persist()
     )
     terms = spark.createDataFrame(
         [(t, i) for i, t in enumerate(FLAGSHIP_TERMS)], ["term", "qvec"]
