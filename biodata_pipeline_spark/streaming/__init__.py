@@ -7,6 +7,11 @@ from biodata_pipeline_spark.streaming.windows import (
     sliding_counts,
     session_counts,
 )
+from biodata_pipeline_spark.streaming.stateful import (
+    dedup_within_watermark,
+    running_user_totals,
+    split_late,
+)
 
 __all__ = [
     "read_events_stream",
@@ -14,4 +19,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "dedup_within_watermark",
+    "running_user_totals",
+    "split_late",
 ]
