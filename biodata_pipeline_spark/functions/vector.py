@@ -31,5 +31,35 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array<numeric> columns (double)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array<numeric> columns (double).
+
+    Single pass: one ``aggregate`` carries (dot, ||a||², ||b||²) in a struct
+    accumulator instead of three separate array traversals (~3× less work in
+    the pairwise-scoring hot path). Each component is the same in-order left
+    fold as the naive dot/norm/norm formulation, so results are
+    bit-identical — which the oracle hash checks rely on. The final struct
+    is let-bound via a 1-element-array transform so the aggregate runs once,
+    not once per reference."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    zipped = F.zip_with(
+        a, b, lambda x, y: F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+    )
+    sums = F.aggregate(
+        zipped,
+        zero,
+        lambda acc, v: F.struct(
+            (acc["d"] + v["x"] * v["y"]).alias("d"),
+            (acc["na"] + v["x"] * v["x"]).alias("na"),
+            (acc["nb"] + v["y"] * v["y"]).alias("nb"),
+        ),
+    )
+    return F.get(
+        F.transform(
+            F.array(sums),
+            lambda s: s["d"] / (F.sqrt(s["na"]) * F.sqrt(s["nb"])),
+        ),
+        0,
+    )

@@ -22,9 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from biodata_pipeline_spark.functions.vector import cosine
+from biodata_pipeline_spark.functions.vector import dot, l2_norm
 
 SIM_ROUND = 9  # ranking precision: collapses float64 ulp noise into ties
+
+
+def _with_norm(df: DataFrame, emb_col: str, norm_col: str) -> DataFrame:
+    """Attach each vector's L2 norm once on its own side of a pairwise
+    join — per-pair scoring then needs only the dot product (same
+    dot/(na·nb) arithmetic, n norms instead of n²)."""
+    return df.withColumn(norm_col, l2_norm(F.col(emb_col)))
 
 
 def cosine_top_k(
@@ -42,10 +49,19 @@ def cosine_top_k(
     Output: ``query_id, corpus_id, rank, sim`` with rank 1..k per query.
     Ordering: round(sim, 9) DESC, corpus_id ASC (deterministic).
     """
+    # Spread the corpus before the broadcast cross join: a compact scan can
+    # arrive as one partition, which would serialize |Q|×|C| scoring work.
+    corpus = _with_norm(corpus, corpus_emb, "__nc").repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    queries = _with_norm(queries, query_emb, "__nq")
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(cosine(F.col(query_emb), F.col(corpus_emb)), SIM_ROUND).alias("sim"),
+        F.round(
+            dot(F.col(query_emb), F.col(corpus_emb)) / (F.col("__nq") * F.col("__nc")),
+            SIM_ROUND,
+        ).alias("sim"),
     )
     order = [F.col("sim").desc(), F.col(corpus_id).asc()]
     # Phase 1: local top-k within salt buckets (map-side pruning of the
@@ -80,11 +96,18 @@ def rank_all(
     """Rank the *entire* corpus per query (reference semantics: k = corpus
     size). One global window per query — reserved for evaluation workloads
     where the full ranking is genuinely required."""
+    corpus = _with_norm(corpus, corpus_emb, "__nc").repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    queries = _with_norm(queries, query_emb, "__nq")
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
         *[F.col(c) for c in extra_corpus_cols],
-        F.round(cosine(F.col(query_emb), F.col(corpus_emb)), SIM_ROUND).alias("sim"),
+        F.round(
+            dot(F.col(query_emb), F.col(corpus_emb)) / (F.col("__nq") * F.col("__nc")),
+            SIM_ROUND,
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc()

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biodata_pipeline_spark.functions.vector import cosine, dot
+from biodata_pipeline_spark.functions.vector import cosine, dot, l2_norm
 
 SIM_ROUND = 9
 
@@ -34,15 +34,35 @@ def similarity_join(
     a.id < b.id). Output: ``id_a, id_b, sim`` with sim rounded so the
     threshold comparison is reproducible across engines.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"))
+    # Two O(n²)-scoring optimizations, neither changing the arithmetic:
+    #  - each vector's norm is computed once on its own side of the join
+    #    (n norms, not n² — the per-pair work is a single dot-product pass);
+    #  - the streamed side is round-robin repartitioned, since a small input
+    #    often arrives as one scan partition, which would score all O(n²)
+    #    pairs serially.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("__ea"),
+        l2_norm(F.col(emb_col)).alias("__na"),
+    ).repartition(parallelism)
     if other is None:
-        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"))
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(emb_col).alias("__eb"),
+            l2_norm(F.col(emb_col)).alias("__nb"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        b = other.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"))
+        b = other.select(
+            F.col(id_col).alias("id_b"),
+            F.col(emb_col).alias("__eb"),
+            l2_norm(F.col(emb_col)).alias("__nb"),
+        )
         pairs = a.crossJoin(b)
+    sim = dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
     return (
-        pairs.withColumn("sim", F.round(cosine(F.col("__ea"), F.col("__eb")), SIM_ROUND))
+        pairs.withColumn("sim", F.round(sim, SIM_ROUND))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

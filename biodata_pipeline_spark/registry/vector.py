@@ -34,6 +34,9 @@ from biodata_pipeline_spark.sources.tables import load_table
 
 FLAGSHIP_TERMS = ["spark", "join", "window", "merge", "zzznomatch"]
 SIM_THRESHOLD = 0.25
+# The exact pairwise join is O(n²) by design — declared on a bounded vector
+# set (covers all of sf0.01); the LSH/IVF variants are the scale path.
+SIM_MAX_VEC = 2000
 
 
 def q24_cosine_topk(spark, sf_dir):
@@ -48,8 +51,12 @@ def q24_cosine_topk(spark, sf_dir):
 
 
 def q25_similarity_join(spark, sf_dir):
-    """Pairwise cosine-threshold self-join (dedup/near-dup surface)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Pairwise cosine-threshold self-join (dedup/near-dup surface),
+    bounded to SIM_MAX_VEC vectors (exact quadratic path; see
+    q_lsh_similarity_join for the unbounded approximate path)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < SIM_MAX_VEC
+    )
     out = similarity_join(emb, SIM_THRESHOLD)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
@@ -260,6 +267,7 @@ ORACLE = {
         dots AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.e * b.e) AS dot
             FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+            WHERE a.vec_id < {SIM_MAX_VEC} AND b.vec_id < {SIM_MAX_VEC}
             GROUP BY 1, 2
         ),
         sims AS (
