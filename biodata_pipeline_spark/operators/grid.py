@@ -46,3 +46,24 @@ def runnable_work(grid: DataFrame, available: DataFrame, keys: list[str]) -> Dat
     the reference skips epochs with no matching adapter dir,
     rag_evaluation/test_all_models.py:38-44)."""
     return grid.join(F.broadcast(available.select(*keys).distinct()), keys, "left_semi")
+
+
+def expand_grid_over(data: DataFrame, grid: DataFrame) -> DataFrame:
+    """Every grid cell sees the full dataset (the reference trains the same
+    domain file at every epoch step): data × broadcast(grid). At scale the
+    big side streams once per cell without shuffling — the grid is the
+    broadcast side by construction."""
+    return data.crossJoin(F.broadcast(grid))
+
+
+def grid_apply(data: DataFrame, keys: list[str], fn, schema) -> DataFrame:
+    """Grouped-map hook for per-cell work (SURVEY §2.12: the reference runs
+    one LoRA training per grid cell, train_adapters/RAG-eval-create_model.py:
+    119-165 driven by create_all_models_json_data.py:41-74).
+
+    ``fn(pdf) -> pdf`` runs once per grid cell via Arrow-batched
+    ``applyInPandas`` — model work stays out-of-engine; the engine owns the
+    grid shuffle (one hash partition per cell), data prep, and metric
+    collection. The returned frame is whatever ``fn`` emits per cell
+    (typically one metrics row)."""
+    return data.groupBy(*keys).applyInPandas(fn, schema=schema)

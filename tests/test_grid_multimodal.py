@@ -72,3 +72,57 @@ def test_frame_sample_every_nth(spark, sf_dir):
     meta = {r.media_id: r.n_frames for r in decoded.collect()}
     for mid, idxs in by_media.items():
         assert idxs == list(range(0, meta[mid], 8))
+
+
+def test_grid_apply_runs_once_per_cell(spark):
+    import pandas as pd
+
+    from biodata_pipeline_spark.operators.grid import expand_grid_over, grid_apply
+
+    data = spark.createDataFrame(
+        [(i, f"line {i}") for i in range(30)], ["line_id", "text"]
+    )
+    grid = sweep_grid(spark, {"domain": ["ppi", "pathway"], "epoch": [0.5, 1.0]})
+    cells = expand_grid_over(data, grid)
+
+    def fake_train(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one "training run" per cell: emit a metrics row (deterministic)
+        return pd.DataFrame(
+            {
+                "domain": [pdf["domain"].iloc[0]],
+                "epoch": [pdf["epoch"].iloc[0]],
+                "n_examples": [len(pdf)],
+                "loss": [round(1.0 / (1.0 + pdf["epoch"].iloc[0]), 6)],
+            }
+        )
+
+    metrics = grid_apply(
+        cells,
+        ["domain", "epoch"],
+        fake_train,
+        "domain string, epoch double, n_examples long, loss double",
+    )
+    rows = {(r.domain, r.epoch): r for r in metrics.collect()}
+    assert len(rows) == 4  # one metrics row per grid cell
+    assert all(r.n_examples == 30 for r in rows.values())
+    assert rows[("ppi", 1.0)].loss == 0.5
+
+
+def test_length_batched_orders_within_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.layout import length_batched
+
+    df = spark.createDataFrame(
+        [(i, "x" * ((i * 37) % 100 + 1)) for i in range(200)], ["id", "text"]
+    )
+    out = length_batched(df, num_partitions=4)
+    assert out.count() == 200  # rows unchanged
+
+    def check(it):
+        for pdf in it:
+            lengths = pdf["text"].str.len().tolist()
+            assert lengths == sorted(lengths)
+            yield pdf[["id"]]
+
+    out.mapInPandas(check, "id long").count()
