@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biodata_pipeline_spark.functions.vector import cosine, dot, l2_norm
+from biodata_pipeline_spark.functions.vector import dot, l2_norm
 
 SIM_ROUND = 9
 
@@ -80,12 +80,11 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 
 def lsh_signature(emb, planes: list[list[float]]):
-    """Bit per hyperplane: sign of <emb, plane> (random-projection LSH)."""
-    bits = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append((dot(emb, arr) >= 0).cast("int"))
-    return F.array(*bits)
+    """Bit per hyperplane: sign of <emb, plane> (random-projection LSH).
+    The plane matrix is a single foldable array-of-arrays (constant-folded
+    to one literal), scored with one ``transform`` pass."""
+    pmat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    return F.transform(pmat, lambda p: (dot(emb, p) >= 0).cast("int"))
 
 
 def lsh_similarity_join(
@@ -108,19 +107,23 @@ def lsh_similarity_join(
         raise ValueError("n_planes must divide evenly into n_bands")
     rows_per_band = n_planes // n_bands
     planes = [_hyperplane(dim, s) for s in range(n_planes)]
-    sig = df.select(
+    # (id, emb, norm, sig) computed once and persisted: the banding pass and
+    # both sides of candidate verification consume it.
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
+        l2_norm(F.col(emb_col)).alias("nrm"),
         lsh_signature(F.col(emb_col), planes).alias("sig"),
-    )
-    bands = sig.select(
+    ).persist()
+    # Only (id, band, bucket) enters the self-join shuffle — embeddings
+    # rejoin after candidate-pair dedup, so they move once, not n_bands×.
+    bands = base.select(
         "id",
-        "emb",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ",",
+                    F.xxhash64(
+                        F.lit(b),
                         *[
                             F.element_at("sig", b * rows_per_band + r + 1)
                             for r in range(rows_per_band)
@@ -131,22 +134,27 @@ def lsh_similarity_join(
             )
         ).alias("band", "bucket"),
     )
-    left = bands.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("emb").alias("__ea")
-    )
-    right = bands.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("emb").alias("__eb")
-    )
     candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ea", "__eb")
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    verified = candidates.join(
+        base.select(
+            F.col("id").alias("id_a"), F.col("emb").alias("__ea"), F.col("nrm").alias("__na")
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("id").alias("id_b"), F.col("emb").alias("__eb"), F.col("nrm").alias("__nb")
+        ),
+        "id_b",
+    )
+    sim = dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
     return (
-        candidates.withColumn(
-            "sim", F.round(cosine(F.col("__ea"), F.col("__eb")), SIM_ROUND)
-        )
+        verified.withColumn("sim", F.round(sim, SIM_ROUND))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -189,37 +197,51 @@ def ivf_ann(
     cells and ranks only those vectors. The probe join is an equi-join on
     cell id → shuffle-partitioned by cell, scanning ~n_probe/n_cells of the
     corpus per query instead of all of it."""
+    import math
+
     from pyspark.sql import Window
 
-    centroids = [_hyperplane(dim, 1000 + c) for c in range(n_cells)]
+    # Unit-normalized centroids, precomputed driver-side: ranking cells by
+    # cosine(emb, c) equals ranking by dot(emb, ĉ) since ||emb|| is a common
+    # positive factor — so cell assignment needs one dot product per
+    # centroid, no norms.
+    centroids = []
+    for c in range(n_cells):
+        raw = _hyperplane(dim, 1000 + c)
+        nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        centroids.append([x / nrm for x in raw])
 
     def best_cells(emb, n: int):
-        sims = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine(emb, F.array(*[F.lit(float(x)) for x in c])), SIM_ROUND
-                    ).alias("s"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        # The centroid matrix is one foldable array-of-arrays expression —
+        # ConstantFolding collapses it to a single literal at plan time, so
+        # scoring is one `transform` over it per row (vs. n_cells separate
+        # inlined literal-array expressions, which bloat codegen).
+        cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        idx = F.array(*[F.lit(i) for i in range(n_cells)])
+        sims = F.transform(cmat, lambda c: F.round(dot(emb, c), SIM_ROUND))
+        zipped = F.zip_with(
+            sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))
         )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        top = F.slice(F.reverse(F.array_sort(zipped)), 1, n)
         return F.transform(top, lambda st: st["cell"])
 
     corpus_cells = corpus.select(
         F.col(corpus_id), F.col(corpus_emb).alias("__ce"),
+        l2_norm(F.col(corpus_emb)).alias("__nc"),
         F.element_at(best_cells(F.col(corpus_emb), 1), 1).alias("cell"),
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     query_cells = queries.select(
         F.col(query_id), F.col(query_emb).alias("__qe"),
+        l2_norm(F.col(query_emb)).alias("__nq"),
         F.explode(best_cells(F.col(query_emb), n_probe)).alias("cell"),
     )
     scored = corpus_cells.join(F.broadcast(query_cells), "cell").select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("__qe"), F.col("__ce")), SIM_ROUND).alias("sim"),
+        F.round(
+            dot(F.col("__qe"), F.col("__ce")) / (F.col("__nq") * F.col("__nc")),
+            SIM_ROUND,
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
     return (
