@@ -1,0 +1,110 @@
+"""The reference's three entry points, re-expressed as composed engine
+pipelines. A user of `cucinellclark/biodata-pipeline` drives the same
+workloads through these functions:
+
+ - ``narrative_generation``   ≙ python generate_narratives_from_data.py
+   (data_generation/generate_narratives_from_data.py:87-104)
+ - ``adapter_sweep_plan``     ≙ the orchestration layer of
+   create_all_models*.py (train_adapters/create_all_models_json_data.py:29-74)
+ - ``rag_evaluation``         ≙ python RAG-eval-test_model.py
+   (rag_evaluation/RAG-eval-test_model.py:119-153,226-248)
+
+Each is one declarative DataFrame computation; the PBS/qstat machinery of
+the reference dissolves into Spark's scheduler, and filesystem-existence
+bookkeeping becomes manifest anti-joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.textfn import (
+    has_suffix_marker,
+    narrative_prompt,
+    strip_suffix_marker,
+)
+from biodata_pipeline_spark.operators.enrichment import (
+    enrich_with_external_calls,
+    mock_llm,
+)
+from biodata_pipeline_spark.operators.grid import sweep_grid, work_remaining
+from biodata_pipeline_spark.operators.retrieval import (
+    retrieval_rank_metrics,
+    retrieval_summary,
+)
+from biodata_pipeline_spark.sources.manifest import Manifest
+from biodata_pipeline_spark.sources.text import read_text_lines
+
+
+def narrative_generation(
+    spark: SparkSession,
+    input_path: str,
+    manifest: Manifest,
+    sink_dir: str,
+    call: Callable[[str], str] = mock_llm,
+) -> int:
+    """Stage A: JSON-lines records → prompts → external LLM calls →
+    validity-gated narratives, incrementally (skip-if-exists ≙ manifest
+    anti-join; re-run ⇒ zero new work). Returns narratives written.
+
+    Gated-out rows (response missing the '###' terminator) are NOT marked
+    done, so the next run retries them — the reference's re-drive loop.
+    """
+    lines = read_text_lines(spark, input_path, col="record")
+    work = lines.withColumn("key", F.md5("record")).withColumn(
+        "prompt", narrative_prompt(F.col("record"))
+    )
+    todo = manifest.pending(work)
+    if todo.isEmpty():
+        return 0
+    enriched = enrich_with_external_calls(todo, "prompt", call=call)
+    valid = enriched.filter(has_suffix_marker("response")).withColumn(
+        "narrative", strip_suffix_marker("response")
+    )
+    valid.select("key", "record", "narrative").write.mode("append").parquet(sink_dir)
+    manifest.mark_done(valid)
+    return valid.count()
+
+
+def adapter_sweep_plan(
+    spark: SparkSession,
+    domains: list[str],
+    epochs: list[float],
+    done: DataFrame | None = None,
+) -> DataFrame:
+    """Stage B planning: the (domain × epoch) sweep grid minus completed
+    cells, each cell annotated with the previous epoch it resumes from
+    (the reference locates the prior checkpoint by globbing,
+    create_all_models.py:52-58 — here it is a window ``lag``).
+
+    Training itself stays out-of-engine (hook: operators.grid.grid_apply);
+    the epoch chain within a domain is inherently sequential — parallelism
+    is across domains, exactly like the reference.
+    """
+    from pyspark.sql import Window
+
+    grid = sweep_grid(spark, {"domain": domains, "epoch": epochs})
+    w = Window.partitionBy("domain").orderBy(F.col("epoch").asc())
+    grid = grid.withColumn("resume_from_epoch", F.lag("epoch").over(w))
+    if done is not None:
+        grid = work_remaining(grid, done, ["domain", "epoch"])
+    return grid
+
+
+def rag_evaluation(
+    queries: DataFrame,
+    chunks: DataFrame,
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage C: full-corpus retrieval ranking + rank metrics.
+
+    ``queries``: (term, pattern, query_emb); ``chunks``: (chunk_uid,
+    chunk_text, embedding) — e.g. ``chunk_documents`` output with embeddings
+    attached. Returns (per-query detail, corpus summary) — the reference's
+    per-query report lines and trailing aggregate lines as two frames.
+    """
+    detail = retrieval_rank_metrics(queries, chunks, **kwargs)
+    return detail, retrieval_summary(detail)

@@ -6,16 +6,8 @@ second run plans zero work."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from biodata_pipeline_spark.functions.textfn import (
-    has_suffix_marker,
-    narrative_prompt,
-    strip_suffix_marker,
-)
-from biodata_pipeline_spark.operators.enrichment import enrich_with_external_calls
+from biodata_pipeline_spark.pipelines import narrative_generation
 from biodata_pipeline_spark.sources.manifest import Manifest
-from biodata_pipeline_spark.sources.text import read_text_lines
 
 GENOME_LINES = [
     '{"genome_id": "83332.12", "genome_name": "M. tuberculosis H37Rv", "domain": "pathway"}',
@@ -27,21 +19,7 @@ GENOME_LINES = [
 ]
 
 
-def run_pipeline(spark, input_path: str, manifest: Manifest, sink_dir: str, call):
-    lines = read_text_lines(spark, input_path, col="record")
-    work = lines.withColumn("key", F.md5("record")).withColumn(
-        "prompt", narrative_prompt(F.col("record"))
-    )
-    todo = manifest.pending(work)
-    if todo.isEmpty():
-        return 0
-    enriched = enrich_with_external_calls(todo, "prompt", call=call)
-    valid = enriched.filter(has_suffix_marker("response")).withColumn(
-        "narrative", strip_suffix_marker("response")
-    )
-    valid.select("key", "record", "narrative").write.mode("append").parquet(sink_dir)
-    manifest.mark_done(valid)
-    return valid.count()
+run_pipeline = narrative_generation
 
 
 def test_narrative_pipeline_end_to_end(spark, tmp_path):
@@ -91,3 +69,36 @@ def test_gated_row_is_retried_until_valid(spark, tmp_path):
     # flag driver-side is visible to the next run's tasks
     assert run_pipeline(spark, str(src), manifest, sink, first_bad_then_good) == 1
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_adapter_sweep_plan_chain_and_remaining(spark):
+    from biodata_pipeline_spark.pipelines import adapter_sweep_plan
+
+    done = spark.createDataFrame([("ppi", 0.2)], ["domain", "epoch"])
+    plan = adapter_sweep_plan(spark, ["ppi", "pathway"], [0.2, 0.4, 0.6], done)
+    rows = {(r.domain, r.epoch): r.resume_from_epoch for r in plan.collect()}
+    assert len(rows) == 5  # 6 cells - 1 done
+    assert ("ppi", 0.2) not in rows
+    # the chain is computed on the FULL grid before removing finished cells
+    assert rows[("ppi", 0.4)] == 0.2 and rows[("pathway", 0.2)] is None
+
+
+def test_rag_evaluation_matches_flagship_queries(spark):
+    """pipelines.rag_evaluation on the flagship inputs == the declared
+    q26/q26b results (same composed plan, public API)."""
+    from biodata_pipeline_spark.pipelines import rag_evaluation
+    from biodata_pipeline_spark.registry.vector import (
+        _flagship_inputs,
+        q26_retrieval_rank_detail,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    queries, chunks = _flagship_inputs(spark, sf)
+    detail, summary = rag_evaluation(queries, chunks)
+    expect = {r.term: r for r in q26_retrieval_rank_detail(spark, sf).collect()}
+    got = {r.term: r for r in detail.collect()}
+    assert {t: r.first_hit_rank for t, r in got.items()} == {
+        t: r.first_hit_rank for t, r in expect.items()
+    }
+    s = summary.collect()[0]
+    assert s.avg_search_rank > 0 and s.avg_first_hit_rank > 0
