@@ -112,3 +112,71 @@ def frame_sample(decoded: DataFrame, every_nth: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize pass over decoded media: (payload, geometry) → fixed-size
+    payload. ``fake=True`` emits a deterministic truncated/padded byte
+    payload standing in for resampled pixels (plumbing-real: Arrow batches
+    in, binary column out); ``fake=False`` marks the PIL resize slot."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = target_w * target_h // 64  # fake byte budget per image
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires PIL — not in this environment"
+                )
+            payloads = pdf["payload"].map(
+                lambda b: (b or b"").ljust(target, b"\0")[:target]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(mapper, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, rms double, zero_crossings long"
+)
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature-extract pass for audio payloads: byte stream → (RMS energy,
+    zero-crossing count). ``fake=True`` computes both over the raw bytes as
+    int8 samples via NumPy (deterministic, codec-free); ``fake=False``
+    marks where librosa/ffmpeg decode would plug in."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/ffmpeg — not available"
+                )
+            out = {"media_id": [], "n_bytes": [], "rms": [], "zero_crossings": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(b or b"\0", dtype=np.int8).astype(np.float64)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(b or b""))
+                out["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.sign(samples))))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        mapper, schema=AUDIO_FEATURES_SCHEMA
+    )

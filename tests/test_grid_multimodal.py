@@ -126,3 +126,24 @@ def test_length_batched_orders_within_partitions(spark):
             yield pdf[["id"]]
 
     out.mapInPandas(check, "id long").count()
+
+
+def test_resize_images_fixed_geometry(spark, sf_dir):
+    from biodata_pipeline_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    out = resize_images(documents_as_media(docs), 224, 224).collect()
+    assert len(out) == 10
+    budget = 224 * 224 // 64
+    assert all(r.width == 224 and len(r.payload) == budget for r in out)
+
+
+def test_audio_features_deterministic(spark, sf_dir):
+    from biodata_pipeline_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = documents_as_media(docs)
+    a = {r.media_id: (r.rms, r.zero_crossings) for r in audio_features(media).collect()}
+    b = {r.media_id: (r.rms, r.zero_crossings) for r in audio_features(media).collect()}
+    assert a == b and len(a) == 10
+    assert all(rms >= 0 for rms, _ in a.values())
