@@ -35,6 +35,9 @@ HEADLINE = [
     "q26_retrieval_rank_detail",  # flagship retrieval-rank pipeline
     "q_minhash_lsh_dedup",        # MinHash+LSH near-dup
     "q_chunk_documents",          # chunk explode
+    "q16_asof_join",              # as-of join (union-and-carry)
+    "q_lsh_similarity_join",      # hyperplane-LSH similarity (scale path)
+    "q_simhash_dedup",            # SimHash near-dup bands
 ]
 
 

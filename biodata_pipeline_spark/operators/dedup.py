@@ -278,12 +278,16 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: fingerprints bucketed by band (a pair within
     Hamming distance d < n_bands must agree on ≥1 of n_bands bit-slices —
-    the classic pigeonhole trick), then verified by exact Hamming distance.
+    the classic pigeonhole trick; for d ≥ n_bands recall drops below 1),
+    then verified by exact Hamming distance.
+
+    The fingerprint table feeds both sides of the band self-join, so it is
+    persisted — tokenization+fingerprinting runs once, not twice.
     """
     bits_per_band = 63 // n_bands + 1
     fp = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp")
-    )
+    ).persist()
     bands = fp.select(
         "id",
         "fp",

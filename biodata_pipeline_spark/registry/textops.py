@@ -92,8 +92,10 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 with 4 bands — inside the
+    pigeonhole-guarantee regime (d < n_bands ⇒ recall 1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_dup_pairs(docs, max_hamming=8)
+    return simhash_dup_pairs(docs, max_hamming=3)
 
 
 SPARK = {
