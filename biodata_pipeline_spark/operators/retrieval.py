@@ -191,3 +191,30 @@ def retrieval_summary(detail: DataFrame) -> DataFrame:
         ).alias("avg_search_rank"),
         (F.sum("first_hit_rank") / F.count("*")).alias("avg_first_hit_rank"),
     )
+
+
+def retrieve_top_k_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    exact_limit: int = 100_000,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    **cols,
+) -> DataFrame:
+    """Strategy selection for top-k retrieval (SURVEY §4: the
+    crossJoin+cosine+rank≤k → pruned-plan rewrite, driven by data size
+    instead of a Catalyst rule).
+
+    Small corpora (≤ ``exact_limit`` rows) take the exact two-phase
+    ``cosine_top_k`` — one pass over every (query, vector) pair. Larger
+    corpora take the IVF route: each query scores only its ``n_probe``
+    nearest cells, ~n_probe/n_cells of the corpus. The count that picks the
+    strategy is a metadata-cheap action (parquet row-count), mirroring how
+    AQE swaps join strategies on observed sizes.
+    """
+    from biodata_pipeline_spark.operators.similarity import ivf_ann
+
+    if corpus.count() <= exact_limit:
+        return cosine_top_k(queries, corpus, k, **cols)
+    return ivf_ann(queries, corpus, k, n_cells=n_cells, n_probe=n_probe, **cols)

@@ -75,3 +75,41 @@ def test_chunker_is_pure_map(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert count_shuffles(chunk_documents(docs)) == 0
+
+
+def test_q11_dim_broadcast_and_fact_shuffles(spark, sf_dir):
+    """nation broadcasts; the fact-side joins shuffle at most 3× (two join
+    exchanges + final agg) — no nested-loop anywhere."""
+    df = SPARK_QUERIES["q11_multiway_join_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert count_shuffles(df) <= 5
+
+
+def test_q24_two_phase_topk_windows(spark, sf_dir):
+    """The salted local prune + global rank = exactly two Window operators
+    (plus Spark 4's WindowGroupLimit rank-pushdown nodes, which pre-filter
+    rows before each sort — exactly what we want)."""
+    import re
+
+    plan = formatted_plan(SPARK_QUERIES["q24_cosine_topk"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_retrieve_top_k_auto_picks_exact_then_ivf(spark, sf_dir):
+    from biodata_pipeline_spark.operators.retrieval import retrieve_top_k_auto
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    exact = retrieve_top_k_auto(queries, emb, k=5, exact_limit=10_000_000)
+    approx = retrieve_top_k_auto(queries, emb, k=5, exact_limit=1)
+    ex = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    ap = {(r.query_id, r.rank): r.vec_id for r in approx.collect()}
+    assert len(ex) == 10 and len(ap) == 10
+    # each query's own vector is always rank 1 on both paths (sim == 1)
+    assert ex[(0, 1)] == 0 and ap[(0, 1)] == 0 and ex[(1, 1)] == 1
