@@ -61,3 +61,27 @@ def read_jsonl(
             schema = schema.add(corrupt_col, T.StringType())
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def with_provenance(df: DataFrame, col: str = "source_file") -> DataFrame:
+    """Attach each row's originating file path (the reference keys outputs
+    by filename — here provenance is a real column instead)."""
+    return df.withColumn(col, F.input_file_name())
+
+
+def extract_path_meta(
+    df: DataFrame,
+    pattern: str,
+    names: tuple[str, ...],
+    path_col: str = "source_file",
+) -> DataFrame:
+    """Path-encoded metadata → real columns (SURVEY §2.2: the reference
+    parses epoch/type back out of directory names,
+    rag_evaluation/test_all_models.py:37-41). One regexp_extract per
+    capture group over the provenance column; prefer real partition
+    columns (`sinks.write_partitioned`) for new data — this is the ingest
+    path for layouts the reference already wrote."""
+    out = df
+    for i, name in enumerate(names, start=1):
+        out = out.withColumn(name, F.regexp_extract(F.col(path_col), pattern, i))
+    return out
