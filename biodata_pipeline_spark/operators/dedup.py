@@ -29,6 +29,45 @@ def normalized(col) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def collapse_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact (normalized-text) duplicates before any quadratic
+    near-dup machinery: returns ``(distinct_docs, exact_edges)`` where
+    ``distinct_docs`` keeps one representative (min id) per distinct
+    content and ``exact_edges`` is ``(id_a=rep, id_b=member)`` for every
+    other member.
+
+    This is the scale guard for LSH banding: a corpus where the same text
+    appears m times would otherwise put m identical signatures in every
+    band bucket → O(m²) candidate pairs *per duplicate cluster* (measured:
+    a 10× replicated corpus produced 29M candidates from 50k docs and
+    OOM'd). After collapsing, banding sees each distinct content once and
+    clusters are recovered from the rep→member edges (union-find style:
+    edges, not all-pairs, represent a clique)."""
+    keyed = df.withColumn("__k", F.xxhash64(normalized(F.col(text_col))))
+    reps = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
+    joined = keyed.join(reps, "__k")
+    edges = joined.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    distinct = joined.filter(F.col(id_col) == F.col("__rep")).drop("__k", "__rep")
+    return distinct, edges
+
+
+def prune_mega_buckets(
+    bands: DataFrame, max_bucket: int, keys: tuple[str, str] = ("band", "bucket")
+) -> DataFrame:
+    """Drop degenerate LSH buckets larger than ``max_bucket`` rows (each
+    contributes O(n²) candidate pairs; a bucket that large means the band
+    carries no discriminating information). Standard LSH hygiene at scale;
+    recall impact is confined to the dropped buckets."""
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("__bn"))
+    return (
+        bands.join(F.broadcast(sizes.filter(F.col("__bn") > max_bucket)), list(keys), "left_anti")
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -166,6 +205,7 @@ def minhash_lsh_dup_pairs(
     n: int = 3,
     num_hashes: int = 32,
     n_bands: int = 8,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with the exact Jaccard.
 
@@ -174,15 +214,21 @@ def minhash_lsh_dup_pairs(
     similarity s is 1-(1-s^r)^b — with (32, 8) the curve's knee sits near
     s≈0.6. Candidates are verified exactly, so precision is 1.0 and the
     only approximation is recall below the knee.
+
+    Exact (normalized-text) duplicates are collapsed to a representative
+    before banding and come back as rep→member edges with jaccard 1.0 —
+    duplicate-heavy corpora would otherwise blow the band buckets up
+    quadratically (see ``collapse_exact``).
     """
     if num_hashes % n_bands:
         raise ValueError("num_hashes must divide evenly into n_bands")
     r = num_hashes // n_bands
+    distinct, exact_edges = collapse_exact(df, id_col, text_col)
     # Shingle-hash table computed once and persisted: it feeds the
     # signature/banding pass AND both sides of candidate verification (three
     # consumers — without the persist the tokenize+shingle pass runs 3×).
     # At cluster scale this is the table you would checkpoint.
-    base = shingle_hash_table(df, id_col, text_col, n).persist()
+    base = shingle_hash_table(distinct, id_col, text_col, n).persist()
     sig = base.withColumn("sig", minhash_signature_from("hs", num_hashes))
     # Band buckets hash the r signature longs directly (multi-arg xxhash64,
     # band index as the first arg) — no string assembly. Only (id, band,
@@ -202,6 +248,7 @@ def minhash_lsh_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
+    bands = prune_mega_buckets(bands, max_bucket)
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])
@@ -217,12 +264,15 @@ def minhash_lsh_dup_pairs(
     sa, sb = F.col("__sa"), F.col("__sb")
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
-    return (
+    near = (
         verified.withColumn(
             "jaccard", F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 9)
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    return near.unionByName(
+        exact_edges.withColumn("jaccard", F.lit(1.0))
     )
 
 
@@ -275,6 +325,7 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 4,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: fingerprints bucketed by band (a pair within
     Hamming distance d < n_bands must agree on ≥1 of n_bands bit-slices —
@@ -283,26 +334,36 @@ def simhash_dup_pairs(
 
     The fingerprint table feeds both sides of the band self-join, so it is
     persisted — tokenization+fingerprinting runs once, not twice.
+
+    Exact (normalized-text) duplicates are collapsed to a representative
+    before banding (rep→member edges come back with hamming 0) — a
+    duplicate-heavy corpus would otherwise grow band buckets, and thus
+    candidate pairs, quadratically in the duplication factor (measured
+    OOM at 10× replication without this; see ``collapse_exact``).
     """
     bits_per_band = 63 // n_bands + 1
-    fp = df.select(
+    distinct, exact_edges = collapse_exact(df, id_col, text_col)
+    fp = distinct.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp")
     ).persist()
-    bands = fp.select(
-        "id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), b * bits_per_band).bitwiseAND(
-                        F.lit((1 << bits_per_band) - 1)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    bands = prune_mega_buckets(
+        fp.select(
+            "id",
+            "fp",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("fp"), b * bits_per_band).bitwiseAND(
+                            F.lit((1 << bits_per_band) - 1)
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        ),
+        max_bucket,
     )
-    return (
+    near = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
@@ -313,6 +374,9 @@ def simhash_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+    return near.unionByName(
+        exact_edges.withColumn("hamming", F.lit(0).cast("int"))
     )
 
 

@@ -107,9 +107,23 @@ def lsh_similarity_join(
         raise ValueError("n_planes must divide evenly into n_bands")
     rows_per_band = n_planes // n_bands
     planes = [_hyperplane(dim, s) for s in range(n_planes)]
+    # Collapse bit-identical vectors to a representative before banding —
+    # m copies of one vector would put m identical signatures in every
+    # band bucket (O(m²) candidates per duplicate cluster; measured OOM on
+    # a 10×-replicated corpus). Duplicates come back as rep→member edges
+    # with sim 1.0.
+    keyed = df.withColumn("__k", F.xxhash64(F.col(emb_col)))
+    reps = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
+    joined = keyed.join(reps, "__k")
+    exact_edges = joined.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(1.0).alias("sim"),
+    )
+    distinct = joined.filter(F.col(id_col) == F.col("__rep"))
     # (id, emb, norm, sig) computed once and persisted: the banding pass and
     # both sides of candidate verification consume it.
-    base = df.select(
+    base = distinct.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         l2_norm(F.col(emb_col)).alias("nrm"),
@@ -153,11 +167,12 @@ def lsh_similarity_join(
         "id_b",
     )
     sim = dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
-    return (
+    near = (
         verified.withColumn("sim", F.round(sim, SIM_ROUND))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    return near.unionByName(exact_edges)
 
 
 def brute_force_ann(

@@ -36,9 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies, so the two engines agree to the microsecond.
     """
     if name == "events":
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        # Type-driven: ns-as-long gets truncated to µs; µs-precision data
+        # (rewritten copies of the table) is already a timestamp.
+        if isinstance(ts_type, T.LongType):
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
