@@ -44,8 +44,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     # Only force a local master when none is configured (tests/bench); on a
-    # cluster spark-submit provides the master and memory settings.
-    if not os.environ.get("SPARK_MASTER") and "SPARK_SUBMIT_OPTS" not in os.environ:
+    # cluster, SPARK_MASTER (or spark-submit's --master) wins. Do NOT treat
+    # SPARK_SUBMIT_OPTS as a cluster signal — it carries plain JVM options
+    # (this environment sets it for ivy), and skipping this branch because
+    # of it once left the driver on the 1g default heap (OOM at 100× data).
+    if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
