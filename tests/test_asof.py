@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from biodata_pipeline_spark.operators.asof import asof_join
 
@@ -71,3 +73,51 @@ def test_asof_matches_pandas(spark):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row.v) else int(row.v)
         assert got[(row.k, row.ts)] == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_asof_matches_pandas_merge_asof(spark, data):
+    """Property: asof_join == pandas.merge_asof on random keyed frames
+    (both exact-match modes)."""
+    import pandas as pd
+
+    n_left = data.draw(st.integers(1, 25))
+    n_right = data.draw(st.integers(0, 25))
+    keys = data.draw(st.sampled_from([1, 2, 3]))
+    allow_exact = data.draw(st.booleans())
+    lrows = [
+        (i, data.draw(st.integers(0, keys - 1)), data.draw(st.integers(0, 50)))
+        for i in range(n_left)
+    ]
+    rrows = sorted(
+        {
+            (data.draw(st.integers(0, keys - 1)), data.draw(st.integers(0, 50)))
+            for _ in range(n_right)
+        }
+    )
+    rrows = [(k, t, 100 + i) for i, (k, t) in enumerate(rrows)]  # unique payload
+    left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, payload long")
+
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            left, right, on="k", right_payload=("payload",),
+            allow_exact_matches=allow_exact,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "payload"]).sort_values("ts", kind="stable")
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", allow_exact_matches=allow_exact
+        )
+        expect = {
+            int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            for r in merged.itertuples()
+        }
+    else:
+        expect = {int(r.lid): None for r in lp.itertuples()}
+    assert got == expect
