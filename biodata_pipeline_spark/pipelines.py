@@ -1,4 +1,4 @@
-"""The reference's three entry points, re-expressed as composed engine
+"""The reference's four stages, re-expressed as composed engine
 pipelines. A user of `cucinellclark/biodata-pipeline` drives the same
 workloads through these functions:
 
@@ -8,6 +8,8 @@ workloads through these functions:
    create_all_models*.py (train_adapters/create_all_models_json_data.py:29-74)
  - ``rag_evaluation``         ≙ python RAG-eval-test_model.py
    (rag_evaluation/RAG-eval-test_model.py:119-153,226-248)
+ - ``harness_evaluation``     ≙ python test_all_models_llm_eval_sophia.py
+   (llm_harness_evaluation/test_all_models_llm_eval_sophia.py:38-66)
 
 Each is one declarative DataFrame computation; the PBS/qstat machinery of
 the reference dissolves into Spark's scheduler, and filesystem-existence
@@ -108,3 +110,37 @@ def rag_evaluation(
     """
     detail = retrieval_rank_metrics(queries, chunks, **kwargs)
     return detail, retrieval_summary(detail)
+
+
+def harness_evaluation(
+    spark: SparkSession,
+    adapter_types: list[str],
+    epochs: list[float],
+    tasks: list[str],
+    done: DataFrame | None = None,
+    run_cell: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """Stage D: the lm-eval sweep (llm_harness_evaluation/
+    test_all_models_llm_eval_sophia.py:38-66) — (adapter_type × epoch ×
+    task) grid, minus completed cells, each remaining cell evaluated by an
+    injected external runner, results as a metrics frame.
+
+    ``run_cell(cell_key) -> str`` stands in for one lm_eval process (the
+    reference fans 8 of these across GPUs; here partitions × bounded
+    per-executor concurrency do the fanning). The returned frame carries
+    the grid keys + the runner's raw response + error column — never
+    silently dropped, so a re-drive manifest can be built
+    (test_all_models_llm_eval_sophia.py:41-66 semantics).
+    """
+    from biodata_pipeline_spark.operators.grid import grid_output_key
+
+    grid = sweep_grid(
+        spark, {"adapter_type": adapter_types, "epoch": epochs, "task": tasks}
+    ).withColumn("cell_key", grid_output_key(["adapter_type", "epoch", "task"]))
+    if done is not None:
+        grid = work_remaining(grid, done, ["adapter_type", "epoch", "task"])
+    if run_cell is None:
+        run_cell = mock_llm
+    return enrich_with_external_calls(
+        grid, "cell_key", call=run_cell, output_col="metrics_json"
+    )

@@ -102,3 +102,27 @@ def test_rag_evaluation_matches_flagship_queries(spark):
     }
     s = summary.collect()[0]
     assert s.avg_search_rank > 0 and s.avg_first_hit_rank > 0
+
+
+def test_harness_evaluation_grid_minus_done(spark):
+    from biodata_pipeline_spark.pipelines import harness_evaluation
+
+    done = spark.createDataFrame(
+        [("base", 0.5, "gsm8k")], ["adapter_type", "epoch", "task"]
+    )
+
+    def fake_eval(cell_key: str) -> str:
+        if cell_key.endswith("mmlu"):
+            raise RuntimeError("gpu fell over")
+        return f'{{"cell": "{cell_key}", "acc": 0.5}}'
+
+    out = harness_evaluation(
+        spark, ["base", "lora"], [0.5, 1.0], ["gsm8k", "mmlu"], done, fake_eval
+    ).cache()
+    rows = out.collect()
+    assert len(rows) == 7  # 8 cells - 1 done
+    errs = [r for r in rows if r.metrics_json_error is not None]
+    # mmlu failures are rows with an error, not silent drops
+    assert len(errs) == 4 and all("gpu fell over" in r.metrics_json_error for r in errs)
+    ok = [r for r in rows if r.metrics_json is not None]
+    assert all(r.cell_key in r.metrics_json for r in ok)

@@ -159,3 +159,28 @@ def test_running_user_totals_state(spark, dup_events_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_foreachbatch_dead_letter_routing(spark, dup_events_dir, tmp_path):
+    """End-to-end: an availableNow stream whose sink splits each micro-batch
+    into main + dead-letter parquet via split_late — late rows are diverted,
+    never dropped (the reference's sentinel-not-drop rule, streaming-side)."""
+    main_dir, late_dir = str(tmp_path / "main"), str(tmp_path / "late")
+    stream = read_events_stream(spark, dup_events_dir)
+
+    def route(batch_df, batch_id):
+        on_time, late = split_late(batch_df, allowed_delay="30 minutes")
+        on_time.write.mode("append").parquet(main_dir)
+        late.write.mode("append").parquet(late_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_main = spark.read.parquet(main_dir).count()
+    n_late = spark.read.parquet(late_dir).count()
+    assert n_main + n_late == 60  # every delivered row lands somewhere
+    assert n_late > 0  # the backdated rows were diverted, not dropped
