@@ -296,6 +296,38 @@ def q21_pricing_summary(spark, sf_dir):
     )
 
 
+def q21b_salted_pricing(spark, sf_dir):
+    """q21's core aggregates computed through the skew-salting path
+    (two-phase salted aggregation) — hash-identical to the plain GROUP BY
+    oracle, proving the salted plan changes execution, not semantics.
+    Rounding onto the data's decimal grid commutes with regrouping the
+    partial sums (same argument as plain parallel partial aggregation)."""
+    from biodata_pipeline_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    merged = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "count_order": F.count("*"),
+            "sum_qty": F.sum("l_quantity"),
+            "sum_base_price": F.sum("l_extendedprice"),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        buckets=16,
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "count_order",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 def q22_length_bucket_group(spark, sf_dir):
     """Length-bucket grouping (group_by_length, RAG-eval-create_model.py:142)."""
     docs = _t(spark, sf_dir, "documents")
@@ -428,6 +460,7 @@ SPARK = {
     "q19_avg_of_group_min": q19_avg_of_group_min,
     "q20_grouped_count_distinct": q20_grouped_count_distinct,
     "q21_pricing_summary": q21_pricing_summary,
+    "q21b_salted_pricing": q21b_salted_pricing,
     "q22_length_bucket_group": q22_length_bucket_group,
     "q23_rollup_revenue": q23_rollup_revenue,
     "q27_row_number_rank": q27_row_number_rank,
@@ -564,6 +597,16 @@ ORACLE = {
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q21b_salted_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS count_order,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     """,
     "q22_length_bucket_group": """
