@@ -118,6 +118,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer split: contractions, letter runs, digit runs,
+# punctuation runs (each optionally preceded by one space). Restricted to
+# constructs shared by Java regex (Spark) and RE2 (DuckDB): unicode
+# classes, non-capturing groups, no lookaround.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count: number of BPE pre-tokenization pieces
+    (each piece maps to ≥1 BPE token, so this lower-bounds and tracks the
+    true count). Pure regexp — JVM-side, no tokenizer dependency."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
 def word_match_count(col: Column | str, word: str) -> Column:
     """How many whitespace tokens equal ``word`` (deterministic, JVM-side)."""
     return F.size(F.filter(tokens(col), lambda t: t == word))

@@ -42,6 +42,17 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Per-document BPE-ish token count (GPT-2 pre-tokenizer regex) next to
+    the whitespace count — the two standard corpus-budget estimators."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textfn.token_count("text").alias("ws_tokens"),
+        textfn.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
 def q_quality_score(spark, sf_dir):
     """Per-document quality signals: token count, stopword ratio, punct
     ratio, avg token length (C4-style quality filters)."""
@@ -101,6 +112,7 @@ def q_simhash_dedup(spark, sf_dir):
 SPARK = {
     "q_chunk_documents": q_chunk_documents,
     "q_token_stats": q_token_stats,
+    "q_bpe_token_count": q_bpe_token_count,
     "q_quality_score": q_quality_score,
     "q_lang_guess": q_lang_guess,
     "q_fingerprint": q_fingerprint,
@@ -125,6 +137,14 @@ ORACLE = {
                CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
                round(avg(len({_TOKS})), 4) AS avg_tokens
         FROM documents GROUP BY lang
+    """,
+    "q_bpe_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+                 AS INTEGER) AS bpe_tokens
+        FROM documents
     """,
     "q_quality_score": f"""
         WITH base AS (
