@@ -102,6 +102,17 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_dup_pairs(docs, threshold=0.3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash pair edges → connected components
+    (iterative label propagation — the non-SQL-expressible category;
+    deterministic rows, union-find-verified in tests)."""
+    from biodata_pipeline_spark.operators.clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dup_pairs(docs, threshold=0.5)
+    return connected_components(pairs)
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3 with 4 bands — inside the
     pigeonhole-guarantee regime (d < n_bands ⇒ recall 1)."""
@@ -119,6 +130,7 @@ SPARK = {
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
