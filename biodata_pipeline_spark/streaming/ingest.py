@@ -29,10 +29,22 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over a directory of parquet event files."""
-    return spark.readStream.format("parquet").schema(schema).load(path)
+    """File-source stream over a directory of parquet event files.
+
+    ``max_files_per_trigger`` is the engine's backpressure knob — the
+    declarative replacement for the reference's queue gate (poll qstat,
+    hold submissions while ≥N jobs queued, create_all_models.py:6-13,76):
+    each micro-batch ingests at most that many files, so a backlog drains
+    in bounded steps instead of one giant batch."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
 
 
 def run_available_now(
