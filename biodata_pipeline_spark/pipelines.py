@@ -144,3 +144,40 @@ def harness_evaluation(
     return enrich_with_external_calls(
         grid, "cell_key", call=run_cell, output_col="metrics_json"
     )
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    sink_dir: str | None = None,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """The end-to-end training-data pipeline the engine exists for:
+
+        quality filter → language filter → exact dedup → MinHash near-dup
+        clustering → keep one survivor per cluster → Alpaca formatting →
+        length-batched partitioned write
+
+    Every stage is one of the engine's operators; the whole thing is a
+    single lazy plan except the iterative component step. Returns the
+    formatted corpus frame (written to ``sink_dir`` when given).
+    """
+    from biodata_pipeline_spark.functions.textfn import alpaca_format, quality_score
+    from biodata_pipeline_spark.operators.clusters import dedup_survivors
+    from biodata_pipeline_spark.operators.dedup import exact_dedup, minhash_lsh_dup_pairs
+    from biodata_pipeline_spark.operators.layout import length_batched
+
+    filtered = docs.filter(quality_score("text") >= min_quality)
+    if langs:
+        filtered = filtered.filter(F.col("lang").isin(*langs))
+    distinct = exact_dedup(filtered)
+    pairs = minhash_lsh_dup_pairs(distinct, threshold=near_dup_threshold)
+    survivors = dedup_survivors(distinct, pairs)
+    corpus = survivors.select(
+        "doc_id", "lang", alpaca_format(F.col("text")).alias("training_text")
+    )
+    corpus = length_batched(corpus, "training_text")
+    if sink_dir:
+        corpus.write.mode("overwrite").partitionBy("lang").parquet(sink_dir)
+    return corpus

@@ -126,3 +126,27 @@ def test_harness_evaluation_grid_minus_done(spark):
     assert len(errs) == 4 and all("gpu fell over" in r.metrics_json_error for r in errs)
     ok = [r for r in rows if r.metrics_json is not None]
     assert all(r.cell_key in r.metrics_json for r in ok)
+
+
+def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    from biodata_pipeline_spark.pipelines import build_training_corpus
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sink = str(tmp_path / "corpus")
+    corpus = build_training_corpus(docs, sink, min_quality=0.3)
+    n = corpus.count()
+    assert 0 < n <= docs.count()
+    back = spark.read.parquet(sink)
+    assert back.count() == n
+    assert "lang" in back.columns  # partition column round-trips
+    row = back.first()
+    assert row.training_text.startswith("### Instruction: ")
+    # dedup actually happened: corpus has no duplicate normalized text
+    from biodata_pipeline_spark.operators.dedup import normalized
+    from pyspark.sql import functions as FF
+
+    assert (
+        back.select(normalized(FF.col("training_text")).alias("t")).distinct().count()
+        == n
+    )
