@@ -396,3 +396,99 @@ def embedding_dup_pairs(
     if approximate:
         return lsh_similarity_join(df, threshold, id_col=id_col, emb_col=emb_col)
     return similarity_join(df, threshold, id_col=id_col, emb_col=emb_col)
+
+
+class SignatureStore:
+    """Persisted MinHash banding state for *incremental* near-dup dedup.
+
+    At 100 TB you never re-shingle the historical corpus to admit a new
+    batch: the store keeps ``(id, band, bucket)`` rows plus the shingle-hash
+    sets, so admitting a batch is (a) signature computation over the NEW
+    docs only, (b) an equi-join of new band rows against stored band rows,
+    (c) exact verification of the candidates, (d) an append of the new
+    rows' state. The reference's skip-if-exists manifests (SURVEY §2 Q13)
+    applied to dedup state.
+    """
+
+    def __init__(self, path: str, n: int = 3, num_hashes: int = 32, n_bands: int = 8):
+        if num_hashes % n_bands:
+            raise ValueError("num_hashes must divide evenly into n_bands")
+        self.path = path
+        self.n, self.num_hashes, self.n_bands = n, num_hashes, n_bands
+
+    def _bands_path(self) -> str:
+        return f"{self.path}/bands"
+
+    def _shingles_path(self) -> str:
+        return f"{self.path}/shingles"
+
+    def _state_for(self, df: DataFrame, id_col: str, text_col: str):
+        r = self.num_hashes // self.n_bands
+        base = shingle_hash_table(df, id_col, text_col, self.n)
+        sig = base.withColumn("sig", minhash_signature_from("hs", self.num_hashes))
+        bands = sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+                        )
+                        for b in range(self.n_bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        return base.select("id", "hs"), bands
+
+    def admit(
+        self,
+        new_docs: DataFrame,
+        threshold: float,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Near-dup pairs of the NEW docs against (stored ∪ new), then the
+        new state is appended. Returns (id_new, id_old, jaccard) — id_old
+        may itself be from this batch. Idempotent per unique doc id is the
+        caller's concern (pair with a Manifest on id)."""
+        spark = new_docs.sparkSession
+        shingles, bands = self._state_for(new_docs, id_col, text_col)
+        shingles, bands = shingles.persist(), bands.persist()
+        try:
+            old_bands = spark.read.parquet(self._bands_path())
+            old_shingles = spark.read.parquet(self._shingles_path())
+            all_bands = old_bands.unionByName(bands)
+            all_shingles = old_shingles.unionByName(shingles)
+        except Exception:  # first batch: nothing stored yet
+            all_bands, all_shingles = bands, shingles
+        cands = (
+            bands.alias("a")
+            .join(all_bands.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_old"))
+            .filter(F.col("id_new") > F.col("id_old"))  # canonical orientation
+            .dropDuplicates(["id_new", "id_old"])
+        )
+        verified = cands.join(
+            shingles.select(F.col("id").alias("id_new"), F.col("hs").alias("__sa")),
+            "id_new",
+        ).join(
+            all_shingles.select(F.col("id").alias("id_old"), F.col("hs").alias("__sb")),
+            "id_old",
+        )
+        inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+        out = (
+            verified.withColumn(
+                "jaccard",
+                F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 9),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_new", "id_old", "jaccard")
+        )
+        result = out.localCheckpoint()  # materialize BEFORE mutating the store
+        bands.write.mode("append").parquet(self._bands_path())
+        shingles.write.mode("append").parquet(self._shingles_path())
+        return result

@@ -89,3 +89,38 @@ def test_simhash_near_dups(spark, docs_df):
         for r in simhash_dup_pairs(docs_df, max_hamming=3).collect()
     }
     assert (0, 3) not in tight and (0, 5) not in tight
+
+
+def test_incremental_signature_store(spark, tmp_path):
+    from biodata_pipeline_spark.operators.dedup import SignatureStore
+
+    store = SignatureStore(str(tmp_path / "sigstore"))
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different document about spark plans here"),
+        ],
+        ["doc_id", "text"],
+    )
+    first = store.admit(batch1, threshold=0.5)
+    assert first.count() == 0  # nothing similar within batch 1
+
+    batch2 = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog today!"),  # near-dup of 1
+            (4, "totally novel content with no relatives anywhere at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    second = store.admit(batch2, threshold=0.5)
+    pairs = {(r.id_new, r.id_old) for r in second.collect()}
+    assert (3, 1) in pairs  # cross-batch near-dup found WITHOUT re-reading batch 1 text
+    assert all(new in (3, 4) for new, _ in pairs)
+
+    # batch 3 matches a batch-2 doc: the store accumulated state
+    batch3 = spark.createDataFrame(
+        [(5, "totally novel content with no relatives anywhere at all :)")],
+        ["doc_id", "text"],
+    )
+    third = store.admit(batch3, threshold=0.5)
+    assert {(r.id_new, r.id_old) for r in third.collect()} == {(5, 4)}
