@@ -339,6 +339,20 @@ def q22_length_bucket_group(spark, sf_dir):
     )
 
 
+def q21c_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p95) per group — the
+    distribution-shape aggregates a metrics rollup needs beyond sums.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both compute the
+    exact interpolated order statistic; rounding to 4dp absorbs ulp
+    differences in the interpolation arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q23_rollup_revenue(spark, sf_dir):
     """Hierarchical rollup region → nation of order revenue."""
     c = _t(spark, sf_dir, "customer")
@@ -461,6 +475,7 @@ SPARK = {
     "q20_grouped_count_distinct": q20_grouped_count_distinct,
     "q21_pricing_summary": q21_pricing_summary,
     "q21b_salted_pricing": q21b_salted_pricing,
+    "q21c_percentiles": q21c_percentiles,
     "q22_length_bucket_group": q22_length_bucket_group,
     "q23_rollup_revenue": q23_rollup_revenue,
     "q27_row_number_rank": q27_row_number_rank,
@@ -608,6 +623,13 @@ ORACLE = {
                round(max(l_extendedprice), 2) AS max_price
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "q21c_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q22_length_bucket_group": """
         SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket,
