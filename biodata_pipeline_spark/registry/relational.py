@@ -419,6 +419,20 @@ def q31_per_group_topk(spark, sf_dir):
 # --- Q32-Q34: set operations ---------------------------------------------------
 
 
+def q31b_collect_ordered(spark, sf_dir):
+    """Per-group ordered value collection (the reference's rank-list
+    collection, RAG-eval-test_model.py:134-143, as collect_set +
+    array_sort). Joined to a string so the oracle hash compares scalars,
+    not engine-specific array renderings."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q32_union_all(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -481,6 +495,7 @@ SPARK = {
     "q27_row_number_rank": q27_row_number_rank,
     "q30_orderby_limit_topk": q30_orderby_limit_topk,
     "q31_per_group_topk": q31_per_group_topk,
+    "q31b_collect_ordered": q31b_collect_ordered,
     "q32_union_all": q32_union_all,
     "q33_except_difference": q33_except_difference,
     "q34_intersect": q34_intersect,
@@ -666,6 +681,13 @@ ORACLE = {
                                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders)
         WHERE rn <= 3
+    """,
+    "q31b_collect_ordered": """
+        SELECT o_custkey,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                 AS priorities,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
     """,
     "q32_union_all": """
         SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
