@@ -57,9 +57,18 @@ def compare(name: str, spark_df, oracle_df) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    tz = None
+    if "--tz" in args:  # adversarial session timezone, e.g. --tz America/New_York
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        print(f"session timezone: {tz}")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
