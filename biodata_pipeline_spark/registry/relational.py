@@ -21,14 +21,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _avg_grain(col, grain: int = 2):
-    """Cross-engine-deterministic average of a decimal-grained column:
-    round the sum back onto the data's decimal grid (where it can never be
-    a rounding-boundary halfway case), then divide. ``round(avg(x), k)``
-    is NOT portable: the two engines' rounding of ulp-divergent sums can
-    disagree exactly at boundaries."""
+def _dec_sum(col, grain: int = 2):
+    """Scale-proof deterministic sum of a decimal-grained column: cast each
+    value onto its decimal grid (exact — doubles sit within an ulp of the
+    grid point, far inside the half-grain), sum exactly in decimal, and
+    convert the single result back to double. Unlike ``round(sum(x), k)``,
+    this cannot drift: float accumulation error grows with the data while
+    the grain stays fixed, so at a large enough SF the rounding of
+    ulp-divergent float sums lands on different grid points in different
+    engines (observed at sf0.1 for a 6dp grain)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c), grain) / F.count(c)
+    return F.sum(c.cast(f"decimal(28,{grain})")).cast("double")
+
+
+def _avg_grain(col, grain: int = 2):
+    """Cross-engine-deterministic average: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _dec_sum(c, grain) / F.count(c)
 
 
 # --- Q01-Q08: scans / filters / projections ---------------------------------
@@ -163,7 +172,10 @@ def q11_multiway_join_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            # grain 4, the expression's natural grid (2dp price × 2dp
+            # discount): casting a 4dp-grain value to 2dp decimal hits true
+            # halfway cases where the engines' rounding modes differ
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -230,7 +242,7 @@ def q15_range_join_price_bands(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            _dec_sum("l_extendedprice", 2).alias("sum_price"),
         )
     )
 
@@ -281,13 +293,13 @@ def q21_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # sums rounded at each expression's decimal grain (qty/price 2dp,
-            # price×(1−disc) 4dp, ×(1+tax) 6dp) — grain-aligned true values
-            # are never rounding-halfway, so both engines land on the grid
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 6).alias("sum_charge"),
+            # exact decimal sums at each expression's grain (qty/price 2dp,
+            # price×(1−disc) 4dp, ×(1+tax) 6dp) — see _dec_sum: float-grain
+            # rounding diverged between engines at sf0.1 for the 6dp grain
+            _dec_sum("l_quantity", 2).alias("sum_qty"),
+            _dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            _dec_sum(disc_price, 4).alias("sum_disc_price"),
+            _dec_sum(charge, 6).alias("sum_charge"),
             _avg_grain("l_quantity").alias("avg_qty"),
             _avg_grain("l_extendedprice").alias("avg_price"),
             _avg_grain("l_discount").alias("avg_disc"),
@@ -365,7 +377,7 @@ def q23_rollup_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        _dec_sum("o_totalprice", 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
 
@@ -554,14 +566,14 @@ ORACLE = {
     """,
     "q10_broadcast_dim_join": """
         SELECT r_name, n_name, count(*) AS n_cust,
-               round(sum(c_acctbal), 2) / count(c_acctbal) AS avg_bal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / count(c_acctbal) AS avg_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
     "q11_multiway_join_revenue": """
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -594,7 +606,7 @@ ORACLE = {
         WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 10000.0),
                                             ('mid', 10000.0, 50000.0),
                                             ('high', 50000.0, 1000000000.0))
-        SELECT band, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+        SELECT band, count(*) AS n_items, CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY band
     """,
@@ -605,10 +617,10 @@ ORACLE = {
           ON c_custkey = o.o_custkey
     """,
     "q18_global_avg": (
-        "SELECT round(sum(l_quantity), 2) / count(l_quantity) AS avg_qty FROM lineitem"
+        "SELECT CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(l_quantity) AS avg_qty FROM lineitem"
     ),
     "q19_avg_of_group_min": """
-        SELECT round(sum(m), 2) / count(m) AS avg_first
+        SELECT CAST(sum(CAST(m AS DECIMAL(28,2))) AS DOUBLE) / count(m) AS avg_first
         FROM (SELECT o_custkey, min(o_totalprice) AS m FROM orders GROUP BY o_custkey)
     """,
     "q20_grouped_count_distinct": """
@@ -617,13 +629,13 @@ ORACLE = {
     """,
     "q21_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-               round(sum(l_quantity), 2) / count(l_quantity) AS avg_qty,
-               round(sum(l_extendedprice), 2) / count(l_extendedprice) AS avg_price,
-               round(sum(l_discount), 2) / count(l_discount) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -632,8 +644,8 @@ ORACLE = {
     "q21b_salted_pricing": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS count_order,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price
         FROM lineitem
@@ -653,7 +665,7 @@ ORACLE = {
         FROM documents GROUP BY 1
     """,
     "q23_rollup_revenue": """
-        SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey

@@ -46,8 +46,11 @@ def q24_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
+    # sim is emitted at its 9dp ranking precision — re-rounding a rounded
+    # value manufactures exact halfway cases where engine rounding modes
+    # diverge (observed at sf0.1)
     out = cosine_top_k(queries, emb, k=10, salt_buckets=8)
-    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    return out.select("query_id", "vec_id", "rank", "sim")
 
 
 def q25_similarity_join(spark, sf_dir):
@@ -58,7 +61,7 @@ def q25_similarity_join(spark, sf_dir):
         F.col("vec_id") < SIM_MAX_VEC
     )
     out = similarity_join(emb, SIM_THRESHOLD)
-    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    return out.select("id_a", "id_b", "sim")  # 9dp, single rounding
 
 
 def _flagship_inputs(spark, sf_dir):
@@ -156,13 +159,26 @@ SPARK = {
     "q_approx_count_distinct": q_approx_count_distinct,
 }
 
-_EL = """
-    el AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
-               generate_subscripts(embedding, 1) AS i
+# Dot products and norms are computed with list_sum over an in-order
+# list_transform — DuckDB evaluates it as the same left-to-right float64
+# fold Spark's aggregate HOF uses, so similarities are BIT-identical
+# between engines at any scale (verified: unordered GROUP BY sums diverge
+# in ulps at sf0.1; `sum(... ORDER BY i)` also matches but is ~10x slower).
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+_NORMS = f"""
+    norms AS (
+        SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
         FROM embeddings
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM el GROUP BY vec_id)
+    )
 """
 
 # DuckDB's generate_series can't take lateral column bounds, so use a
@@ -181,7 +197,7 @@ _CHUNKS = """
 _FLAGSHIP_DETAIL = (
     """
     WITH """
-    + _EL
+    + _NORMS
     + ","
     + _CHUNKS
     + """,
@@ -193,17 +209,14 @@ _FLAGSHIP_DETAIL = (
     ),
     queries(term, qvec) AS (VALUES ('spark', 0), ('join', 1), ('window', 2),
                                    ('merge', 3), ('zzznomatch', 4)),
-    dots AS (
-        SELECT a.vec_id AS qvec, b.vec_id AS cvec, sum(a.e * b.e) AS dot
-        FROM el a JOIN el b ON a.i = b.i
-        WHERE a.vec_id < 5
-        GROUP BY 1, 2
-    ),
     sims AS (
-        SELECT qvec, cvec, round(dot / (nq.nrm * nc.nrm), 9) AS sim
-        FROM dots
-        JOIN norms nq ON nq.vec_id = qvec
-        JOIN norms nc ON nc.vec_id = dots.cvec
+        SELECT a.vec_id AS qvec, b.vec_id AS cvec,
+               round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (nq.nrm * nc.nrm), 9) AS sim
+        FROM embeddings a
+        CROSS JOIN embeddings b
+        JOIN norms nq ON nq.vec_id = a.vec_id
+        JOIN norms nc ON nc.vec_id = b.vec_id
+        WHERE a.vec_id < 5
     ),
     ranked AS (
         SELECT q.term, k.chunk_uid, k.chunk_text,
@@ -234,20 +247,16 @@ _FLAGSHIP_DETAIL = (
 ORACLE = {
     "q24_cosine_topk": (
         "WITH "
-        + _EL
+        + _NORMS
         + """,
-        dots AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.e * b.e) AS dot
-            FROM el a JOIN el b ON a.i = b.i
-            WHERE a.vec_id < 5
-            GROUP BY 1, 2
-        ),
         sims AS (
-            SELECT query_id, dots.vec_id,
-                   round(dot / (nq.nrm * nc.nrm), 9) AS sim
-            FROM dots
-            JOIN norms nq ON nq.vec_id = query_id
-            JOIN norms nc ON nc.vec_id = dots.vec_id
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (nq.nrm * nc.nrm), 9) AS sim
+            FROM embeddings a
+            CROSS JOIN embeddings b
+            JOIN norms nq ON nq.vec_id = a.vec_id
+            JOIN norms nc ON nc.vec_id = b.vec_id
+            WHERE a.vec_id < 5
         ),
         ranked AS (
             SELECT query_id, vec_id,
@@ -256,27 +265,24 @@ ORACLE = {
                    sim
             FROM sims
         )
-        SELECT query_id, vec_id, rank, round(sim, 6) AS sim
+        SELECT query_id, vec_id, rank, sim
         FROM ranked WHERE rank <= 10
     """
     ),
     "q25_similarity_join": (
         "WITH "
-        + _EL
+        + _NORMS
         + f""",
-        dots AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.e * b.e) AS dot
-            FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
-            WHERE a.vec_id < {SIM_MAX_VEC} AND b.vec_id < {SIM_MAX_VEC}
-            GROUP BY 1, 2
-        ),
         sims AS (
-            SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 9) AS sim
-            FROM dots
-            JOIN norms na ON na.vec_id = id_a
-            JOIN norms nb ON nb.vec_id = id_b
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (na.nrm * nb.nrm), 9) AS sim
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            JOIN norms na ON na.vec_id = a.vec_id
+            JOIN norms nb ON nb.vec_id = b.vec_id
+            WHERE a.vec_id < {SIM_MAX_VEC} AND b.vec_id < {SIM_MAX_VEC}
         )
-        SELECT id_a, id_b, round(sim, 6) AS sim
+        SELECT id_a, id_b, sim
         FROM sims WHERE sim >= {SIM_THRESHOLD}
     """
     ),
@@ -293,7 +299,7 @@ ORACLE = {
     ),
     "q_embedding_stats": (
         "WITH "
-        + _EL
+        + _NORMS
         + """
         SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
         FROM embeddings JOIN norms USING (vec_id)
