@@ -16,9 +16,36 @@ from biodata_pipeline_spark.operators.dedup import (
 )
 from biodata_pipeline_spark.operators.asof import asof_join
 from biodata_pipeline_spark.operators.sessionize import sessionize
-from biodata_pipeline_spark.operators.grid import sweep_grid, work_remaining
+from biodata_pipeline_spark.operators.grid import (
+    expand_grid_over,
+    grid_apply,
+    sweep_grid,
+    work_remaining,
+)
+from biodata_pipeline_spark.operators.clusters import (
+    connected_components,
+    dedup_survivors,
+)
+from biodata_pipeline_spark.operators.layout import length_batched
+from biodata_pipeline_spark.operators.skew import salted_agg, salted_join
+from biodata_pipeline_spark.operators.similarity import ivf_ann
+from biodata_pipeline_spark.operators.retrieval import retrieve_top_k_auto
+from biodata_pipeline_spark.operators.dedup import SignatureStore, collapse_exact
+from biodata_pipeline_spark.operators.enrichment import enrich_with_external_calls
 
 __all__ = [
+    "expand_grid_over",
+    "grid_apply",
+    "connected_components",
+    "dedup_survivors",
+    "length_batched",
+    "salted_agg",
+    "salted_join",
+    "ivf_ann",
+    "retrieve_top_k_auto",
+    "SignatureStore",
+    "collapse_exact",
+    "enrich_with_external_calls",
     "chunk_documents",
     "cosine_top_k",
     "retrieval_rank_metrics",
