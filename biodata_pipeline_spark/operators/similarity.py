@@ -111,16 +111,18 @@ def lsh_similarity_join(
     # m copies of one vector would put m identical signatures in every
     # band bucket (O(m²) candidates per duplicate cluster; measured OOM on
     # a 10×-replicated corpus). Duplicates come back as rep→member edges
-    # with sim 1.0.
-    keyed = df.withColumn("__k", F.xxhash64(F.col(emb_col)))
-    reps = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
-    joined = keyed.join(reps, "__k")
-    exact_edges = joined.filter(F.col(id_col) != F.col("__rep")).select(
+    # with sim 1.0. Window min over the vector hash = one shuffle.
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("__k", F.xxhash64(F.col(emb_col))).withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__k"))
+    )
+    exact_edges = keyed.filter(F.col(id_col) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"),
         F.col(id_col).alias("id_b"),
         F.lit(1.0).alias("sim"),
     )
-    distinct = joined.filter(F.col(id_col) == F.col("__rep"))
+    distinct = keyed.filter(F.col(id_col) == F.col("__rep"))
     # (id, emb, norm, sig) computed once and persisted: the banding pass and
     # both sides of candidate verification consume it.
     base = distinct.select(
