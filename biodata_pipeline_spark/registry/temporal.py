@@ -86,6 +86,24 @@ def q35_tumbling_window(spark, sf_dir):
     return tumbling_counts(e, "1 hour")
 
 
+def q35b_cascade_hourly(spark, sf_dir):
+    """Hypertable-style cascading rollup: hourly aggregates computed FROM
+    minute-level aggregates (never re-scanning raw events) — must equal
+    the direct hourly aggregation, which is exactly what the oracle
+    computes. Decomposable carriers only (count/sum/min/max)."""
+    from biodata_pipeline_spark.operators.rollup import cascade_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = cascade_rollup(e, ("1 minute", "1 hour"))["1 hour"]
+    return hourly.select(
+        F.unix_millis("bucket").alias("window_start_ms"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q36_sliding_window(spark, sf_dir):
     """1-hour windows sliding every 30 minutes (overlapping chunk/epoch
     windows, RAG-eval-test_model.py:239-240)."""
@@ -105,6 +123,7 @@ SPARK = {
     "q28_lag_prev_event": q28_lag_prev_event,
     "q29_sliding_frame_avg": q29_sliding_frame_avg,
     "q35_tumbling_window": q35_tumbling_window,
+    "q35b_cascade_hourly": q35b_cascade_hourly,
     "q36_sliding_window": q36_sliding_window,
     "q37_session_window": q37_session_window,
 }
@@ -143,6 +162,14 @@ ORACLE = {
     "q35_tumbling_window": """
         SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
                count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q35b_cascade_hourly": """
+        SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value
         FROM events GROUP BY 1
     """,
     "q36_sliding_window": """
