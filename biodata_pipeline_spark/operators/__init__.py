@@ -32,8 +32,14 @@ from biodata_pipeline_spark.operators.similarity import ivf_ann
 from biodata_pipeline_spark.operators.retrieval import retrieve_top_k_auto
 from biodata_pipeline_spark.operators.dedup import SignatureStore, collapse_exact
 from biodata_pipeline_spark.operators.enrichment import enrich_with_external_calls
+from biodata_pipeline_spark.operators.rollup import base_rollup, cascade_rollup
+from biodata_pipeline_spark.operators.sketches import cms_build, cms_lookup
 
 __all__ = [
+    "base_rollup",
+    "cascade_rollup",
+    "cms_build",
+    "cms_lookup",
     "expand_grid_over",
     "grid_apply",
     "connected_components",
