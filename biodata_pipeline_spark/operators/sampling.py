@@ -1,0 +1,58 @@
+"""Deterministic sampling: reproducible subsets without rand().
+
+The reference samples with ``random.sample``
+(data_generation/generate_narratives_from_data.py:39-40) — unreproducible
+across runs and engines, which SURVEY §2.3 therefore marked rows-only.
+Hash-based sampling beats that: a row is kept iff ``md5(salt‖key)``
+compares below a threshold encoding the fraction. Properties a training
+pipeline needs and rand() lacks:
+
+ - deterministic: same key ⇒ same decision, on any engine, any run —
+   so the sample IS oracle-checkable (md5 is identical everywhere);
+ - stable under reprocessing: adding rows never flips old decisions
+   (consistent train/test splits across corpus versions);
+ - disjoint splits for free: non-overlapping hash ranges;
+ - distributed: a pure map predicate, pushed to the scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # fraction resolution: 1/16^8 ≈ 2.3e-10
+
+
+def hash_threshold(fraction: float) -> str:
+    """32-hex-char threshold: md5 digests lexicographically below it make
+    up ``fraction`` of the (uniform) digest space."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    scaled = int(fraction * (16**_HEX_DIGITS))
+    if scaled >= 16**_HEX_DIGITS:
+        return "f" * 32  # fraction == 1.0: everything compares <= max digest
+    return format(scaled, f"0{_HEX_DIGITS}x") + "0" * (32 - _HEX_DIGITS)
+
+
+def sample_predicate(key, fraction: float, salt: str = "") -> Column:
+    """Keep-this-row predicate (pure map work; no shuffle, no state)."""
+    key = F.col(key) if isinstance(key, str) else key
+    digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return digest < F.lit(hash_threshold(fraction))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_col``. Different
+    ``salt`` values draw independent samples from the same keys."""
+    return df.filter(sample_predicate(key_col, fraction, salt))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, test) split by hash range — every row
+    lands in exactly one side, stably across runs and corpus versions."""
+    pred = sample_predicate(key_col, test_fraction, salt)
+    return df.filter(~pred), df.filter(pred)

@@ -102,6 +102,19 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_dup_pairs(docs, threshold=0.3)
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~10% sample of documents by md5 hash range — the
+    reproducible replacement for the reference's random.sample
+    (generate_narratives_from_data.py:39-40). Oracle-checkable because the
+    sampling decision is a pure md5 comparison, identical in any engine
+    (SURVEY §2.3 assumed sampling had to be rows-only — hash sampling
+    doesn't)."""
+    from biodata_pipeline_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: MinHash pair edges → connected components
     (iterative label propagation — the non-SQL-expressible category;
@@ -131,6 +144,7 @@ SPARK = {
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_hash_sample": q_hash_sample,
 }
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
@@ -149,6 +163,10 @@ ORACLE = {
                CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
                round(avg(len({_TOKS})), 4) AS avg_tokens
         FROM documents GROUP BY lang
+    """,
+    "q_hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999000000000000000000000000'
     """,
     "q_bpe_token_count": f"""
         SELECT doc_id,

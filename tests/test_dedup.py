@@ -124,3 +124,33 @@ def test_incremental_signature_store(spark, tmp_path):
     )
     third = store.admit(batch3, threshold=0.5)
     assert {(r.id_new, r.id_old) for r in third.collect()} == {(5, 4)}
+
+
+def test_hash_sampling_and_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.sampling import hash_sample, train_test_split
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = hash_sample(docs, "doc_id", 0.1)
+    # deterministic: identical sample on re-evaluation
+    ids1 = {r.doc_id for r in s1.collect()}
+    assert ids1 == {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    assert 0 < len(ids1) < n
+    # monotone: a larger fraction strictly contains the smaller sample
+    ids3 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert ids1 <= ids3
+    # independent salts draw different samples
+    other = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1, salt="b").collect()}
+    assert other != ids1
+    # split: disjoint + exhaustive
+    train, test = train_test_split(docs, "doc_id", 0.2)
+    assert train.count() + test.count() == n
+    assert train.join(test, "doc_id").count() == 0
+    # stability under corpus growth: decisions for old keys never flip
+    subset = docs.filter(F.col("doc_id") < 100)
+    sub_train, _ = train_test_split(subset, "doc_id", 0.2)
+    full_train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert {r.doc_id for r in sub_train.select("doc_id").collect()} <= full_train_ids
