@@ -94,3 +94,28 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
     assert len(fps[0]) == 16
+
+
+def test_analysis_functions_survive_degenerate_text(spark):
+    """Empty / whitespace / punctuation-only / CJK text must not throw
+    (ANSI mode: division and element_at are the usual traps)."""
+    from biodata_pipeline_spark.functions import textfn
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!! ... ???"), (4, "深度学习模型训练"), (5, "a")],
+        ["id", "text"],
+    )
+    out = df.select(
+        "id",
+        textfn.token_count("text").alias("ws"),
+        textfn.bpe_token_count("text").alias("bpe"),
+        textfn.quality_score("text").alias("q"),
+        textfn.lang_guess("text").alias("lang"),
+        textfn.fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].ws == 0 and by_id[2].ws == 0
+    assert by_id[3].bpe >= 3  # punctuation runs are tokens
+    assert by_id[4].lang == "zh"
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert len({r.fp for r in out}) == 4  # empty and whitespace normalize equal
