@@ -138,6 +138,25 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_ann(queries, emb, k=10)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the heaviest suppliers in
+    lineitem — deterministic (hash-built) but xxhash64 has no DuckDB
+    equivalent → rows-only. Estimates upper-bound the true counts
+    (property-tested in tests/test_rollup_sketches.py)."""
+    from biodata_pipeline_spark.operators.sketches import cms_build, cms_lookup
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_suppkey", depth=4, width=2048)
+    top = (
+        li.groupBy("l_suppkey")
+        .count()
+        .orderBy(F.desc("count"), "l_suppkey")
+        .limit(20)
+        .select("l_suppkey")
+    )
+    return cms_lookup(sketch, top, "l_suppkey", depth=4, width=2048)
+
+
 def q_approx_count_distinct(spark, sf_dir):
     """HLL distinct estimate (north-star scale requirement; estimator
     differs from DuckDB's → rows-only)."""
@@ -157,6 +176,7 @@ SPARK = {
     "q_lsh_similarity_join": q_lsh_similarity_join,
     "q_ivf_ann": q_ivf_ann,
     "q_approx_count_distinct": q_approx_count_distinct,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 # Dot products and norms are computed with list_sum over an in-order
