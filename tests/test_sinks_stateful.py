@@ -184,3 +184,17 @@ def test_foreachbatch_dead_letter_routing(spark, dup_events_dir, tmp_path):
     n_late = spark.read.parquet(late_dir).count()
     assert n_main + n_late == 60  # every delivered row lands somewhere
     assert n_late > 0  # the backdated rows were diverted, not dropped
+
+
+def test_write_json_metrics_roundtrip(spark, tmp_path):
+    from biodata_pipeline_spark.sources.sinks import write_json_metrics
+
+    metrics = spark.createDataFrame(
+        [("base", 0.5, "gsm8k", 0.41), ("lora", 0.5, "gsm8k", 0.47)],
+        ["adapter_type", "epoch", "task", "acc"],
+    )
+    path = str(tmp_path / "metrics_json")
+    write_json_metrics(metrics, path)
+    back = spark.read.json(path)
+    assert back.count() == 2
+    assert {r.adapter_type: r.acc for r in back.collect()} == {"base": 0.41, "lora": 0.47}
