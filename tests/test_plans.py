@@ -98,6 +98,26 @@ def test_q24_two_phase_topk_windows(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_q26_has_no_per_query_global_window(spark, sf_dir):
+    """The flagship's rank metrics are a distributed count-above, not a
+    materialized per-query ranking: any window partitioned by the query
+    term alone must be the bucket-total running sum (≤1024 rows/query),
+    never an ordering of the full scored stream (sim/chunk order)."""
+    import re
+
+    plan = formatted_plan(SPARK_QUERIES["q26_retrieval_rank_detail"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "expected window operators in the flagship plan"
+    for spec in specs:
+        parts = [p.strip() for p in spec.split(",") if p.strip()]
+        part_cols = [p for p in parts if " ASC" not in p and " DESC" not in p]
+        order_cols = [p for p in parts if " ASC" in p or " DESC" in p]
+        if len(part_cols) == 1 and part_cols[0].startswith("term"):
+            assert order_cols and all("__bucket" in o for o in order_cols), (
+                f"per-query window over the scored stream: {spec}"
+            )
+
+
 def test_retrieve_top_k_auto_picks_exact_then_ivf(spark, sf_dir):
     from biodata_pipeline_spark.operators.retrieval import retrieve_top_k_auto
     from biodata_pipeline_spark.sources.tables import load_table
