@@ -19,10 +19,18 @@ Everything is built on xxhash64 (JVM-side, codegen'd) — no Python UDFs.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biodata_pipeline_spark.functions.textfn import tokens
+
+
+def _is_store_missing(e: AnalysisException) -> bool:
+    """True only for the path-not-found condition — same contract as
+    sources.manifest._is_path_missing."""
+    cond = e.getCondition() if hasattr(e, "getCondition") else None
+    return cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e)
 
 
 def normalized(col) -> F.Column:
@@ -466,7 +474,13 @@ class SignatureStore:
             old_shingles = spark.read.parquet(self._shingles_path())
             all_bands = old_bands.unionByName(bands)
             all_shingles = old_shingles.unionByName(shingles)
-        except Exception:  # first batch: nothing stored yet
+        except AnalysisException as e:
+            # Only a MISSING store means "first batch". A corrupt or
+            # unreadable store must raise: silently treating it as empty
+            # would admit the batch blind to all history AND append on top,
+            # compounding the inconsistency.
+            if not _is_store_missing(e):
+                raise
             all_bands, all_shingles = bands, shingles
         cands = (
             bands.alias("a")

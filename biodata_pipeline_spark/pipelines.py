@@ -63,10 +63,19 @@ def narrative_generation(
     if todo.isEmpty():
         return 0
     enriched = enrich_with_external_calls(todo, "prompt", call=call)
-    valid = enriched.filter(has_suffix_marker("response")).withColumn(
-        "narrative", strip_suffix_marker("response")
+    valid = (
+        enriched.filter(has_suffix_marker("response"))
+        .withColumn("narrative", strip_suffix_marker("response"))
+        .select("key", "record", "narrative")
+        # Materialize ONCE before the three consumers (write, mark_done,
+        # count). Without this, each action re-runs the external-call stage
+        # — 3× the cost — and a non-deterministic call could pass the '###'
+        # gate during mark_done but fail it during the write, marking a
+        # record done whose narrative was never written (then never
+        # retried, since the anti-join skips it forever).
+        .localCheckpoint()
     )
-    valid.select("key", "record", "narrative").write.mode("append").parquet(sink_dir)
+    valid.write.mode("append").parquet(sink_dir)
     manifest.mark_done(valid)
     return valid.count()
 

@@ -18,9 +18,17 @@ at-least-once → effectively-exactly-once recipe.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _is_path_missing(e: AnalysisException) -> bool:
+    """True only for the path-not-found condition (Spark 4 error class
+    PATH_NOT_FOUND; message fallback for older surfaces)."""
+    cond = e.getCondition() if hasattr(e, "getCondition") else None
+    return cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e)
 
 
 class Manifest:
@@ -31,10 +39,18 @@ class Manifest:
         self.key_cols = tuple(key_cols)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Completed keys (empty frame with the right schema if none yet)."""
+        """Completed keys (empty frame with the right schema if none yet).
+
+        Only a missing path means "first run"; any other read failure
+        (corrupt files, permissions, transient IO) propagates — treating
+        those as empty would silently re-run all work and feed duplicate
+        rows to append sinks.
+        """
         try:
             return spark.read.parquet(self.path).select(*self.key_cols).distinct()
-        except Exception:
+        except AnalysisException as e:
+            if not _is_path_missing(e):
+                raise
             schema = T.StructType(
                 [T.StructField(c, T.StringType()) for c in self.key_cols]
             )
@@ -68,7 +84,12 @@ def run_incremental(
     Returns the number of work units completed this cycle. Calling it again
     immediately plans zero work — the anti-join sees the appended keys.
     """
-    todo = manifest.pending(work)
+    # Materialize the pending set ONCE: it feeds three consumers (the
+    # transform→sink chain, mark_done, and the returned count) — without
+    # this each action re-plans the anti-join and re-runs the transform's
+    # upstream, and a non-deterministic pending set could mark keys done
+    # that the sink never saw.
+    todo = manifest.pending(work).localCheckpoint()
     if todo.isEmpty():
         return 0
     result = transform(todo)

@@ -91,6 +91,30 @@ def test_simhash_near_dups(spark, docs_df):
     assert (0, 3) not in tight and (0, 5) not in tight
 
 
+def test_corrupt_signature_store_raises_instead_of_resetting(spark, tmp_path):
+    """A store that exists but cannot be read must raise — treating it as
+    'first batch' would silently drop all historical banding state and
+    then append over the damage."""
+    import pytest
+
+    from biodata_pipeline_spark.operators.dedup import SignatureStore
+
+    store = SignatureStore(str(tmp_path / "sigstore"))
+    docs = spark.createDataFrame([(1, "some document text here")], ["doc_id", "text"])
+    store.admit(docs, threshold=0.5)
+
+    # corrupt the stored band state: parquet dir exists, contents garbage
+    bands = tmp_path / "sigstore" / "bands"
+    for f in bands.glob("*.parquet"):
+        f.write_bytes(b"not parquet at all")
+    with pytest.raises(Exception) as exc:
+        store.admit(
+            spark.createDataFrame([(2, "another doc")], ["doc_id", "text"]),
+            threshold=0.5,
+        ).count()
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
 def test_incremental_signature_store(spark, tmp_path):
     from biodata_pipeline_spark.operators.dedup import SignatureStore
 

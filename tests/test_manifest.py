@@ -29,6 +29,20 @@ def test_run_twice_zero_new_work(spark, tmp_path):
     assert spark.read.parquet(sink_dir).count() == 2
 
 
+def test_corrupt_manifest_raises_instead_of_rerunning_everything(spark, tmp_path):
+    """An unreadable (but existing) manifest must raise: returning an empty
+    set would re-run all work and feed duplicate rows to append sinks."""
+    import pytest
+
+    m = Manifest(str(tmp_path / "m"), ("key",))
+    work = spark.createDataFrame([("a",), ("b",)], ["key"])
+    m.mark_done(work)
+    for f in (tmp_path / "m").glob("*.parquet"):
+        f.write_bytes(b"garbage")
+    with pytest.raises(Exception):
+        m.pending(work).count()
+
+
 def test_incremental_picks_up_new_units(spark, tmp_path):
     m = Manifest(str(tmp_path / "m"), ("key",))
     sink_dir = str(tmp_path / "out")

@@ -71,6 +71,69 @@ def test_gated_row_is_retried_until_valid(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 3
 
 
+def test_external_call_runs_exactly_once_per_pending_row(spark, tmp_path):
+    """The enrichment stage must execute exactly once per pending record
+    per cycle (reference: one LLM call per work unit,
+    generate_narratives_from_data.py:63-77). Without the localCheckpoint
+    in narrative_generation, the write / mark_done / count actions each
+    re-run the mapInPandas stage — 3× the calls. The counter is a file
+    append because the call runs inside Python worker subprocesses."""
+    src = tmp_path / "g.jsonl"
+    src.write_text("\n".join(GENOME_LINES))
+    manifest = Manifest(str(tmp_path / "m3"), ("key",))
+    sink = str(tmp_path / "n3")
+    counter = str(tmp_path / "calls.log")
+
+    def counting_llm(prompt: str) -> str:
+        with open(counter, "a") as f:
+            f.write("x\n")
+        return "a narrative ###"
+
+    assert run_pipeline(spark, str(src), manifest, sink, counting_llm) == 3
+    with open(counter) as f:
+        assert len(f.readlines()) == 3  # one call per valid line, ever
+
+    # second cycle: nothing pending → zero additional calls
+    assert run_pipeline(spark, str(src), manifest, sink, counting_llm) == 0
+    with open(counter) as f:
+        assert len(f.readlines()) == 3
+
+
+def test_run_incremental_transforms_once_per_cycle(spark, tmp_path):
+    """run_incremental materializes the pending set once: the transform's
+    per-row work executes exactly once per pending key per cycle even
+    though sink, mark_done, and the returned count all consume it."""
+    from biodata_pipeline_spark.sources.manifest import run_incremental
+
+    manifest = Manifest(str(tmp_path / "m4"), ("key",))
+    counter = str(tmp_path / "calls4.log")
+    work = spark.createDataFrame([(f"k{i}",) for i in range(5)], ["key"])
+
+    def transform(df):
+        return enrich(df)
+
+    def enrich(df):
+        from biodata_pipeline_spark.operators.enrichment import (
+            enrich_with_external_calls,
+        )
+
+        def counting(prompt: str) -> str:
+            with open(counter, "a") as f:
+                f.write("x\n")
+            return prompt
+
+        return enrich_with_external_calls(df, "key", call=counting)
+
+    sunk = []
+    n = run_incremental(work, manifest, transform, lambda df: sunk.append(df.count()))
+    assert n == 5 and sunk == [5]
+    with open(counter) as f:
+        assert len(f.readlines()) == 5
+    assert run_incremental(work, manifest, transform, lambda df: None) == 0
+    with open(counter) as f:
+        assert len(f.readlines()) == 5
+
+
 def test_adapter_sweep_plan_chain_and_remaining(spark):
     from biodata_pipeline_spark.pipelines import adapter_sweep_plan
 
