@@ -17,12 +17,24 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic per-row salt in [0, buckets) — a pure function of the
-    row via monotonically increasing id would break determinism across
-    retries, so the salt hashes all columns instead (stable for a given
-    row content)."""
+    """Per-row salt in [0, buckets): content hash mixed with a positional
+    term (``monotonically_increasing_id`` = partition id + in-partition
+    index). The positional term is what spreads *fully identical* rows —
+    the degenerate hot key this module targets (empty-string text,
+    repeated null-ish ids) is often millions of byte-equal rows, which a
+    pure content hash would funnel into one salt bucket and one task.
+
+    The salt is an internal routing key only: aggregation partials are
+    re-merged over all salts and salted joins replicate the other side
+    across every salt value, so ANY assignment yields the same result —
+    positional instability across task retries cannot change semantics,
+    only which task processes a row."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        salt_col,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+            F.lit(buckets),
+        ),
     )
 
 
@@ -74,9 +86,7 @@ def salted_join(
     When ``small`` fits the broadcast threshold, plain broadcast beats
     this; when both sides are huge, AQE skew-split on a sort-merge join is
     the right tool. This covers the middle."""
-    sk = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
-    )
+    sk = with_salt(skewed, buckets)
     sm = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

@@ -340,6 +340,26 @@ def q21b_salted_pricing(spark, sf_dir):
     )
 
 
+def q_salted_join_parity(spark, sf_dir):
+    """The salted-join path is semantics-preserving (operators/skew.py:
+    salted_join — salt the skewed side, replicate the small side, join on
+    keys+salt): orders joined to customer through it, rolled up per market
+    segment, hash-identical to the plain equi-join oracle. The companion
+    of q21b, which proves the same for salted aggregation. Partials sum on
+    the decimal grid so the regrouped merge is exact at any SF."""
+    from biodata_pipeline_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(orders, cust, ["c_custkey"], buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum("o_totalprice", 2).alias("sum_total"),
+    )
+
+
 def q22_length_bucket_group(spark, sf_dir):
     """Length-bucket grouping (group_by_length, RAG-eval-create_model.py:142)."""
     docs = _t(spark, sf_dir, "documents")
@@ -501,6 +521,7 @@ SPARK = {
     "q20_grouped_count_distinct": q20_grouped_count_distinct,
     "q21_pricing_summary": q21_pricing_summary,
     "q21b_salted_pricing": q21b_salted_pricing,
+    "q_salted_join_parity": q_salted_join_parity,
     "q21c_percentiles": q21c_percentiles,
     "q22_length_bucket_group": q22_length_bucket_group,
     "q23_rollup_revenue": q23_rollup_revenue,
@@ -650,6 +671,13 @@ ORACLE = {
                round(max(l_extendedprice), 2) AS max_price
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_salted_join_parity": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "q21c_percentiles": """
         SELECT l_returnflag,

@@ -11,8 +11,7 @@ from biodata_pipeline_spark.sources.bucketing import bucketed_join, write_bucket
 
 
 def _skewed_df(spark):
-    # one hot key carrying 90% of rows + a long tail; rows are distinct
-    # (the salt is a content hash — identical rows share a salt by design)
+    # one hot key carrying 90% of rows + a long tail
     rows = [("hot", float(i)) for i in range(900)]
     rows += [(f"k{i}", float(i)) for i in range(100)]
     return spark.createDataFrame(rows, ["k", "v"])
@@ -53,6 +52,22 @@ def test_salt_spreads_hot_key(spark):
     )
     assert len(per_salt) == 8  # the hot key's rows land in every bucket
     assert max(r["count"] for r in per_salt) < 900  # no bucket holds it all
+
+
+def test_salt_spreads_fully_identical_rows(spark):
+    """The degenerate hot key is often byte-identical rows (empty text,
+    null-ish ids); the positional term in the salt must spread them —
+    a pure content hash would put all 800 copies in one bucket/task."""
+    df = spark.createDataFrame([("", 0.0)] * 800, ["k", "v"]).repartition(8)
+    per_salt = with_salt(df, buckets=8).groupBy("__salt").count().collect()
+    assert len(per_salt) > 1
+    assert max(r["count"] for r in per_salt) < 800
+
+    # and aggregation through identical-row salting is still exact
+    got = salted_agg(
+        df, ["k"], {"n_rows": F.count("*"), "sum_v": F.sum("v")}, buckets=8
+    ).collect()[0]
+    assert got.n_rows == 800 and got.sum_v == 0.0
 
 
 def test_salted_join_matches_plain_join(spark):
