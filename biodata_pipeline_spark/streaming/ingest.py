@@ -71,3 +71,43 @@ def run_available_now(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def run_available_now_idempotent(
+    df: DataFrame,
+    checkpoint_dir: str,
+    path: str,
+    manifest,
+):
+    """Drain the backlog into an idempotent parquet+manifest sink.
+
+    Two independent layers give the exactly-once effect:
+
+    - the stream **checkpoint** skips files whose offsets are committed
+      (normal re-drives replay nothing);
+    - inside ``foreachBatch``, the **manifest anti-join** drops rows whose
+      keys were already sunk, then the append and the mark-done run off
+      one materialized frame — so even a LOST checkpoint (or an
+      at-least-once replay of a half-committed batch) cannot duplicate
+      rows in the sink.
+
+    This is the streaming form of the reference's skip-if-exists re-drive
+    (generate_narratives_from_data.py:63-72): filename-existence becomes
+    manifest keys, the poll loop becomes availableNow.
+    """
+
+    def _batch(batch_df: DataFrame, _batch_id: int) -> None:
+        todo = manifest.pending(batch_df).localCheckpoint()
+        if todo.isEmpty():
+            return
+        todo.write.mode("append").parquet(path)
+        manifest.mark_done(todo)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

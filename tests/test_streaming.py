@@ -109,6 +109,34 @@ def test_available_now_rerun_processes_nothing_new(spark, events_dir, tmp_path):
     assert second == first  # exactly-once effect on re-drive
 
 
+def test_streaming_exactly_once_survives_checkpoint_loss(spark, events_dir, tmp_path):
+    """End-to-end exactly-once in stream mode: availableNow source →
+    foreachBatch idempotent parquet+manifest sink. A FRESH checkpoint on
+    the second run replays every file (at-least-once delivery), and the
+    manifest layer alone must keep the sink duplicate-free — the streaming
+    form of tests/test_manifest.py's run-twice guarantee."""
+    from biodata_pipeline_spark.sources.manifest import Manifest
+    from biodata_pipeline_spark.streaming.ingest import run_available_now_idempotent
+
+    out_dir = str(tmp_path / "out")
+    manifest = Manifest(str(tmp_path / "manifest"), ("event_id",))
+    stream = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id", "value"
+    )
+    run_available_now_idempotent(stream, str(tmp_path / "ckpt_a"), out_dir, manifest)
+    assert spark.read.parquet(out_dir).count() == 200
+
+    # checkpoint lost → full replay; manifest still dedups every row
+    run_available_now_idempotent(stream, str(tmp_path / "ckpt_b"), out_dir, manifest)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
+
+    # same checkpoint → offsets committed, nothing even reaches the sink
+    run_available_now_idempotent(stream, str(tmp_path / "ckpt_b"), out_dir, manifest)
+    assert spark.read.parquet(out_dir).count() == 200
+
+
 def test_rate_limited_backlog_drains_in_bounded_batches(spark, tmp_path):
     """maxFilesPerTrigger bounds each micro-batch (the reference's ≤N-jobs
     queue gate): a 6-file backlog with limit 2 drains in ≥3 batches, every
