@@ -36,6 +36,12 @@ def connected_components(
     deterministic, so downstream "keep min-id per cluster" decisions are
     reproducible. Isolated vertices don't appear (no edges ⇒ no dedup
     decision needed).
+
+    Raises ``RuntimeError`` if the labels have not reached fixpoint within
+    ``max_iterations`` — chain-shaped clusters (successively drifting
+    near-dups) can exceed any fixed round budget, and unconverged labels
+    would silently keep several "survivors" from one cluster. Raise the
+    budget for deep graphs; propagation costs one join per round.
     """
     # Undirected: materialize both directions once.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -83,8 +89,12 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iterations} "
+        "rounds — the edge graph has a component deeper than the budget; "
+        "raise max_iterations"
+    )
 
 
 def dedup_survivors(

@@ -59,6 +59,21 @@ def test_components_match_union_find(spark, seed):
     assert got == union_find(edges)
 
 
+def test_unconverged_chain_raises_not_silent_wrong_labels(spark):
+    """A chain deeper than the round budget must raise — unconverged
+    labels would keep multiple 'survivors' from one cluster with no
+    signal. With a sufficient budget the same chain converges."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    got = {r.id: r.component for r in connected_components(chain, max_iterations=20).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_dedup_survivors_end_to_end(spark, sf_dir):
     from biodata_pipeline_spark.operators.dedup import minhash_lsh_dup_pairs
     from biodata_pipeline_spark.sources.tables import load_table
