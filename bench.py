@@ -38,6 +38,10 @@ HEADLINE = [
     "q16_asof_join",              # as-of join (union-and-carry)
     "q_lsh_similarity_join",      # hyperplane-LSH similarity (scale path)
     "q_simhash_dedup",            # SimHash near-dup bands
+    # round 2 additions — regression coverage for these families:
+    "q25_similarity_join",        # exact pairwise cosine join (bounded)
+    "q_ngram_jaccard_dedup",      # n-gram Jaccard near-dup (shingle equi-join)
+    "q_quality_score",            # textops: pure-Column quality scoring
 ]
 
 
