@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from biodata_pipeline_spark.functions import textfn
+from biodata_pipeline_spark.functions import aggs, textfn
 from biodata_pipeline_spark.operators.dedup import exact_dedup
 from biodata_pipeline_spark.operators.grid import sweep_grid
 from biodata_pipeline_spark.sources.tables import load_table
@@ -29,15 +29,16 @@ def _dec_sum(col, grain: int = 2):
     this cannot drift: float accumulation error grows with the data while
     the grain stays fixed, so at a large enough SF the rounding of
     ulp-divergent float sums lands on different grid points in different
-    engines (observed at sf0.1 for a 6dp grain)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(28,{grain})")).cast("double")
+    engines (observed at sf0.1 for a 6dp grain).
+
+    Declared queries always pay this (~10× double, SCALING.md); production
+    paths that feed dashboards/ratios can take functions.aggs.fast_sum."""
+    return aggs.dec_sum(col, grain)
 
 
 def _avg_grain(col, grain: int = 2):
     """Cross-engine-deterministic average: exact decimal sum / count."""
-    c = F.col(col) if isinstance(col, str) else col
-    return _dec_sum(c, grain) / F.count(c)
+    return aggs.dec_avg(col, grain)
 
 
 # --- Q01-Q08: scans / filters / projections ---------------------------------
