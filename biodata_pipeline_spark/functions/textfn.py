@@ -200,3 +200,91 @@ def fingerprint(col: Column | str, length: int = 16) -> Column:
     fingerprint is oracle-checkable."""
     norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
     return F.substring(F.md5(norm), 1, length)
+
+
+def _let(bound: Column, f) -> Column:
+    """Evaluate ``bound`` once per row and pass it to ``f`` as a lambda
+    variable. Spark has no let-expression, and every textual reference to
+    a Column subtree is re-evaluated at runtime — inside nested HOF
+    lambdas that turns O(n) expressions into O(n·d) re-parses (measured
+    46 s → 0.4 s on q_repetition_stats at sf0.01). Routing the value
+    through a single-element transform materializes it exactly once."""
+    return F.get(F.transform(F.array(bound), f), 0)
+
+
+def bigram_array(col: Column | str) -> Column:
+    """Adjacent-token bigrams as an array<string>; <2 tokens → empty.
+
+    Per-row expression (no explode/shuffle): repetition metrics over
+    bounded-length documents stay map-side at any corpus size."""
+    return _let(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - F.lit(2)),
+                lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + F.lit(1))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def dup_bigram_fraction(bg: Column) -> Column:
+    """Gopher-style repetition signal: fraction of bigram occurrences that
+    repeat an earlier occurrence (1 - distinct/total); empty → 0."""
+    return _let(
+        bg,
+        lambda b: F.round(
+            F.when(
+                F.size(b) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(b)) / F.size(b).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+    )
+
+
+def top_bigram_fraction(bg: Column) -> Column:
+    """Fraction of bigram occurrences taken by the single most frequent
+    bigram (Gopher "top n-gram" filter). O(distinct × total) per row —
+    bounded by document length, so map-side at any scale."""
+    return _let(
+        bg,
+        lambda b: F.round(
+            F.when(
+                F.size(b) > 0,
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(b),
+                        lambda x: F.size(F.filter(b, lambda y: y == x)),
+                    )
+                )
+                / F.size(b).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+    )
+
+
+# PII patterns restricted to Java-regex ∩ RE2 constructs (no lookaround)
+# so Spark and the DuckDB oracle scrub identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d-\d{3}-\d{4}"
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of email + phone matches (pre-scrub audit metric)."""
+    c = _c(col)
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)) + F.regexp_count(c, F.lit(PHONE_RE))
+    ).cast("int")
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails then phone numbers with typed placeholders — the
+    pre-training corpus hygiene pass. Pure regexp_replace chain: JVM-side,
+    zero shuffle, scales linearly with corpus bytes."""
+    c = _c(col)
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )

@@ -13,6 +13,7 @@ from biodata_pipeline_spark.operators.dedup import (
     ngram_jaccard_dup_pairs,
     simhash_dup_pairs,
     embedding_dup_pairs,
+    embedding_dedup_survivors,
 )
 from biodata_pipeline_spark.operators.asof import asof_join
 from biodata_pipeline_spark.operators.sessionize import sessionize
@@ -62,6 +63,7 @@ __all__ = [
     "ngram_jaccard_dup_pairs",
     "simhash_dup_pairs",
     "embedding_dup_pairs",
+    "embedding_dedup_survivors",
     "asof_join",
     "sessionize",
     "sweep_grid",

@@ -511,3 +511,26 @@ class SignatureStore:
         bands.write.mode("append").parquet(self._bands_path())
         shingles.write.mode("append").parquet(self._shingles_path())
         return result
+
+
+def embedding_dedup_survivors(
+    df,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    approximate: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: keep each vector unless it has a
+    near-duplicate (cosine >= threshold) with a smaller id.
+
+    Greedy keep-smallest-id rule — SQL-expressible (anti-join against the
+    pair list's id_b side), unlike full transitive clustering which lives
+    in operators/clusters.py. ``approximate=True`` swaps the exact O(n²)
+    pair join for the hyperplane-LSH candidate path (the 100 TB shape:
+    only (band, bucket) equi-joins, no cross product).
+    """
+    pairs = embedding_dup_pairs(
+        df, threshold, id_col=id_col, emb_col=emb_col, approximate=approximate
+    )
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dup_ids, id_col, "left_anti")

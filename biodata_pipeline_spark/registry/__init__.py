@@ -17,13 +17,20 @@ Determinism rules enforced throughout (SURVEY §5.1):
 
 from __future__ import annotations
 
-from biodata_pipeline_spark.registry import relational, temporal, textops, vector
+from biodata_pipeline_spark.registry import (
+    analytic,
+    relational,
+    temporal,
+    textops,
+    vector,
+)
 
 SPARK_QUERIES = {
     **relational.SPARK,
     **temporal.SPARK,
     **vector.SPARK,
     **textops.SPARK,
+    **analytic.SPARK,
 }
 
 ORACLE_SQL = {
@@ -31,6 +38,7 @@ ORACLE_SQL = {
     **temporal.ORACLE,
     **vector.ORACLE,
     **textops.ORACLE,
+    **analytic.ORACLE,
 }
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

@@ -94,6 +94,42 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     return ngram_jaccard_dup_pairs(docs, JACCARD_THRESHOLD)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: bigram count,
+    duplicate-bigram fraction, top-bigram fraction. Pure per-row array
+    HOFs — zero shuffle, map-side at any corpus size (the filter that
+    catches looping/boilerplate text before training)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = textfn.bigram_array("text")
+    return docs.select(
+        "doc_id",
+        F.size(bg).alias("n_bigrams"),
+        textfn.dup_bigram_fraction(bg).alias("dup_bigram_frac"),
+        textfn.top_bigram_fraction(bg).alias("top_bigram_frac"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: emails and phone numbers → typed placeholders.
+    The testdata contains no natural PII, so the query plants a
+    deterministic contact string per document first — the scrub chain and
+    the audit count are what's under test. regexp-only: zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    return docs.select(
+        "doc_id",
+        textfn.pii_count(synth).alias("n_pii"),
+        textfn.scrub_pii(synth).alias("scrubbed"),
+    )
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -141,6 +177,8 @@ SPARK = {
     "q_lang_guess": q_lang_guess,
     "q_fingerprint": q_fingerprint,
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "q_repetition_stats": q_repetition_stats,
+    "q_pii_scrub": q_pii_scrub,
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
@@ -221,6 +259,44 @@ ORACLE = {
         )
         SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS group_size
         FROM fp
+    """,
+    "q_repetition_stats": f"""
+        WITH toksed AS (
+            -- bind the split ONCE; inlining it into the lambda re-splits
+            -- the text per element (measured 50x slower)
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+            FROM toksed
+        )
+        SELECT doc_id, CAST(len(b) AS INTEGER) AS n_bigrams,
+               round(CASE WHEN len(b) = 0 THEN 0
+                     ELSE 1 - len(list_distinct(b)) / CAST(len(b) AS DOUBLE)
+                     END, 4) AS dup_bigram_frac,
+               round(CASE WHEN len(b) = 0 THEN 0
+                     ELSE list_max(list_transform(list_distinct(b),
+                              x -> len(list_filter(b, y -> y = x))))
+                          / CAST(len(b) AS DOUBLE)
+                     END, 4) AS top_bigram_frac
+        FROM bg
+    """,
+    "q_pii_scrub": r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  + len(regexp_extract_all(t, '\+\d-\d{3}-\d{4}')) AS INTEGER) AS n_pii,
+               regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\+\d-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+        FROM synth
     """,
     "q_ngram_jaccard_dedup": f"""
         WITH toks AS (

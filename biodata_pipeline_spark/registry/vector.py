@@ -120,6 +120,36 @@ def q_embedding_stats(spark, sf_dir):
     )
 
 
+EMB_DEDUP_THRESHOLD = 0.98
+EMB_COPY_BASE = 100_000
+EMB_COPY_N = 50
+
+
+def q_embed_cosine_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: survivors after removing every
+    vector whose cosine to a smaller-id vector is >= threshold.
+
+    The synthetic embeddings have no natural pairs above 0.6, so the
+    query first plants exact copies of the first EMB_COPY_N vectors at
+    id+EMB_COPY_BASE — dedup must remove precisely those copies (their
+    self-similarity rounds to 1.0 at the shared 9 dp boundary) and keep
+    the whole original corpus. Exact bounded path here;
+    embedding_dedup_survivors(approximate=True) is the LSH scale path
+    (rows-only via q_lsh_similarity_join's candidate machinery)."""
+    from biodata_pipeline_spark.operators.dedup import embedding_dedup_survivors
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SIM_MAX_VEC)  # exact path bounded, like q25
+        .select("vec_id", "embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < EMB_COPY_N).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(EMB_COPY_BASE)
+    )
+    corpus = emb.unionByName(copies)
+    return embedding_dedup_survivors(corpus, EMB_DEDUP_THRESHOLD).select("vec_id")
+
+
 # --- approximate scale paths: no SQL oracle (rows-only + pytest) -------------
 
 
@@ -173,6 +203,7 @@ SPARK = {
     "q26_retrieval_rank_detail": q26_retrieval_rank_detail,
     "q26b_retrieval_rank_summary": q26b_retrieval_rank_summary,
     "q_embedding_stats": q_embedding_stats,
+    "q_embed_cosine_dedup": q_embed_cosine_dedup,
     "q_lsh_similarity_join": q_lsh_similarity_join,
     "q_ivf_ann": q_ivf_ann,
     "q_approx_count_distinct": q_approx_count_distinct,
@@ -317,6 +348,29 @@ ORACLE = {
         FROM detail
     """
     ),
+    "q_embed_cosine_dedup": f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SIM_MAX_VEC}
+            UNION ALL
+            SELECT vec_id + {EMB_COPY_BASE}, embedding FROM embeddings
+            WHERE vec_id < {EMB_COPY_N}
+        ),
+        cnorms AS (
+            SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM corpus
+        ),
+        dups AS (
+            SELECT DISTINCT b.vec_id AS vec_id
+            FROM corpus a
+            JOIN corpus b ON a.vec_id < b.vec_id
+            JOIN cnorms na ON na.vec_id = a.vec_id
+            JOIN cnorms nb ON nb.vec_id = b.vec_id
+            WHERE round({_dot_sql('a.embedding', 'b.embedding')}
+                        / (na.nrm * nb.nrm), 9) >= {EMB_DEDUP_THRESHOLD}
+        )
+        SELECT vec_id FROM corpus
+        WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
     "q_embedding_stats": (
         "WITH "
         + _NORMS

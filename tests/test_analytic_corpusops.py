@@ -1,0 +1,137 @@
+"""Round-2 surface: multidimensional aggregates (cube / grouping sets /
+pivot / distribution windows), repetition + PII corpus filters, and
+embedding-cosine dedup survivors — semantics and plan-shape checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions import textfn
+from biodata_pipeline_spark.operators.dedup import embedding_dedup_survivors
+from biodata_pipeline_spark.plans.inspect import count_shuffles, formatted_plan
+from biodata_pipeline_spark.registry import SPARK_QUERIES
+
+
+def test_cube_is_one_expand_one_shuffle(spark, sf_dir):
+    df = SPARK_QUERIES["q_cube_pricing"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    # one exchange for the aggregate, regardless of how many levels CUBE adds
+    assert count_shuffles(df) == 1
+
+
+def test_grouping_sets_levels(spark, sf_dir):
+    rows = SPARK_QUERIES["q_grouping_sets_revenue"](spark, sf_dir).collect()
+    grand = [r for r in rows if r.n_name is None and r.o_orderpriority is None]
+    per_nation = [r for r in rows if r.n_name is not None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(r.n_orders for r in per_nation)
+    plan = formatted_plan(SPARK_QUERIES["q_grouping_sets_revenue"](spark, sf_dir))
+    assert "Expand" in plan
+
+
+def test_pivot_matrix_counts_match_groupby(spark, sf_dir):
+    wide = SPARK_QUERIES["q_pivot_priority_matrix"](spark, sf_dir).collect()
+    total = sum(
+        r.urgent + r.high + r.medium + r.not_specified + r.low for r in wide
+    )
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    assert total == load_table(spark, sf_dir, "orders").count()
+
+
+def test_ntile_is_partitioned_not_global(spark, sf_dir):
+    plan = formatted_plan(SPARK_QUERIES["q_ntile_distribution"](spark, sf_dir))
+    # a global (unpartitioned) window would single-task the whole table
+    assert "SinglePartition" not in plan
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    df = SPARK_QUERIES["q_repetition_stats"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_pii_scrub_zero_shuffle(spark, sf_dir):
+    df = SPARK_QUERIES["q_pii_scrub"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_repetition_metrics_on_known_text(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z w"), (2, "solo"), (3, "")],
+        ["doc_id", "text"],
+    )
+    bg = textfn.bigram_array("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(bg).alias("n"),
+            textfn.dup_bigram_fraction(bg).alias("dup"),
+            textfn.top_bigram_fraction(bg).alias("top"),
+        ).collect()
+    }
+    # "a b a b a": bigrams [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert out[0].n == 4 and out[0].dup == 0.5 and out[0].top == 0.5
+    assert out[1].n == 3 and out[1].dup == 0.0
+    assert out[2].n == 0 and out[2].dup == 0.0 and out[2].top == 0.0
+    assert out[3].n == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@lab.example.org or +1-555-0199-1234"),
+            (1, "call +9-123-4567 twice: +9-123-4567"),
+            (2, "clean text, no contacts"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            textfn.pii_count("text").alias("n"),
+            textfn.scrub_pii("text").alias("s"),
+        ).collect()
+    }
+    assert out[0].n == 2 and "<EMAIL>" in out[0].s and "jane" not in out[0].s
+    assert out[1].n == 2 and out[1].s.count("<PHONE>") == 2
+    assert out[2].n == 0 and out[2].s == "clean text, no contacts"
+
+
+def _vec_df(spark):
+    # 0 and 1 are identical; 2 is a scaled copy of 0 (cosine 1); 3 orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_dedup_survivors_exact(spark):
+    out = embedding_dedup_survivors(_vec_df(spark), threshold=0.99)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 3]
+
+
+def test_embedding_dedup_survivors_approximate_superset(spark):
+    # LSH recall < 1: the approximate path may keep extra rows but must
+    # never drop a row the exact path keeps
+    exact = {r.vec_id for r in embedding_dedup_survivors(_vec_df(spark), 0.99).collect()}
+    approx = {
+        r.vec_id
+        for r in embedding_dedup_survivors(
+            _vec_df(spark), 0.99, approximate=True
+        ).collect()
+    }
+    assert exact <= approx
+
+
+def test_let_binding_preserves_semantics(spark):
+    df = spark.createDataFrame([(5,)], ["x"])
+    out = df.select(
+        textfn._let(F.col("x") * 2, lambda v: v + v).alias("y")
+    ).collect()
+    assert out[0].y == 20
