@@ -5,6 +5,7 @@ from biodata_pipeline_spark.operators.retrieval import (
 )
 from biodata_pipeline_spark.operators.similarity import (
     similarity_join,
+    similarity_join_vectorized,
     lsh_similarity_join,
 )
 from biodata_pipeline_spark.operators.dedup import (
@@ -57,6 +58,7 @@ __all__ = [
     "cosine_top_k",
     "retrieval_rank_metrics",
     "similarity_join",
+    "similarity_join_vectorized",
     "lsh_similarity_join",
     "exact_dedup",
     "minhash_lsh_dup_pairs",

@@ -12,7 +12,9 @@ Determinism rules enforced throughout (SURVEY §5.1):
    similarities 6dp; ranking keys at 9dp to collapse ulp noise);
  - timestamps cross the engine boundary as epoch milliseconds
    (Spark ``unix_millis`` ≡ DuckDB ``epoch_ms``: both truncate);
- - no rand(), no wall clock, no Python UDFs in declared queries.
+ - no rand(), no wall clock, no row-at-a-time Python UDFs in declared
+   queries (Arrow-vectorized kernels allowed only where the numpy math
+   reproduces the JVM fold bit-for-bit — see similarity_join_vectorized).
 """
 
 from __future__ import annotations

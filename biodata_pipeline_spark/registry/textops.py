@@ -130,6 +130,23 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_word_freq_topk(spark, sf_dir):
+    """Corpus vocabulary: top-30 tokens by frequency (the BPE-training /
+    vocab-build first pass). Explode → hash aggregate benefits from
+    map-side partial aggregation: each task pre-counts its own tokens, so
+    the shuffle carries one row per (task, distinct word), not one per
+    token occurrence — at 100 TB that is the difference between shuffling
+    ~vocab-size rows and shuffling the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textfn.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(30)
+    )
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -179,6 +196,7 @@ SPARK = {
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
+    "q_word_freq_topk": q_word_freq_topk,
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
@@ -297,6 +315,13 @@ ORACLE = {
                                   '<EMAIL>', 'g'),
                    '\+\d-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
         FROM synth
+    """,
+    "q_word_freq_topk": f"""
+        SELECT word, count(*) AS n
+        FROM documents, unnest({_TOKS}) AS u(word)
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 30
     """,
     "q_ngram_jaccard_dedup": f"""
         WITH toks AS (

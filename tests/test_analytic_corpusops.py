@@ -135,3 +135,18 @@ def test_let_binding_preserves_semantics(spark):
         textfn._let(F.col("x") * 2, lambda v: v + v).alias("y")
     ).collect()
     assert out[0].y == 20
+
+
+def test_vectorized_similarity_join_bit_parity(spark, sf_dir):
+    """The numpy kernel must reproduce the HOF join exactly — same pairs,
+    same 9dp sims, bit-for-bit (in-order fold contract)."""
+    from biodata_pipeline_spark.operators.similarity import (
+        similarity_join,
+        similarity_join_vectorized,
+    )
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    hof = similarity_join(emb, 0.25).orderBy("id_a", "id_b").collect()
+    vec = similarity_join_vectorized(emb, 0.25).orderBy("id_a", "id_b").collect()
+    assert hof == vec and len(hof) > 0
