@@ -42,6 +42,9 @@ HEADLINE = [
     "q25_similarity_join",        # exact pairwise cosine join (bounded)
     "q_ngram_jaccard_dedup",      # n-gram Jaccard near-dup (shingle equi-join)
     "q_quality_score",            # textops: pure-Column quality scoring
+    "q_word_freq_topk",           # vocab build: explode + partial agg
+    "q_cube_pricing",             # CUBE: one Expand, one shuffle
+    "q_repetition_stats",         # per-row repetition filters (zero shuffle)
 ]
 
 

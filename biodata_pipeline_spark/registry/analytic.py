@@ -95,14 +95,62 @@ def q_ntile_distribution(spark, sf_dir):
     )
 
 
+def q_stats_corr(spark, sf_dir):
+    """Statistical aggregates — correlation + stddev per group — computed
+    deterministically from EXACT decimal-grid power sums, not the engines'
+    native corr()/stddev() (whose accumulation order differs per engine
+    and partitioning). The inputs sit on a 2 dp grid, so their products
+    sit on an exact 4 dp grid (a float64 product is within 1 ulp of the
+    grid point, far inside the half-grain); the final formula is a fixed
+    float64 op chain over the exact sums — bit-identical anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_discount")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(28,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_price_discount"),
+        F.round(F.sqrt(vx / (n * (n - 1))), 4).alias("stddev_price"),
+    )
+
+
 SPARK = {
     "q_cube_pricing": q_cube_pricing,
     "q_grouping_sets_revenue": q_grouping_sets_revenue,
     "q_pivot_priority_matrix": q_pivot_priority_matrix,
     "q_ntile_distribution": q_ntile_distribution,
+    "q_stats_corr": q_stats_corr,
 }
 
 ORACLE = {
+    "q_stats_corr": """
+        WITH s AS (
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 AS corr_price_discount,
+               round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS stddev_price
+        FROM s
+    """,
     "q_cube_pricing": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,

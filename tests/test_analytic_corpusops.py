@@ -150,3 +150,27 @@ def test_vectorized_similarity_join_bit_parity(spark, sf_dir):
     hof = similarity_join(emb, 0.25).orderBy("id_a", "id_b").collect()
     vec = similarity_join_vectorized(emb, 0.25).orderBy("id_a", "id_b").collect()
     assert hof == vec and len(hof) > 0
+
+
+def test_stats_corr_close_to_native(spark, sf_dir):
+    """The decimal-grid formulation must agree with the native estimators
+    to float tolerance (it differs only in accumulation exactness)."""
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    out = {
+        r.l_returnflag: r
+        for r in SPARK_QUERIES["q_stats_corr"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    native = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_extendedprice", "l_discount").alias("c"),
+            F.stddev("l_extendedprice").alias("s"),
+        )
+        .collect()
+    }
+    for k, r in out.items():
+        assert abs(r.corr_price_discount - native[k].c) < 1e-6
+        assert abs(r.stddev_price - native[k].s) < 0.01
