@@ -100,12 +100,10 @@ def q_repetition_stats(spark, sf_dir):
     HOFs — zero shuffle, map-side at any corpus size (the filter that
     catches looping/boilerplate text before training)."""
     docs = load_table(spark, sf_dir, "documents")
-    bg = textfn.bigram_array("text")
+    # inline(array(struct)) emits all three metrics from ONE evaluation of
+    # the tokenize→bigram→sort→fold chain (textfn.repetition_struct)
     return docs.select(
-        "doc_id",
-        F.size(bg).alias("n_bigrams"),
-        textfn.dup_bigram_fraction(bg).alias("dup_bigram_frac"),
-        textfn.top_bigram_fraction(bg).alias("top_bigram_frac"),
+        "doc_id", F.inline(F.array(textfn.repetition_struct("text")))
     )
 
 

@@ -3,7 +3,7 @@
 Replicates /root/testdata/sf0.1 with shifted keys via DuckDB:
 
     python tools/make_scale_testdata.py 10   # → .scale_test    (all tables)
-    python tools/make_scale_testdata.py 100  # → .scale_test100 (relational only)
+    python tools/make_scale_testdata.py 100  # → .scale_test100 (all tables)
 
 Replication multiplies duplicate content N× — deliberately adversarial
 for the near-dup operators (see SCALING.md). Timestamps get +i µs so
@@ -49,7 +49,6 @@ DIMS = ("region", "nation", "customer", "supplier", "part")
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    relational_only = factor >= 100
     dst = os.path.join(REPO, ".scale_test" if factor == 10 else f".scale_test{factor}")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -57,7 +56,7 @@ def main() -> None:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{name}.parquet') TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
         )
-    tables = ("lineitem", "orders", "events") if relational_only else tuple(SPECS)
+    tables = tuple(SPECS)
     for name in tables:
         con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{SRC}/{name}.parquet'")
         con.execute(
