@@ -4,12 +4,13 @@ A 100 TB training-data pipeline carries media as ``binary`` columns with a
 typed metadata struct; decode/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
-environment, so the decode kernels are stubbed: ``decode_image_meta`` with
-``fake=True`` (default) derives deterministic metadata from the bytes —
-the Spark-side plumbing (schema, batching, partitioning) is real and
-tested; with ``fake=False`` it raises NotImplementedError where the codec
-call belongs.
+Decoders plug in through the ``ImageCodec`` seam: ``FakeImageCodec``
+(default here) derives deterministic metadata from the bytes with no
+codec dependency; ``PilImageCodec`` is the real integration path (usable
+as-is wherever Pillow is installed — constructing it import-checks PIL so
+missing deps fail at plan build, not mid-job). The Spark-side plumbing
+(schema, Arrow batching, partitioning) is identical for every codec and
+is what the tests exercise.
 """
 
 from __future__ import annotations
@@ -64,37 +65,105 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
+class ImageCodec:
+    """The codec seam: a real decoder plugs in by implementing these two
+    methods — nothing on the Spark side (schema, batching, partitioning)
+    changes. Instances are pickled into the Arrow workers, so implementors
+    must import their heavy libraries inside the methods, not __init__."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        """payload → (width, height, n_frames)."""
+        raise NotImplementedError
+
+    def resize(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        """payload → resampled payload at (target_w, target_h)."""
+        raise NotImplementedError
+
+
+class FakeImageCodec(ImageCodec):
+    """Deterministic stand-in (no codec dependency): geometry is a stable
+    function of the byte length, resize truncates/pads to a byte budget."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        n = len(payload)
+        return n % 640 + 1, n % 480 + 1, n % 24 + 1
+
+    def resize(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        budget = target_w * target_h // 64
+        return payload.ljust(budget, b"\0")[:budget]
+
+
+class PilImageCodec(ImageCodec):
+    """The real-codec integration path. Constructing it verifies PIL is
+    importable (clear error where the dependency bites, not mid-job on an
+    executor); the import inside each method keeps the instance picklable.
+    Interface-tested in tests/test_grid_multimodal.py — in an environment
+    with Pillow installed no further code change is needed."""
+
+    def __init__(self) -> None:
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise ImportError(
+                "PilImageCodec requires Pillow; use FakeImageCodec (or any "
+                "ImageCodec implementation) in codec-free environments"
+            )
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, getattr(im, "n_frames", 1)
+
+    def resize(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((target_w, target_h)).save(out, format=im.format or "PNG")
+            return out.getvalue()
+
+
+def default_image_codec() -> ImageCodec:
+    """PIL when available, deterministic fake otherwise."""
+    try:
+        return PilImageCodec()
+    except ImportError:
+        return FakeImageCodec()
+
+
+def decode_image_meta(
+    df: DataFrame, fake: bool = True, codec: ImageCodec | None = None
+) -> DataFrame:
     """Decode pass: payload bytes → (dimensions, frame count, checksum).
 
-    ``fake=True`` derives metadata deterministically from the byte length
-    and an md5 checksum (no codec dependency); ``fake=False`` marks where a
-    real decoder (PIL.Image.open on the buffer) plugs in.
-    """
+    ``codec`` picks the decoder implementation (any ImageCodec); the
+    legacy ``fake`` flag maps to FakeImageCodec (True) or the environment
+    default (False — PilImageCodec where Pillow exists, raising a clear
+    ImportError where it doesn't)."""
+    chosen = codec or (FakeImageCodec() if fake else default_image_codec())
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/ffmpeg — not in this environment"
-                )
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda b: 0 if b is None else len(b))
-            checksum = payloads.map(
-                lambda b: hashlib.md5(b or b"").hexdigest()[:16]
-            )
+            payloads = pdf["payload"].map(lambda b: b or b"")
+            geom = payloads.map(chosen.decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": n_bytes,
-                    "checksum": checksum,
-                    # deterministic fake geometry: stable functions of size
-                    "width": (n_bytes % 640 + 1).astype("int32"),
-                    "height": (n_bytes % 480 + 1).astype("int32"),
-                    "n_frames": (n_bytes % 24 + 1).astype("int32"),
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()[:16]
+                    ),
+                    "width": geom.map(lambda g: g[0]).astype("int32"),
+                    "height": geom.map(lambda g: g[1]).astype("int32"),
+                    "n_frames": geom.map(lambda g: g[2]).astype("int32"),
                 }
             )
 
@@ -118,22 +187,21 @@ RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(
-    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    fake: bool = True,
+    codec: ImageCodec | None = None,
 ) -> DataFrame:
     """Resize pass over decoded media: (payload, geometry) → fixed-size
-    payload. ``fake=True`` emits a deterministic truncated/padded byte
-    payload standing in for resampled pixels (plumbing-real: Arrow batches
-    in, binary column out); ``fake=False`` marks the PIL resize slot."""
+    payload through the same codec seam as decode_image_meta (plumbing is
+    real either way: Arrow batches in, binary column out)."""
+    chosen = codec or (FakeImageCodec() if fake else default_image_codec())
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = target_w * target_h // 64  # fake byte budget per image
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real resize requires PIL — not in this environment"
-                )
             payloads = pdf["payload"].map(
-                lambda b: (b or b"").ljust(target, b"\0")[:target]
+                lambda b: chosen.resize(b or b"", target_w, target_h)
             )
             yield pd.DataFrame(
                 {
