@@ -293,11 +293,12 @@ PHONE_RE = r"\+\d-\d{3}-\d{4}"
 
 
 def pii_count(col: Column | str) -> Column:
-    """Number of email + phone matches (pre-scrub audit metric)."""
+    """Number of PII spans (pre-scrub audit metric). One alternation pass
+    at half the regex cost of counting per pattern; a span that matches
+    both shapes (a phone-shaped email local part) counts once — the span
+    is one redaction."""
     c = _c(col)
-    return (
-        F.regexp_count(c, F.lit(EMAIL_RE)) + F.regexp_count(c, F.lit(PHONE_RE))
-    ).cast("int")
+    return F.regexp_count(c, F.lit(f"{EMAIL_RE}|{PHONE_RE}")).cast("int")
 
 
 def scrub_pii(col: Column | str) -> Column:

@@ -306,8 +306,9 @@ ORACLE = {
             FROM documents
         )
         SELECT doc_id,
-               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                  + len(regexp_extract_all(t, '\+\d-\d{3}-\d{4}')) AS INTEGER) AS n_pii,
+               CAST(len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\+\d-\d{3}-\d{4}'))
+                 AS INTEGER) AS n_pii,
                regexp_replace(
                    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                                   '<EMAIL>', 'g'),
