@@ -455,6 +455,45 @@ def q31_per_group_topk(spark, sf_dir):
     )
 
 
+def q_sql_region_revenue(spark, sf_dir):
+    """The SQL entry point: the engine's other front door. Registered
+    temp views + ANSI SQL produce the same Catalyst logical plan the
+    DataFrame API builds — one optimizer, two dialects. (Every other
+    declared query exercises the DataFrame path; this one proves a
+    reference user can bring plain SQL unchanged.)"""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+def q_upsert_latest(spark, sf_dir):
+    """Merge-by-key (the reference's newest-file-wins overwrite,
+    generate_narratives_from_data.py:63-72, made relational): split events
+    into a base and an updates stream on event-id parity, upsert, and keep
+    the winning row per user — highest ts, then highest event_id."""
+    from biodata_pipeline_spark.functions.timefn import ntz_epoch_ms
+    from biodata_pipeline_spark.operators.upsert import upsert
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    base = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    updates = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    merged = upsert(base, updates, ["user_id"], "ts", "event_id")
+    return merged.select(
+        "user_id", "event_id", ntz_epoch_ms(F.col("ts")).alias("ts_ms"), "value"
+    )
+
+
 # --- Q32-Q34: set operations ---------------------------------------------------
 
 
@@ -536,6 +575,8 @@ SPARK = {
     "q30_orderby_limit_topk": q30_orderby_limit_topk,
     "q31_per_group_topk": q31_per_group_topk,
     "q31b_collect_ordered": q31b_collect_ordered,
+    "q_sql_region_revenue": q_sql_region_revenue,
+    "q_upsert_latest": q_upsert_latest,
     "q32_union_all": q32_union_all,
     "q33_except_difference": q33_except_difference,
     "q34_intersect": q34_intersect,
@@ -735,6 +776,23 @@ ORACLE = {
                  AS priorities,
                count(*) AS n_orders
         FROM orders GROUP BY o_custkey
+    """,
+    "q_sql_region_revenue": """
+        SELECT r_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_upsert_latest": """
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
     """,
     "q32_union_all": """
         SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'

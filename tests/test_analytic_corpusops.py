@@ -174,3 +174,23 @@ def test_stats_corr_close_to_native(spark, sf_dir):
     for k, r in out.items():
         assert abs(r.corr_price_discount - native[k].c) < 1e-6
         assert abs(r.stddev_price - native[k].s) < 0.01
+
+
+def test_upsert_merge_semantics(spark):
+    from biodata_pipeline_spark.operators.upsert import upsert
+
+    existing = spark.createDataFrame(
+        [(1, 10, "old-a"), (2, 20, "old-b")], ["key", "version", "val"]
+    )
+    updates = spark.createDataFrame(
+        [(2, 30, "new-b"), (2, 15, "stale-b"), (3, 5, "new-c")],
+        ["key", "version", "val"],
+    )
+    out = {
+        r.key: r
+        for r in upsert(existing, updates, ["key"], "version", "val").collect()
+    }
+    assert out[1].val == "old-a"      # untouched key survives
+    assert out[2].val == "new-b"      # highest version wins (stale ignored)
+    assert out[3].val == "new-c"      # new key inserts
+    assert len(out) == 3
