@@ -194,3 +194,16 @@ def test_upsert_merge_semantics(spark):
     assert out[2].val == "new-b"      # highest version wins (stale ignored)
     assert out[3].val == "new-c"      # new key inserts
     assert len(out) == 3
+
+
+def test_sql_entry_point_broadcasts_dims(spark, sf_dir):
+    df = SPARK_QUERIES["q_sql_region_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsert_is_single_key_shuffle(spark, sf_dir):
+    df = SPARK_QUERIES["q_upsert_latest"](spark, sf_dir)
+    # union + window: both sides flow into ONE hash partitioning on the key
+    assert count_shuffles(df) == 1
