@@ -31,6 +31,7 @@ from biodata_pipeline_spark.operators.clusters import (
 from biodata_pipeline_spark.operators.layout import length_batched
 from biodata_pipeline_spark.operators.skew import salted_agg, salted_join
 from biodata_pipeline_spark.operators.similarity import ivf_ann
+from biodata_pipeline_spark.operators.upsert import latest_by_key, upsert
 from biodata_pipeline_spark.operators.retrieval import retrieve_top_k_auto
 from biodata_pipeline_spark.operators.dedup import SignatureStore, collapse_exact
 from biodata_pipeline_spark.operators.enrichment import enrich_with_external_calls
@@ -59,6 +60,8 @@ __all__ = [
     "retrieval_rank_metrics",
     "similarity_join",
     "similarity_join_vectorized",
+    "latest_by_key",
+    "upsert",
     "lsh_similarity_join",
     "exact_dedup",
     "minhash_lsh_dup_pairs",

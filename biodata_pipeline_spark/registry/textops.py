@@ -145,6 +145,18 @@ def q_word_freq_topk(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing per language: token offsets and 512-token sequence
+    ids over the doc_id-ordered layout (operators/packing.py — the LLM
+    data-loader "concat and chop" prep, grouped like the reference's
+    per-domain training files)."""
+    from biodata_pipeline_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", textfn.token_count("text").alias("n_tokens"))
+    return pack_sequences(toked, "n_tokens", budget=512, group_cols=("lang",))
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -195,6 +207,7 @@ SPARK = {
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
+    "q_pack_sequences": q_pack_sequences,
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
@@ -321,6 +334,20 @@ ORACLE = {
         GROUP BY word
         ORDER BY n DESC, word ASC
         LIMIT 30
+    """,
+    "q_pack_sequences": f"""
+        WITH toked AS (
+            SELECT doc_id, lang, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS token_offset,
+               CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+                 AS seq_id
+        FROM toked
     """,
     "q_ngram_jaccard_dedup": f"""
         WITH toks AS (

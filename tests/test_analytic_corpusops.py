@@ -207,3 +207,20 @@ def test_upsert_is_single_key_shuffle(spark, sf_dir):
     df = SPARK_QUERIES["q_upsert_latest"](spark, sf_dir)
     # union + window: both sides flow into ONE hash partitioning on the key
     assert count_shuffles(df) == 1
+
+
+def test_pack_sequences_offsets_and_budget(spark):
+    from biodata_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "en", 300), (1, "en", 300), (2, "en", 300), (3, "de", 600)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(df, "n_tokens", 512, ("lang",)).collect()
+    }
+    assert out[0].token_offset == 0 and out[0].seq_id == 0
+    assert out[1].token_offset == 300 and out[1].seq_id == 0   # straddles 512
+    assert out[2].token_offset == 600 and out[2].seq_id == 1
+    assert out[3].token_offset == 0 and out[3].seq_id == 0     # separate group
