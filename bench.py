@@ -59,21 +59,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
-    # Warm-up: run every headline query once at the smallest SF so the timed
-    # runs measure steady-state execution (whole-stage codegen classes are
-    # compiled per expression shape; first execution is dominated by JIT,
-    # which a long-running cluster amortizes away).
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                run_one(spark, name, warm_dir)
-            except Exception:
-                pass
+    # Warm-up: run every headline query once at the TARGET SF so the timed
+    # runs measure steady-state execution. Warming at a smaller SF is not
+    # enough: AQE picks different plan shapes per input size, so the
+    # target-SF codegen classes can still JIT-compile inside the timed run
+    # (observed: q26 at 12-15 s cold vs 3.5 s steady-state).
+    for name in HEADLINE:
+        try:
+            run_one(spark, name, sf_dir)
+        except Exception:
+            pass
     spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_one(spark, name, sf_dir), 3)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
