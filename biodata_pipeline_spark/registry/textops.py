@@ -157,6 +157,41 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(toked, "n_tokens", budget=512, group_cols=("lang",))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF feature extraction: top-3 terms per document by
+    tf·ln(N/df), ties broken alphabetically. Two hash aggregates (term
+    frequency per doc, document frequency per term) and one broadcast
+    join of the term-level idf table — the df table is vocabulary-sized,
+    so the corpus shuffles once at 100 TB. ln() agrees bit-for-bit
+    between engines on the same libm; scores are rounded to 6 dp anyway
+    so a sub-ulp divergence cannot flip the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-cheap on parquet
+    words = docs.select(
+        "doc_id", F.explode(textfn.tokens("text")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rn")
+    )
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -208,6 +243,7 @@ SPARK = {
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
     "q_pack_sequences": q_pack_sequences,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
@@ -348,6 +384,30 @@ ORACLE = {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
                  AS seq_id
         FROM toked
+    """,
+    "q_tfidf_top_terms": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+        ),
+        idf AS (
+            SELECT word, count(*) AS df FROM tf GROUP BY word
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, word, tf,
+                   round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6)
+                     AS tfidf
+            FROM tf JOIN idf USING (word)
+        )
+        SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf,
+               CAST(rn AS INTEGER) AS rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, word ASC) AS rn
+              FROM scored)
+        WHERE rn <= 3
     """,
     "q_ngram_jaccard_dedup": f"""
         WITH toks AS (
