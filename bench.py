@@ -55,6 +55,31 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def prev_bench() -> tuple[int, dict[str, float]] | None:
+    """Latest recorded BENCH_r{N}.json (round number, per-query secs) —
+    the anchor for the shared-key subtotal, so round-over-round totals
+    compare the SAME query set even as HEADLINE grows."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+                # the driver wraps bench.py's JSON line under "parsed"
+                queries = doc.get("parsed", doc).get("queries", {})
+                best = (rnd, queries)
+            except (OSError, json.JSONDecodeError, AttributeError):
+                continue
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -75,17 +100,24 @@ def main() -> None:
         timings[name] = round(run_one(spark, name, sf_dir), 3)
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = prev_bench()
+    if prev is not None:
+        rnd, prev_queries = prev
+        shared = sorted(set(timings) & set(prev_queries))
+        payload["shared_with_prev"] = {
+            "prev_round": rnd,
+            "n_shared": len(shared),
+            "this_total": round(sum(timings[k] for k in shared), 3),
+            "prev_total": round(sum(prev_queries[k] for k in shared), 3),
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -463,17 +463,28 @@ class SignatureStore:
         threshold: float,
         id_col: str = "doc_id",
         text_col: str = "text",
+        batch_id: str | None = None,
     ) -> DataFrame:
         """Near-dup pairs of the NEW docs against (stored ∪ new), then the
         new state is appended. Returns (id_new, id_old, jaccard) — id_old
-        may itself be from this batch. Idempotent per unique doc id is the
-        caller's concern (pair with a Manifest on id)."""
+        may itself be from this batch.
+
+        Pass ``batch_id`` to make the state append IDEMPOTENT per batch:
+        each batch's rows land in their own ``batch_id=`` partition via
+        dynamic partition overwrite, so a retried batch overwrites its own
+        partition instead of appending a second copy (the at-least-once →
+        exactly-once-effect trick from the streaming sinks, applied to
+        dedup state). Without a batch_id each call appends — idempotence
+        is then the caller's concern (pair with a Manifest on id)."""
         spark = new_docs.sparkSession
         shingles, bands = self._state_for(new_docs, id_col, text_col)
         shingles, bands = shingles.persist(), bands.persist()
         try:
-            old_bands = spark.read.parquet(self._bands_path())
-            old_shingles = spark.read.parquet(self._shingles_path())
+            # drop("batch_id") is a no-op for stores written pre-batching
+            old_bands = spark.read.parquet(self._bands_path()).drop("batch_id")
+            old_shingles = spark.read.parquet(self._shingles_path()).drop(
+                "batch_id"
+            )
             all_bands = old_bands.unionByName(bands)
             all_shingles = old_shingles.unionByName(shingles)
         except AnalysisException as e:
@@ -510,9 +521,30 @@ class SignatureStore:
             .select("id_new", "id_old", "jaccard")
         )
         result = out.localCheckpoint()  # materialize BEFORE mutating the store
-        bands.write.mode("append").parquet(self._bands_path())
-        shingles.write.mode("append").parquet(self._shingles_path())
+        if batch_id is None:
+            bands.write.mode("append").parquet(self._bands_path())
+            shingles.write.mode("append").parquet(self._shingles_path())
+        else:
+            self._write_batch(spark, bands, self._bands_path(), batch_id)
+            self._write_batch(spark, shingles, self._shingles_path(), batch_id)
         return result
+
+    @staticmethod
+    def _write_batch(spark, df: DataFrame, path: str, batch_id: str) -> None:
+        """Overwrite exactly this batch's partition (dynamic mode scopes the
+        overwrite to partitions present in the written data — one batch)."""
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prior = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(mode_key, prior)
 
 
 def embedding_dedup_survivors(

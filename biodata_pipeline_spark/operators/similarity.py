@@ -268,11 +268,20 @@ def ivf_ann(
     )
 
 
+# Ceiling for the vectorized kernel's driver-side matrix: 1M × 64 float64
+# ≈ 0.5 GB broadcast, the documented bound below which collect-and-
+# broadcast beats a shuffled pair join. Above it the caller is directed to
+# the LSH path instead of silently OOMing the driver.
+VECTORIZED_MAX_VECTORS = 1_000_000
+
+
 def similarity_join_vectorized(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_vectors: int = VECTORIZED_MAX_VECTORS,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Exact pairwise cosine join, Arrow/numpy-scored.
 
@@ -285,15 +294,31 @@ def similarity_join_vectorized(
     JVM-side (numpy rounds half-to-even, Spark half-up; the kernel emits
     raw sims with a safety margin instead of deciding the boundary).
 
-    The right side is materialized to a broadcast matrix — bounded-exact
-    path by the same contract as the O(n²) HOF variant (fine to ~1M×64
-    = 0.5 GB broadcast); the unbounded scale path stays
-    ``lsh_similarity_join``. Measured ~9x over the HOF pair join at
-    2000×64 (8.9 s → <1 s at sf0.1 headline).
+    The right side is materialized to a broadcast matrix — a bounded-exact
+    path, and the bound is ENFORCED here, not just documented: a cheap
+    ``count()`` gates the collect, and an over-bound input either raises
+    (default) or falls back to ``lsh_similarity_join`` when
+    ``on_overflow='lsh'`` — mirroring ``retrieve_top_k_auto``'s
+    size-driven strategy switch. Within the bound (~1M×64 = 0.5 GB
+    broadcast) this is measured ~9x over the HOF pair join at 2000×64
+    (8.9 s → <1 s at sf0.1 headline); the unbounded scale path stays
+    ``lsh_similarity_join`` (recall < 1).
     """
     import numpy as np
     import pandas as pd
 
+    n_vec = df.count()
+    if n_vec > max_vectors:
+        if on_overflow == "lsh":
+            return lsh_similarity_join(
+                df, threshold, id_col=id_col, emb_col=emb_col
+            )
+        raise ValueError(
+            f"similarity_join_vectorized collects the embedding table to "
+            f"the driver and is bounded to {max_vectors} vectors; got "
+            f"{n_vec}. Use lsh_similarity_join for unbounded inputs (or "
+            f"pass on_overflow='lsh' to switch automatically)."
+        )
     rows = df.select(id_col, emb_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -166,19 +166,29 @@ def q_tfidf_top_terms(spark, sf_dir):
     between engines on the same libm; scores are rounded to 6 dp anyway
     so a sub-ulp divergence cannot flip the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # metadata-cheap on parquet
+    # N enters the plan as a broadcast 1-row aggregate (the oracle's scalar
+    # subquery), not an eager count() — building the query plans a job-free
+    # tree (plan audits / bench declaration triggered a full count per call).
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     words = docs.select(
         "doc_id", F.explode(textfn.tokens("text")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # tf feeds two consumers (the scored stream and the df derivation);
+    # persisted so the documents scan + explode + (doc_id, word) exchange
+    # run once — without it Catalyst evaluates the whole subtree twice.
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 
@@ -250,7 +260,14 @@ SPARK = {
     "q_hash_sample": q_hash_sample,
 }
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+# Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
+# whitespace-only text, but DuckDB's string_split_regex(trim(''), '\s+')
+# returns [''] — one spurious empty-string token (highest possible idf).
+# The CASE keeps both engines agreeing if empty documents enter the corpus.
+_TOKS = (
+    r"CASE WHEN trim(text) = '' THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
 
 ORACLE = {
     "q_chunk_documents": """

@@ -152,6 +152,29 @@ def test_vectorized_similarity_join_bit_parity(spark, sf_dir):
     assert hof == vec and len(hof) > 0
 
 
+def test_vectorized_similarity_join_enforces_bound(spark, sf_dir):
+    """An over-bound frame must never reach the driver collect: the
+    default raises naming the bound; on_overflow='lsh' switches to the
+    banded equi-join plan instead."""
+    import pytest
+
+    from biodata_pipeline_spark.operators.similarity import (
+        similarity_join_vectorized,
+    )
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    with pytest.raises(ValueError, match="bounded to 10 vectors"):
+        similarity_join_vectorized(emb, 0.25, max_vectors=10)
+    fallback = similarity_join_vectorized(
+        emb, 0.25, max_vectors=10, on_overflow="lsh"
+    )
+    # the fallback is the LSH plan: a real equi-join, no MapInPandas kernel
+    plan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert fallback.count() >= 0
+
+
 def test_stats_corr_close_to_native(spark, sf_dir):
     """The decimal-grid formulation must agree with the native estimators
     to float tolerance (it differs only in accumulation exactness)."""

@@ -178,3 +178,44 @@ def test_hash_sampling_and_split(spark, sf_dir):
     sub_train, _ = train_test_split(subset, "doc_id", 0.2)
     full_train_ids = {r.doc_id for r in train.select("doc_id").collect()}
     assert {r.doc_id for r in sub_train.select("doc_id").collect()} <= full_train_ids
+
+
+def test_signature_store_batch_id_readmit_is_idempotent(spark, tmp_path):
+    """A retried batch (same batch_id) must leave the store byte-identical:
+    its rows overwrite their own batch_id= partition instead of appending a
+    second copy — and the returned pairs are the same."""
+    from biodata_pipeline_spark.operators.dedup import SignatureStore
+
+    store = SignatureStore(str(tmp_path / "sigstore"))
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today!"),
+        ],
+        ["doc_id", "text"],
+    )
+    first = store.admit(batch, threshold=0.5, batch_id="b1")
+    pairs1 = {(r.id_new, r.id_old) for r in first.collect()}
+    assert pairs1 == {(2, 1)}
+
+    def state():
+        bands = spark.read.parquet(f"{store.path}/bands")
+        shingles = spark.read.parquet(f"{store.path}/shingles")
+        return (
+            sorted(map(tuple, bands.drop("batch_id").collect())),
+            sorted((r.id, tuple(r.hs)) for r in shingles.collect()),
+        )
+
+    before = state()
+    retried = store.admit(batch, threshold=0.5, batch_id="b1")  # the retry
+    assert {(r.id_new, r.id_old) for r in retried.collect()} == pairs1
+    assert state() == before  # no double-append
+
+    # a NEW batch id still accumulates
+    batch2 = spark.createDataFrame(
+        [(7, "some fresh unrelated words in this one")], ["doc_id", "text"]
+    )
+    store.admit(batch2, threshold=0.5, batch_id="b2")
+    assert spark.read.parquet(f"{store.path}/bands").select(
+        "id"
+    ).distinct().count() == 3

@@ -119,3 +119,31 @@ def test_analysis_functions_survive_degenerate_text(spark):
     assert by_id[4].lang == "zh"
     assert all(0.0 <= r.q <= 1.0 for r in out)
     assert len({r.fp for r in out}) == 4  # empty and whitespace normalize equal
+
+
+def test_oracle_tokenizer_parity_on_empty_docs(spark):
+    """The DuckDB oracle's _TOKS guard must agree with Spark's tokens()
+    on empty / whitespace-only text (unguarded string_split_regex returns
+    [''] — a spurious token the testdata can never catch because it ships
+    no empty documents)."""
+    import duckdb
+
+    from biodata_pipeline_spark.functions import textfn
+    from biodata_pipeline_spark.registry.textops import _TOKS
+
+    texts = ["", "   ", "a b", " one  two "]
+    spark_counts = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in texts], ["text"])
+        .select(F.size(textfn.tokens("text")))
+        .collect()
+    ]
+    con = duckdb.connect()
+    values = ", ".join(f"('{t}')" for t in texts)
+    duck_counts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT len({_TOKS}) FROM (VALUES {values}) AS v(text)"
+        ).fetchall()
+    ]
+    assert spark_counts == duck_counts == [0, 0, 2, 2]
