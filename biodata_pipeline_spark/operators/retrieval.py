@@ -140,27 +140,30 @@ def retrieval_rank_metrics(
     derive from integer rank sums (exact in float64), so values are
     bit-identical across engines with no rounding needed.
 
-    Scale design — **no per-query global window**. A matched chunk's rank in
-    the (sim DESC, chunk_id ASC) total order is just ``1 + #chunks ordered
-    above it``, so the metrics reduce to counting, never to materializing a
-    ranking:
+    Scale design — **no per-query global window, and the scored stream is
+    never shuffled whole**. A matched chunk's rank in the (sim DESC,
+    chunk_id ASC) total order is ``1 + #chunks ordered above it``; split
+    that count at the boundary of ``SIM_BUCKETS`` coarse sim buckets:
 
     1. score map-side (broadcast queries; the corpus never shuffles here);
-    2. one shuffle on ``(query, sim)``: tie position within each equal-sim
-       group (``row_number`` over tie groups — thousands of small
-       partitions, not |Q| giant ones);
-    3. per-(query, sim) counts roll up through ``SIM_BUCKETS`` coarse sim
-       buckets; a running sum over the per-bucket totals (≤ |Q|×1024 rows)
-       gives ``#chunks above`` any sim without any task ever holding one
-       query's full corpus order;
-    4. ``rank = above_buckets + above_in_bucket + tie_pos + 1`` for matched
-       rows only, then a plain groupBy.
+    2. ``#chunks in strictly-higher buckets``: a per-(query, bucket)
+       count with map-side partial aggregation — only |Q|×1024 total
+       rows enter the shuffle, then a running sum per query;
+    3. ``position within its own bucket``: ``row_number`` over
+       (query, bucket) — but only for buckets that CONTAIN a match. The
+       distinct (query, bucket) match set is ≤ |Q|×SIM_BUCKETS rows *by
+       construction*, so it is always broadcastable, and the windowed
+       subset is only those buckets' rows (worst case — every bucket
+       matched — degrades to one full-stream shuffle, i.e. never worse
+       than ranking everything);
+    4. ``rank = above_buckets + row_number`` for matched rows, then a
+       plain groupBy.
 
-    The scored stream is persisted once (it feeds both the match filter and
-    the sim histogram) — one materialization instead of re-scoring the
-    |Q|×|C| cross product per consumer. Degenerate corpora where most sims
-    collide into one tie group would re-concentrate the shuffle; with
-    9-dp-rounded real embeddings tie groups stay tiny.
+    The scored stream is persisted once (three consumers: bucket totals,
+    matched-bucket set, within-bucket ranking). Degenerate sim
+    distributions where one bucket holds most of a query's corpus would
+    re-concentrate that bucket's window partition; with 9-dp-rounded real
+    embeddings the 1024 buckets stay balanced.
     """
     n_chunks = chunks.select(
         F.count("*").cast("long").alias("__n_chunks")
@@ -171,63 +174,48 @@ def retrieval_rank_metrics(
     q = _with_norm(
         queries.select(query_id, pattern_col, query_emb), query_emb, "__nq"
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        F.col(query_id),
-        F.col(chunk_id),
-        F.round(
-            dot(F.col(query_emb), F.col(chunk_emb)) / (F.col("__nq") * F.col("__nc")),
-            SIM_ROUND,
-        ).alias("sim"),
-        F.regexp_like(F.col(chunk_text), F.col(pattern_col)).alias("__is_match"),
-    )
-    w_tie = Window.partitionBy(query_id, "sim").orderBy(F.col(chunk_id).asc())
-    w_grp = Window.partitionBy(query_id, "sim")
-    pos = (
-        scored.withColumn("__tie_pos", F.row_number().over(w_tie) - 1)
-        .withColumn("__grp_cnt", F.count("*").over(w_grp))
+    bucket = F.least(
+        F.greatest(F.floor((F.col("sim") + 1) * (SIM_BUCKETS / 2)), F.lit(0)),
+        F.lit(SIM_BUCKETS - 1),
+    ).cast("int")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            F.col(query_id),
+            F.col(chunk_id),
+            F.round(
+                dot(F.col(query_emb), F.col(chunk_emb))
+                / (F.col("__nq") * F.col("__nc")),
+                SIM_ROUND,
+            ).alias("sim"),
+            F.regexp_like(F.col(chunk_text), F.col(pattern_col)).alias(
+                "__is_match"
+            ),
+        )
+        .withColumn("__bucket", bucket)
         .persist()
     )
-    # One representative row per (query, sim) = the sim histogram; derived
-    # from the persisted stream, so no re-scoring.
-    rep = pos.filter(F.col("__tie_pos") == 0).select(
-        query_id,
-        "sim",
-        F.col("__grp_cnt").alias("__cnt"),
-        F.least(
-            F.greatest(F.floor((F.col("sim") + 1) * (SIM_BUCKETS / 2)), F.lit(0)),
-            F.lit(SIM_BUCKETS - 1),
-        )
-        .cast("int")
-        .alias("__bucket"),
-    )
-    w_in_bucket = (
-        Window.partitionBy(query_id, "__bucket")
-        .orderBy(F.col("sim").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rep = rep.withColumn(
-        "__above_in_b", F.coalesce(F.sum("__cnt").over(w_in_bucket), F.lit(0))
-    )
-    btot = rep.groupBy(query_id, "__bucket").agg(F.sum("__cnt").alias("__bcnt"))
-    w_buckets = (
+    btot = scored.groupBy(query_id, "__bucket").agg(F.count("*").alias("__bcnt"))
+    w_above = (
         Window.partitionBy(query_id)
         .orderBy(F.col("__bucket").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     btot = btot.withColumn(
-        "__above_b", F.coalesce(F.sum("__bcnt").over(w_buckets), F.lit(0))
+        "__above", F.coalesce(F.sum("__bcnt").over(w_above), F.lit(0))
     ).drop("__bcnt")
-    above = rep.join(F.broadcast(btot), [query_id, "__bucket"]).select(
-        query_id,
-        "sim",
-        (F.col("__above_b") + F.col("__above_in_b")).alias("__above"),
+    match_buckets = (
+        scored.filter(F.col("__is_match")).select(query_id, "__bucket").distinct()
+    )
+    in_matched = scored.join(F.broadcast(match_buckets), [query_id, "__bucket"])
+    w_in = Window.partitionBy(query_id, "__bucket").orderBy(
+        F.col("sim").desc(), F.col(chunk_id).asc()
     )
     matched = (
-        pos.filter(F.col("__is_match"))
-        .join(above, [query_id, "sim"])
-        .withColumn(
-            "rank", (F.col("__above") + F.col("__tie_pos") + 1).cast("long")
-        )
+        in_matched.withColumn("__rn", F.row_number().over(w_in))
+        .filter(F.col("__is_match"))
+        .join(F.broadcast(btot), [query_id, "__bucket"])
+        .withColumn("rank", (F.col("__above") + F.col("__rn")).cast("long"))
     )
     per_query = matched.groupBy(query_id).agg(
         F.count("*").alias("n_matches"),
