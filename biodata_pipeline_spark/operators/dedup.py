@@ -302,7 +302,7 @@ def simhash64_from(hashed_col) -> F.Column:
     measured 4× slower), then the votes fold into a long. Vote masks are
     distinct powers of two so their ANSI-mode sum cannot overflow."""
     hashed = F.col(hashed_col) if isinstance(hashed_col, str) else hashed_col
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    masks = F.lit(_BIT_MASKS)  # one nested-literal py4j call; array<long>
     votes = F.aggregate(
         hashed,
         F.array_repeat(F.lit(0), 63),

@@ -79,12 +79,28 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     ]
 
 
+def matrix_literal(mat) -> F.Column:
+    """Nested double-array literal built by ONE SQL parse. Element-wise
+    ``F.lit`` construction costs ~1.2s of driver time per 16×64 build
+    (1024 py4j round-trips) and even a single nested ``F.lit`` ~0.7s
+    (row-by-row conversion); the SQL parser does it in ~4ms. ``repr``
+    round-trips float64 exactly and the ``D`` suffix forces DOUBLE, so
+    the resulting literal is bit-identical to the F.lit form (asserted
+    in tests)."""
+    body = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+        for row in mat
+    )
+    return F.expr(f"array({body})")
+
+
 def lsh_signature(emb, planes: list[list[float]]):
     """Bit per hyperplane: sign of <emb, plane> (random-projection LSH).
-    The plane matrix is a single foldable array-of-arrays (constant-folded
-    to one literal), scored with one ``transform`` pass."""
-    pmat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
-    return F.transform(pmat, lambda p: (dot(emb, p) >= 0).cast("int"))
+    The plane matrix is one parsed literal, scored with one ``transform``
+    pass."""
+    return F.transform(
+        matrix_literal(planes), lambda p: (dot(emb, p) >= 0).cast("int")
+    )
 
 
 def lsh_similarity_join(
@@ -229,12 +245,12 @@ def ivf_ann(
         centroids.append([x / nrm for x in raw])
 
     def best_cells(emb, n: int):
-        # The centroid matrix is one foldable array-of-arrays expression —
-        # ConstantFolding collapses it to a single literal at plan time, so
-        # scoring is one `transform` over it per row (vs. n_cells separate
-        # inlined literal-array expressions, which bloat codegen).
-        cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-        idx = F.array(*[F.lit(i) for i in range(n_cells)])
+        # One parsed literal for the centroid matrix (see matrix_literal:
+        # ~4ms vs ~1s driver time), so scoring is one `transform` over it
+        # per row (vs. n_cells separate inlined literal-array expressions
+        # that bloat codegen).
+        cmat = matrix_literal(centroids)
+        idx = F.lit(list(range(n_cells)))
         sims = F.transform(cmat, lambda c: F.round(dot(emb, c), SIM_ROUND))
         zipped = F.zip_with(
             sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))

@@ -247,3 +247,17 @@ def test_pack_sequences_offsets_and_budget(spark):
     assert out[1].token_offset == 300 and out[1].seq_id == 0   # straddles 512
     assert out[2].token_offset == 600 and out[2].seq_id == 1
     assert out[3].token_offset == 0 and out[3].seq_id == 0     # separate group
+
+
+def test_matrix_literal_bit_identical_to_flit(spark):
+    """The SQL-parsed plane/centroid matrix must be bit-identical to the
+    py4j F.lit conversion it replaces (repr round-trips float64 exactly)."""
+    import math
+
+    from biodata_pipeline_spark.operators.similarity import matrix_literal
+
+    mat = [[math.sin(s * 7919 + i * 104729) for i in range(8)] for s in range(3)]
+    row = spark.range(1).select(
+        matrix_literal(mat).alias("a"), F.lit(mat).alias("b")
+    ).collect()[0]
+    assert row.a == row.b
