@@ -82,6 +82,8 @@ _DRIVER_WINDOW = [
     "q_pii_scrub",
     "q_word_freq_topk",
     "q_tfidf_top_terms",
+    "q_contamination_check",
+    "q_vocab_oov_rate",
     "q_pack_sequences",
     "q_cube_pricing",
     "q_grouping_sets_revenue",
@@ -94,8 +96,8 @@ _DRIVER_WINDOW = [
     "q_media_inventory",
     "q_media_frame_sample",
     # -- block 2: family representatives (driver-green in r01/r02) -------
-    "q01_text_scan_blank_filter",
-    "q05_suffix_marker_predicate",
+    # (q01/q05 rotated out for the round-3 additions: both trivial scans,
+    # green twice, still covered by the local gate)
     "q07_word_boundary_match",
     "q09_exact_dedup",
     "q10_broadcast_dim_join",

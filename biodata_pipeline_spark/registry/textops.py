@@ -202,6 +202,73 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+CONTAM_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" slice
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination detection: for every training document,
+    count the distinct 3-token shingles it shares with a held-out
+    benchmark slice (the train/test-overlap audit every LLM data pipeline
+    runs before training; emits contaminated docs only).
+
+    Plan shape: the benchmark shingle set is DISTINCT shingles of a small
+    doc slice → broadcast; the corpus side is a map-side explode +
+    broadcast semi-join + one partial-agg groupBy on doc_id. The corpus
+    never joins itself — at 100 TB the only shuffle is the per-doc count
+    rollup."""
+    from biodata_pipeline_spark.operators.dedup import _exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    bench_sh = _exploded_shingles(bench, "doc_id", "text", 3).select("sh").distinct()
+    corpus_sh = _exploded_shingles(corpus, "doc_id", "text", 3)
+    # shingle arrays are distinct per doc, so count(*) = distinct overlap
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+VOCAB_K = 1000
+
+
+def q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the top-1000 corpus vocabulary
+    (count DESC, word ASC — deterministic at the cut), then score every
+    document's out-of-vocabulary token ratio. The vocab is bounded →
+    broadcast; the corpus explodes map-side and aggregates per doc_id with
+    partial aggregation, so the only full shuffle is on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(VOCAB_K)
+        .select("word")
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab.withColumn("__in_v", F.lit(1))), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.round(
+            F.coalesce("n_oov", F.lit(0))
+            / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -254,6 +321,8 @@ SPARK = {
     "q_word_freq_topk": q_word_freq_topk,
     "q_pack_sequences": q_pack_sequences,
     "q_tfidf_top_terms": q_tfidf_top_terms,
+    "q_contamination_check": q_contamination_check,
+    "q_vocab_oov_rate": q_vocab_oov_rate,
     "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
@@ -425,6 +494,46 @@ ORACLE = {
                                            ORDER BY tfidf DESC, word ASC) AS rn
               FROM scored)
         WHERE rn <= 3
+    """,
+    "q_contamination_check": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= 3 AND i <= len(t) - 2
+        ),
+        bench AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+        )
+        SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+        FROM sh JOIN bench USING (s)
+        WHERE sh.doc_id % {CONTAM_MOD} <> 0
+        GROUP BY sh.doc_id
+    """,
+    "q_vocab_oov_rate": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, count(*) AS n FROM words GROUP BY word
+                ORDER BY n DESC, word ASC LIMIT {VOCAB_K}
+            )
+        ),
+        per_doc AS (
+            SELECT w.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM words w LEFT JOIN vocab v USING (word)
+            GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               round(coalesce(p.n_oov, 0) / greatest(coalesce(p.n_tokens, 0), 1), 4)
+                 AS oov_rate
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
     "q_ngram_jaccard_dedup": f"""
         WITH toks AS (
