@@ -194,14 +194,53 @@ def minhash_signature_from(hashes_col, num_hashes: int = 32) -> F.Column:
 
     Takes a *column reference*, not the shingling expression — inlining
     ``token_shingles`` here would make Catalyst recompute the shingling
-    ``num_hashes`` times per row (measured 40× slowdown)."""
-    hs = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
-    return F.array(
-        *[
-            F.array_min(F.transform(hs, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+    ``num_hashes`` times per row (measured 40× slowdown).
+
+    A string column name takes the SQL-parse path: the 32-lane expression
+    is one ``F.expr`` call instead of ~64 py4j round-trips (~0.5s of
+    driver time per query build; resolves to the identical expression
+    tree)."""
+    if isinstance(hashes_col, str):
+        # bare {i}: INT literal, matching F.lit(int)'s IntegerType —
+        # xxhash64 is type-sensitive, so an L suffix would change every
+        # signature (asserted in tests against the column build)
+        lanes = ",".join(
+            f"array_min(transform({hashes_col}, h -> xxhash64(h, {i})))"
             for i in range(num_hashes)
-        ]
+        )
+        return F.expr(f"array({lanes})")
+    hs = hashes_col
+
+    def lane(i: int) -> F.Column:
+        # closure over i via a factory, NOT a defaulted second lambda
+        # parameter: F.transform treats a two-parameter lambda as
+        # (element, index) and silently shadows the default — which made
+        # every lane hash with the array position instead of the lane
+        # seed (the round-2 bug this replaced: all 32 lanes identical,
+        # collapsing banding to single-hash MinHash)
+        return F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(i))))
+
+    return F.array(*[lane(i) for i in range(num_hashes)])
+
+
+def band_buckets_expr(sig_col: str, n_bands: int, rows_per_band: int) -> F.Column:
+    """``array<long>`` of LSH band buckets: bucket b hashes its slice of
+    the signature with the band index as the leading xxhash64 argument.
+    One SQL parse (the F.xxhash64/F.element_at build costs ~n_bands×r
+    py4j round-trips)."""
+    arrays = ",".join(
+        "xxhash64("
+        + ",".join(
+            [str(b)]  # bare INT literal = F.lit(int)'s type (xxhash64 is type-sensitive)
+            + [
+                f"element_at({sig_col}, {b * rows_per_band + j + 1})"
+                for j in range(rows_per_band)
+            ]
+        )
+        + ")"
+        for b in range(n_bands)
     )
+    return F.expr(f"array({arrays})")
 
 
 def minhash_signature(text_col, n: int = 3, num_hashes: int = 32) -> F.Column:
@@ -249,17 +288,7 @@ def minhash_lsh_dup_pairs(
     # rejoin after candidate dedup, so they are shuffled once, not n_bands×.
     bands = sig.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.element_at("sig", b * r + j + 1) for j in range(r)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets_expr("sig", n_bands, r)).alias("band", "bucket"),
     )
     bands = prune_mega_buckets(bands, max_bucket)
     cands = (
@@ -443,17 +472,9 @@ class SignatureStore:
         sig = base.withColumn("sig", minhash_signature_from("hs", self.num_hashes))
         bands = sig.select(
             "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.element_at("sig", b * r + j + 1) for j in range(r)],
-                        )
-                        for b in range(self.n_bands)
-                    ]
-                )
-            ).alias("band", "bucket"),
+            F.posexplode(band_buckets_expr("sig", self.n_bands, r)).alias(
+                "band", "bucket"
+            ),
         )
         return base.select("id", "hs"), bands
 

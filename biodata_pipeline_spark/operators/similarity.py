@@ -149,22 +149,13 @@ def lsh_similarity_join(
     ).persist()
     # Only (id, band, bucket) enters the self-join shuffle — embeddings
     # rejoin after candidate-pair dedup, so they move once, not n_bands×.
+    from biodata_pipeline_spark.operators.dedup import band_buckets_expr
+
     bands = base.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets_expr("sig", n_bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
     )
     candidates = (
         bands.alias("a")

@@ -26,6 +26,15 @@ TABLES = (
 # Small dimension tables that should always be broadcast in joins.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
+# (application id, sf_dir, name) -> DataFrame. DataFrames are immutable
+# plans, so handing the same object to every query built in a session is
+# safe — and saves the ~90ms py4j/footer round-trip spark.read.parquet
+# costs per call (bench builds dozens of queries, each loading 1-4
+# tables). Keyed on the Spark application id, so a fresh JVM can never be
+# served another JVM's plans; a dead session fails loudly on the
+# applicationId access instead of returning a stale frame.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from an ``sf_dir`` (e.g. /root/testdata/sf0.01).
@@ -35,6 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a microsecond timestamp by truncation — the same ns→µs truncation
     DuckDB applies, so the two engines agree to the microsecond.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import types as T
 

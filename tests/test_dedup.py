@@ -219,3 +219,37 @@ def test_signature_store_batch_id_readmit_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{store.path}/bands").select(
         "id"
     ).distinct().count() == 3
+
+
+def test_sql_parsed_signature_and_bands_match_column_build(spark):
+    """The F.expr fast paths must resolve to the same values as the
+    element-wise column builds they replace."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.dedup import (
+        band_buckets_expr,
+        minhash_signature_from,
+        shingle_hash_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    base = shingle_hash_table(df, "doc_id", "text", 3)
+    row = base.select(
+        minhash_signature_from("hs", 8).alias("fast"),
+        minhash_signature_from(F.col("hs"), 8).alias("slow"),
+    ).collect()[0]
+    assert row.fast == row.slow
+
+    sig = base.withColumn("sig", minhash_signature_from("hs", 8))
+    old = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.element_at("sig", b * 2 + j + 1) for j in range(2)])
+            for b in range(4)
+        ]
+    )
+    r2 = sig.select(
+        band_buckets_expr("sig", 4, 2).alias("fast"), old.alias("slow")
+    ).collect()[0]
+    assert r2.fast == r2.slow
