@@ -70,24 +70,25 @@ def connected_components(
         # (Pointer doubling was tried and measured SLOWER here: near-dup
         # clusters are shallow, so the extra per-round join costs more than
         # the rounds it saves. Plain propagation wins for this graph shape.)
+        # The convergence flag rides along in the same projection, so the
+        # fixpoint test is a filter over the already-materialized
+        # checkpoint — not a second labels⋈updated join per round.
         updated = (
-            labels.join(neighbor_labels, "id", "left")
+            labels.withColumnRenamed("component", "__old")
+            .join(neighbor_labels, "id", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_label", F.col("component"))
+                    F.col("__old"), F.coalesce("nbr_label", F.col("__old"))
                 ).alias("component"),
+                (F.coalesce("nbr_label", F.col("__old")) < F.col("__old")).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -147,3 +147,54 @@ def test_oracle_tokenizer_parity_on_empty_docs(spark):
         ).fetchall()
     ]
     assert spark_counts == duck_counts == [0, 0, 2, 2]
+
+
+def test_contamination_counts_shared_distinct_shingles(spark):
+    """A training doc sharing a 3-token window with the benchmark slice is
+    reported with the exact distinct-shingle overlap; clean docs are not."""
+    from biodata_pipeline_spark.operators.dedup import _exploded_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # doc_id % 97 == 0 → benchmark
+            (1, "alpha beta gamma epsilon"),        # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota"),             # clean
+            (3, "alpha beta gamma delta trailing"), # shares 2 shingles
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_sh = _exploded_shingles(bench, "doc_id", "text", 3).select("sh").distinct()
+    out = {
+        r.doc_id: r.n
+        for r in _exploded_shingles(corpus, "doc_id", "text", 3)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == {1: 1, 3: 2}
+
+
+def test_oov_rate_against_known_vocab(spark):
+    """OOV accounting: tokens outside the top-k vocabulary counted per doc."""
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b rare"), (2, "unseen words only")],
+        ["doc_id", "text"],
+    )
+    words = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("word"))
+    vocab = (
+        words.groupBy("word").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word")).limit(2).select("word")
+    )  # vocab = {a, b}
+    per_doc = (
+        words.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_oov) for r in per_doc.collect()}
+    assert out == {0: (4, 0), 1: (3, 1), 2: (3, 3)}
