@@ -45,6 +45,11 @@ HEADLINE = [
     "q_word_freq_topk",           # vocab build: explode + partial agg
     "q_cube_pricing",             # CUBE: one Expand, one shuffle
     "q_repetition_stats",         # per-row repetition filters (zero shuffle)
+    # round 3 additions:
+    "q_tfidf_top_terms",          # two hash aggs + broadcast idf join
+    "q_contamination_check",      # shingle semi-join vs benchmark slice
+    "q_vocab_oov_rate",           # broadcast vocab + per-doc rollup
+    "q_media_inventory",          # Arrow mapInPandas binary decode
 ]
 
 
