@@ -95,10 +95,13 @@ _DRIVER_WINDOW = [
     "q_cms_heavy_hitters",
     "q_media_inventory",
     "q_media_frame_sample",
+    "q_unigram_logprob",
+    "q_mixture_allocation",
+    "q_stratified_split",
     # -- block 2: family representatives (driver-green in r01/r02) -------
-    # (q01/q05 rotated out for the round-3 additions: both trivial scans,
-    # green twice, still covered by the local gate)
-    "q07_word_boundary_match",
+    # (q01/q05 rotated out for the round-3 additions; q07/q17/q20 rotated
+    # out for the LM-logprob / mixture / stratified-split additions — all
+    # trivial, green twice, still covered by the local gate)
     "q09_exact_dedup",
     "q10_broadcast_dim_join",
     "q11_multiway_join_revenue",
@@ -107,8 +110,6 @@ _DRIVER_WINDOW = [
     "q14_cross_join_grid",
     "q15_range_join_price_bands",
     "q16_asof_join",
-    "q17_left_outer_sentinel",
-    "q20_grouped_count_distinct",
     "q21_pricing_summary",
     "q22_length_bucket_group",
     "q23_rollup_revenue",

@@ -269,6 +269,136 @@ def q_vocab_oov_rate(spark, sf_dir):
     )
 
 
+LM_VOCAB_K = 2000  # fixed LM vocabulary: top-K by corpus frequency
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring: per-document mean unigram
+    log-probability under a Laplace-smoothed LM with a fixed top-K
+    vocabulary and a single UNK bucket (the CCNet/Gopher-style LM quality
+    filter, minus the external KenLM dependency).
+
+    p(w) = (c(w)+1)/(T+K+1) for the K vocab words; every OOV token maps
+    to UNK with c(UNK) = T − Σ vocab counts. The vocabulary is bounded by
+    contract (top-K), so the idf-style join side broadcasts at any corpus
+    size; the corpus shuffles once into the persisted (doc_id, word) tf
+    table and once for the per-doc rollup. Following the determinism
+    rules, the float sum is rounded BEFORE the division (round(sum,2)/n —
+    never round(avg)): ln() of identical doubles is libm-consistent (the
+    q_tfidf precedent) and the 2dp rounding absorbs summation-order ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
+    wc = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    vocab = wc.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_K)
+    consts = wc.agg(F.sum("c").alias("__t")).crossJoin(
+        vocab.agg(F.sum("c").alias("__vt"), F.count("*").alias("__k"))
+    )
+    scored = (
+        tf.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "tf",
+            F.log(
+                (F.coalesce(F.col("c"), F.col("__t") - F.col("__vt")) + 1).cast(
+                    "double"
+                )
+                / (F.col("__t") + F.col("__k") + 1)
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.round(F.sum(F.col("tf") * F.col("lp")), 2) / F.sum("tf")).alias(
+            "avg_logprob"
+        ),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+    )
+
+
+MIX_TOKEN_BUDGET = 200_000  # target token budget for the sampled mixture
+MIX_ALPHA = 0.5  # temperature: weight ∝ tokens^alpha (sqrt — exact IEEE)
+
+
+def q_mixture_allocation(spark, sf_dir):
+    """Training-mixture allocation: per-source token counts reweighted by
+    temperature sampling (weight ∝ n_tokens^0.5 — upsamples small sources
+    the way multilingual/multi-domain LM mixtures do) and converted to a
+    per-source sampling rate that hits MIX_TOKEN_BUDGET in expectation.
+
+    alpha is fixed at 0.5 so the power is sqrt() — correctly rounded in
+    IEEE 754, hence bit-identical across engines (pow(x, 0.5) carries no
+    such guarantee). One partial agg on source (sources are bounded);
+    the normalizer is a 1-row crossJoin broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textfn.token_count("text")).alias("n_tokens"),
+    )
+    w_raw = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = src.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("__z")
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(w_raw / F.col("__z"), 6).alias("mix_weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_TOKEN_BUDGET) * (w_raw / F.col("__z")) / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("sampling_rate"),
+    )
+
+
+SPLIT_VAL_FRACTION = 0.1
+
+
+def q_stratified_split(spark, sf_dir):
+    """Stratified train/val split audit: within each language, documents
+    are quartiled by token length (ntile over n_tokens DESC, doc_id — the
+    stratification packing pipelines use), split 90/10 by the salted md5
+    predicate, and counted per (lang, quartile, split) cell — the
+    balance-check a pipeline runs before training.
+
+    The md5 split decision is per-row map work (pushed to the scan, no
+    shuffle, stable under corpus growth). The exact ntile needs a per-lang
+    sort — fine while strata counts are driver-checkable; the 100 TB path
+    swaps ntile for approx-quantile bucket boundaries (computed map-side)
+    with the same downstream cells."""
+    from pyspark.sql import Window
+
+    from biodata_pipeline_spark.operators.sampling import sample_predicate
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("__n_tok"), F.asc("doc_id"))
+    assigned = (
+        docs.select(
+            "doc_id", "lang", "n_chars", textfn.token_count("text").alias("__n_tok")
+        )
+        .withColumn("len_quartile", F.ntile(4).over(w))
+        .withColumn(
+            "split",
+            F.when(
+                sample_predicate("doc_id", SPLIT_VAL_FRACTION, "split"),
+                F.lit("val"),
+            ).otherwise(F.lit("train")),
+        )
+    )
+    return assigned.groupBy("lang", "len_quartile", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -327,6 +457,9 @@ SPARK = {
     "q_simhash_dedup": q_simhash_dedup,
     "q_dedup_clusters": q_dedup_clusters,
     "q_hash_sample": q_hash_sample,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_mixture_allocation": q_mixture_allocation,
+    "q_stratified_split": q_stratified_split,
 }
 
 # Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
@@ -556,5 +689,72 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) >= {JACCARD_THRESHOLD}
+    """,
+    "q_unigram_logprob": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+        ),
+        wc AS (SELECT word, sum(tf) AS c FROM tf GROUP BY 1),
+        vocab AS (
+            SELECT word, c FROM wc ORDER BY c DESC, word LIMIT {LM_VOCAB_K}
+        ),
+        consts AS (
+            SELECT (SELECT sum(c) FROM wc) AS t,
+                   (SELECT sum(c) FROM vocab) AS vt,
+                   (SELECT count(*) FROM vocab) AS k
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.tf,
+                   ln(CAST(coalesce(v.c, cs.t - cs.vt) + 1 AS DOUBLE)
+                      / (cs.t + cs.k + 1)) AS lp
+            FROM tf LEFT JOIN vocab v USING (word) CROSS JOIN consts cs
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf * lp), 2) / CAST(sum(tf) AS DOUBLE)
+                       AS avg_logprob
+            FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.avg_logprob, 0.0) AS avg_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "q_mixture_allocation": f"""
+        WITH src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM src
+        )
+        SELECT source, n_docs, n_tokens,
+               round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS mix_weight,
+               round(least(1.0,
+                     {MIX_TOKEN_BUDGET} * (sqrt(CAST(n_tokens AS DOUBLE)) / z)
+                     / n_tokens), 6) AS sampling_rate
+        FROM src CROSS JOIN tot
+    """,
+    "q_stratified_split": f"""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY lang
+                       ORDER BY len({_TOKS}) DESC, doc_id
+                   ) AS INTEGER) AS len_quartile,
+                   CASE WHEN md5('split' || CAST(doc_id AS VARCHAR))
+                             < '19999999000000000000000000000000'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT lang, len_quartile, split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM ranked GROUP BY 1, 2, 3
     """,
 }

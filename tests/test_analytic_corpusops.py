@@ -261,3 +261,65 @@ def test_matrix_literal_bit_identical_to_flit(spark):
         matrix_literal(mat).alias("a"), F.lit(mat).alias("b")
     ).collect()[0]
     assert row.a == row.b
+
+
+def test_mixture_allocation_weights_and_budget(spark, sf_dir):
+    from biodata_pipeline_spark.registry.textops import MIX_TOKEN_BUDGET
+
+    rows = SPARK_QUERIES["q_mixture_allocation"](spark, sf_dir).collect()
+    assert rows, "expected at least one source"
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    assert all(0.0 < r.sampling_rate <= 1.0 for r in rows)
+    # uncapped rates hit the budget in expectation
+    if all(r.sampling_rate < 1.0 for r in rows):
+        expected = sum(r.sampling_rate * r.n_tokens for r in rows)
+        assert abs(expected - MIX_TOKEN_BUDGET) / MIX_TOKEN_BUDGET < 1e-3
+    # temperature upsamples small sources: rate ordering is inverse to size
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    rates = [r.sampling_rate for r in by_size]
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_stratified_split_partitions_every_stratum(spark, sf_dir):
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    rows = SPARK_QUERIES["q_stratified_split"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total  # exhaustive, disjoint
+    assert {r.split for r in rows} <= {"train", "val"}
+    # ntile balance: within a lang, quartile sizes differ by at most 1
+    per_lang_q = {}
+    for r in rows:
+        per_lang_q.setdefault(r.lang, {}).setdefault(r.len_quartile, 0)
+        per_lang_q[r.lang][r.len_quartile] += r.n_docs
+    for lang, qs in per_lang_q.items():
+        sizes = list(qs.values())
+        assert max(sizes) - min(sizes) <= 1, (lang, qs)
+
+
+def test_unigram_logprob_semantics(spark, sf_dir):
+    from biodata_pipeline_spark.functions.textfn import token_count
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    out = SPARK_QUERIES["q_unigram_logprob"](spark, sf_dir)
+    rows = out.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    assert len(rows) == n_total
+    assert all(r.avg_logprob < 0 for r in rows if r.n_tokens > 0)
+    # n_tokens agrees with the tokenizer
+    expect = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    assert all(r.n_tokens == expect[r.doc_id] for r in rows)
+    # identical text ⇒ identical score
+    by_text = docs.select("doc_id", "text").collect()
+    text_of = {r.doc_id: r.text for r in by_text}
+    score_of = {}
+    for r in rows:
+        key = text_of[r.doc_id]
+        if key in score_of:
+            assert score_of[key] == r.avg_logprob
+        else:
+            score_of[key] = r.avg_logprob
