@@ -130,8 +130,13 @@ def lsh_similarity_join(
     # with sim 1.0. Window min over the vector hash = one shuffle.
     from pyspark.sql import Window
 
-    keyed = df.withColumn("__k", F.xxhash64(F.col(emb_col))).withColumn(
-        "__rep", F.min(id_col).over(Window.partitionBy("__k"))
+    # persisted: exact_edges and the distinct-representative stream both
+    # consume it — without the persist the scan + __k shuffle + window
+    # run twice (once under base's cache build, once for exact_edges)
+    keyed = (
+        df.withColumn("__k", F.xxhash64(F.col(emb_col)))
+        .withColumn("__rep", F.min(id_col).over(Window.partitionBy("__k")))
+        .persist()
     )
     exact_edges = keyed.filter(F.col(id_col) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"),
