@@ -56,3 +56,42 @@ def train_test_split(
     lands in exactly one side, stably across runs and corpus versions."""
     pred = sample_predicate(key_col, test_fraction, salt)
     return df.filter(~pred), df.filter(pred)
+
+
+def approx_stratum_buckets(
+    df: DataFrame,
+    strat_col: str,
+    value_col: str,
+    n_buckets: int = 4,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Assign each row a ``bucket`` (1..n_buckets, descending by value —
+    ntile orientation) within its stratum using approx-quantile boundaries
+    instead of a per-stratum sort.
+
+    This is the corpus-scale path behind ``q_stratified_split``'s exact
+    ntile: ``percentile_approx`` is a map-side mergeable sketch, so the
+    only shuffle carries one sketch per stratum — the rows themselves
+    never shuffle and no stratum is sorted. The trade: bucket populations
+    are approximately (not exactly) balanced, so the exact ntile stays the
+    oracle-checked surface and this is the documented swap once strata
+    stop fitting a sort (the boundary table stays |strata|×n_buckets —
+    always broadcastable).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(strat_col).agg(
+        F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(p) for p in fracs]), accuracy
+        ).alias("__bounds")
+    )
+    with_bounds = df.join(F.broadcast(bounds), strat_col)
+    # value > bounds[k] for all upper cuts → bucket 1 (largest values),
+    # mirroring ntile over (value DESC): bucket = n - #cuts strictly below
+    n_below = F.size(
+        F.filter(F.col("__bounds"), lambda b: F.col(value_col) > b)
+    )
+    return with_bounds.withColumn(
+        "bucket", (F.lit(n_buckets) - n_below).cast("int")
+    ).drop("__bounds")

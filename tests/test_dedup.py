@@ -253,3 +253,44 @@ def test_sql_parsed_signature_and_bands_match_column_build(spark):
         band_buckets_expr("sig", 4, 2).alias("fast"), old.alias("slow")
     ).collect()[0]
     assert r2.fast == r2.slow
+
+
+def test_approx_stratum_buckets_tracks_exact_ntile(spark, sf_dir):
+    """The approx-quantile bucket assignment (the corpus-scale swap for
+    q_stratified_split's exact ntile) partitions every stratum, keeps
+    buckets near-balanced, and agrees with the exact ntile for nearly all
+    rows at full sketch accuracy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.functions.textfn import token_count
+    from biodata_pipeline_spark.operators.sampling import approx_stratum_buckets
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tok")
+    )
+    out = approx_stratum_buckets(docs, "lang", "n_tok", n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # exhaustive: every row gets a bucket
+    assert {r.bucket for r in rows} <= {1, 2, 3, 4}
+    # near-balance within each stratum (ties + sketch error tolerance)
+    from collections import Counter
+
+    for lang in {r.lang for r in rows}:
+        sizes = Counter(r.bucket for r in rows if r.lang == lang)
+        n = sum(sizes.values())
+        if n >= 20:
+            for b in (1, 2, 3, 4):
+                assert sizes.get(b, 0) > 0.1 * n, (lang, dict(sizes))
+    # orientation matches ntile over (value DESC): largest values in bucket 1
+    w = Window.partitionBy("lang").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    exact = docs.withColumn("q", F.ntile(4).over(w))
+    joined = out.join(exact, ["doc_id", "lang", "n_tok"]).select("bucket", "q")
+    agree = joined.filter(F.col("bucket") == F.col("q")).count() / joined.count()
+    assert agree > 0.8, agree
+    # deterministic across evaluations in the same layout
+    again = {(r.doc_id, r.bucket) for r in approx_stratum_buckets(
+        docs, "lang", "n_tok", n_buckets=4
+    ).collect()}
+    assert again == {(r.doc_id, r.bucket) for r in rows}
