@@ -98,16 +98,16 @@ _DRIVER_WINDOW = [
     "q_unigram_logprob",
     "q_mixture_allocation",
     "q_stratified_split",
+    "q_token_entropy",
+    "q_embed_quantize",
     # -- block 2: family representatives (driver-green in r01/r02) -------
-    # (q01/q05 rotated out for the round-3 additions; q07/q17/q20 rotated
-    # out for the LM-logprob / mixture / stratified-split additions — all
+    # (q01/q05 rotated out for the round-3 additions; q07/q17/q20 then
+    # q12/q14 rotated out for the round-3 training-data queries — all
     # trivial, green twice, still covered by the local gate)
     "q09_exact_dedup",
     "q10_broadcast_dim_join",
     "q11_multiway_join_revenue",
-    "q12_semi_join",
     "q13_anti_join_manifest",
-    "q14_cross_join_grid",
     "q15_range_join_price_bands",
     "q16_asof_join",
     "q21_pricing_summary",

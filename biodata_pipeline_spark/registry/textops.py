@@ -321,6 +321,41 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram entropy H = ln(n) − (Σ tf·ln tf)/n — the
+    lexical-diversity signal (low entropy ⇒ repetitive/templated text,
+    the complement of the Gopher repetition filters).
+
+    Same two-shuffle shape as tfidf: (doc, word) tf with map-side partial
+    aggregation, then a per-doc rollup — the shuffle carries distinct
+    (doc, word) pairs, not token occurrences. Determinism: the float sum
+    is rounded before the division (round(sum,2)/n) and the output is
+    rounded at 6 dp — ln() diverges by 1 ulp between engines for some
+    inputs (measured 8.9e-16 on this query unrounded), which the output
+    rounding absorbs (the tfidf precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))), 2
+        ).alias("__tlt"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("__tlt") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("entropy"),
+    )
+
+
 MIX_TOKEN_BUDGET = 200_000  # target token budget for the sampled mixture
 MIX_ALPHA = 0.5  # temperature: weight ∝ tokens^alpha (sqrt — exact IEEE)
 
@@ -460,6 +495,7 @@ SPARK = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_mixture_allocation": q_mixture_allocation,
     "q_stratified_split": q_stratified_split,
+    "q_token_entropy": q_token_entropy,
 }
 
 # Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
@@ -739,6 +775,27 @@ ORACLE = {
                      {MIX_TOKEN_BUDGET} * (sqrt(CAST(n_tokens AS DOUBLE)) / z)
                      / n_tokens), 6) AS sampling_rate
         FROM src CROSS JOIN tot
+    """,
+    "q_token_entropy": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf * ln(CAST(tf AS DOUBLE))), 2) AS tlt
+            FROM tf GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               round(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                          THEN ln(CAST(p.n_tokens AS DOUBLE))
+                               - p.tlt / p.n_tokens
+                          ELSE 0.0 END, 6) AS entropy
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
     "q_stratified_split": f"""
         WITH ranked AS (

@@ -125,6 +125,56 @@ def q_embedding_stats(spark, sf_dir):
     )
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization audit: per vector, the scale
+    (127/amax) and the quantized-array invariants (sum, L1 mass, max) a
+    pipeline checks before shipping compact embeddings to a feature store.
+
+    Quantization is ``floor(x*scale + 0.5)`` clamped to [-127, 127] —
+    floor instead of round because engines disagree on ties-away vs
+    ties-even at exact .5 products, while floor of identical doubles is
+    identical everywhere. Pure per-row array math: zero shuffle, scales
+    with bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = F.lit(127.0) / F.greatest(amax, F.lit(1e-12))
+
+    def quant(xs, s):
+        q = F.transform(
+            xs, lambda v: F.floor(v * s + F.lit(0.5)).cast("int")
+        )
+        return F.transform(
+            q, lambda v: F.greatest(F.lit(-127), F.least(F.lit(127), v))
+        )
+
+    # let-bind scale (inlining recomputes the array_max per element) and
+    # the quantized array (it feeds three aggregates)
+    from biodata_pipeline_spark.functions.textfn import _let
+
+    def body(s):
+        return _let(
+            quant(x, s),
+            lambda q: F.struct(
+                F.round(s, 6).alias("scale"),
+                F.aggregate(q, F.lit(0), lambda a, v: a + v).alias("q_sum"),
+                F.aggregate(q, F.lit(0), lambda a, v: a + F.abs(v)).alias(
+                    "q_l1"
+                ),
+                F.array_max(q).alias("q_max"),
+            ),
+        )
+
+    out = _let(scale, body)
+    return emb.select(
+        "vec_id",
+        out["scale"].alias("scale"),
+        out["q_sum"].alias("q_sum"),
+        out["q_l1"].alias("q_l1"),
+        out["q_max"].alias("q_max"),
+    )
+
+
 EMB_DEDUP_THRESHOLD = 0.98
 EMB_COPY_BASE = 100_000
 EMB_COPY_N = 50
@@ -208,6 +258,7 @@ SPARK = {
     "q26_retrieval_rank_detail": q26_retrieval_rank_detail,
     "q26b_retrieval_rank_summary": q26b_retrieval_rank_summary,
     "q_embedding_stats": q_embedding_stats,
+    "q_embed_quantize": q_embed_quantize,
     "q_embed_cosine_dedup": q_embed_cosine_dedup,
     "q_lsh_similarity_join": q_lsh_similarity_join,
     "q_ivf_ann": q_ivf_ann,
@@ -385,4 +436,26 @@ ORACLE = {
         GROUP BY label
     """
     ),
+    "q_embed_quantize": """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   127.0 / greatest(list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       v -> greatest(-127, least(127,
+                            CAST(floor(CAST(v AS DOUBLE) * scale + 0.5)
+                                 AS INTEGER)))) AS qv
+            FROM s
+        )
+        SELECT vec_id, round(scale, 6) AS scale,
+               CAST(list_sum(qv) AS INTEGER) AS q_sum,
+               CAST(list_sum(list_transform(qv, v -> abs(v))) AS INTEGER)
+                   AS q_l1,
+               CAST(list_max(qv) AS INTEGER) AS q_max
+        FROM q
+    """,
 }

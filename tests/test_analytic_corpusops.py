@@ -323,3 +323,27 @@ def test_unigram_logprob_semantics(spark, sf_dir):
             assert score_of[key] == r.avg_logprob
         else:
             score_of[key] = r.avg_logprob
+
+
+def test_embed_quantize_invariants(spark, sf_dir):
+    rows = SPARK_QUERIES["q_embed_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.q_max <= 127
+        assert r.q_l1 >= abs(r.q_sum)
+        assert r.scale > 0
+    # symmetric quantization saturates at the max-|x| lane: some vector
+    # must hit 127 unless every component rounded down
+    assert any(r.q_max == 127 for r in rows)
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = SPARK_QUERIES["q_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_tokens > 0:
+            # 0 <= H <= ln(n_tokens) (±5e-7: the 6dp output rounding can
+            # round an all-distinct doc's H = ln(n) upward past the bound)
+            assert -5e-7 <= r.entropy <= math.log(r.n_tokens) + 5e-7, r
