@@ -50,6 +50,8 @@ HEADLINE = [
     "q_contamination_check",      # shingle semi-join vs benchmark slice
     "q_vocab_oov_rate",           # broadcast vocab + per-doc rollup
     "q_media_inventory",          # Arrow mapInPandas binary decode
+    "q_unigram_logprob",          # LM scoring: tf table + bounded-vocab broadcast
+    "q_embed_quantize",           # int8 quantization: per-row array math
 ]
 
 
