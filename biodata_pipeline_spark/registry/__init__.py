@@ -100,18 +100,19 @@ _DRIVER_WINDOW = [
     "q_stratified_split",
     "q_token_entropy",
     "q_embed_quantize",
+    "q_kmeans_clusters",
+    "q_semantic_dedup",
     # -- block 2: family representatives (driver-green in r01/r02) -------
     # (q01/q05 rotated out for the round-3 additions; q07/q17/q20 then
-    # q12/q14 rotated out for the round-3 training-data queries — all
-    # trivial, green twice, still covered by the local gate)
+    # q12/q14 rotated out for the round-3 training-data queries; q10/q22
+    # rotated out for the kmeans/semantic-dedup pair — all trivial, green
+    # twice, still covered by the local gate)
     "q09_exact_dedup",
-    "q10_broadcast_dim_join",
     "q11_multiway_join_revenue",
     "q13_anti_join_manifest",
     "q15_range_join_price_bands",
     "q16_asof_join",
     "q21_pricing_summary",
-    "q22_length_bucket_group",
     "q23_rollup_revenue",
     "q24_cosine_topk",
     "q25_similarity_join",

@@ -205,6 +205,47 @@ def q_embed_cosine_dedup(spark, sf_dir):
     return embedding_dedup_survivors(corpus, EMB_DEDUP_THRESHOLD).select("vec_id")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means assignment (SemDeDup building block,
+    Abbas et al. 2023): deterministic md5-ordered seeds, 2 unrolled
+    centroid updates, then the final per-vector (cluster, dist²).
+
+    Oracle-checkable despite being iterative: every step (seed order,
+    the in-order distance fold, round(sum,6)/count centroid math) is
+    bit-identical ANSI SQL, unrolled as CTEs. Fit runs 3 small eager
+    jobs at construction (a k-row TakeOrdered + 2 k×65-cell aggregates);
+    assignment itself is a zero-shuffle map stage against a broadcast
+    centroid literal."""
+    from biodata_pipeline_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb)
+    return assign_clusters(emb, cents).select("vec_id", "cluster", "dist2")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup: k-means-cluster the corpus, then drop
+    vectors whose within-cluster cosine to a smaller id rounds to >=
+    threshold. Same planted-copy contract as q_embed_cosine_dedup —
+    the copies land in their original's cluster (bit-identical
+    distances) and must be exactly the removed set — but the pairwise
+    join is a ``cluster`` equi-join (n²/2k candidates, shuffled on
+    cluster) instead of the bounded all-pairs path, the 100 TB shape
+    when k scales with n."""
+    from biodata_pipeline_spark.operators.kmeans import semantic_dedup_survivors
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SIM_MAX_VEC)
+        .select("vec_id", "embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < EMB_COPY_N).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(EMB_COPY_BASE)
+    )
+    corpus = emb.unionByName(copies)
+    return semantic_dedup_survivors(corpus, EMB_DEDUP_THRESHOLD)
+
+
 # --- approximate scale paths: no SQL oracle (rows-only + pytest) -------------
 
 
@@ -260,6 +301,8 @@ SPARK = {
     "q_embedding_stats": q_embedding_stats,
     "q_embed_quantize": q_embed_quantize,
     "q_embed_cosine_dedup": q_embed_cosine_dedup,
+    "q_kmeans_clusters": q_kmeans_clusters,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_lsh_similarity_join": q_lsh_similarity_join,
     "q_ivf_ann": q_ivf_ann,
     "q_approx_count_distinct": q_approx_count_distinct,
@@ -287,6 +330,60 @@ _NORMS = f"""
         FROM embeddings
     )
 """
+
+
+def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
+    """Unrolled Lloyd's k-means over ``source`` (vec_id, embedding) as a
+    CTE chain ending in ``a{iters}`` = (vec_id, cl, dist). Mirrors
+    operators/kmeans.py step for step: md5-ordered seeds, the same
+    in-order squared-distance fold (bit-identical to the zip_with +
+    aggregate fold), round(sum, grain)/count centroid updates with
+    COALESCE carry-forward for emptied clusters."""
+    sq = (
+        "list_sum(list_transform(range(1, len(e.embedding)+1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))"
+    )
+    parts = [
+        f"""
+        seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cl,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+            FROM {source}
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k}
+        )"""
+    ]
+    cent = "seeds"
+    for it in range(iters + 1):
+        parts.append(
+            f"""
+        a{it} AS (
+            SELECT e.vec_id, c.cl, {sq} AS dist
+            FROM {source} e CROSS JOIN {cent} c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cl) = 1
+        )"""
+        )
+        if it == iters:
+            break
+        parts.append(
+            f"""
+        u{it + 1} AS (
+            SELECT a.cl, g.i,
+                   round(sum(CAST(e.embedding[g.i] AS DOUBLE)), {grain}) / count(*) AS v
+            FROM a{it} a JOIN {source} e USING (vec_id)
+            CROSS JOIN generate_series(1, 64) AS g(i)
+            GROUP BY a.cl, g.i
+        ),
+        c{it + 1} AS (
+            SELECT s.cl, COALESCE(u.centroid, s.centroid) AS centroid
+            FROM seeds s LEFT JOIN (
+                SELECT cl, list(v ORDER BY i) AS centroid FROM u{it + 1} GROUP BY cl
+            ) u USING (cl)
+        )"""
+        )
+        cent = f"c{it + 1}"
+    return ",".join(parts)
 
 # DuckDB's generate_series can't take lateral column bounds, so use a
 # constant upper bound and filter (documents are well under 16384 chars).
@@ -426,6 +523,36 @@ ORACLE = {
         )
         SELECT vec_id FROM corpus
         WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    "q_kmeans_clusters": f"""
+        WITH {_kmeans_sql('embeddings')}
+        SELECT vec_id, cl AS cluster, round(dist, 6) AS dist2 FROM a2
+    """,
+    "q_semantic_dedup": f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SIM_MAX_VEC}
+            UNION ALL
+            SELECT vec_id + {EMB_COPY_BASE}, embedding FROM embeddings
+            WHERE vec_id < {EMB_COPY_N}
+        ),
+        {_kmeans_sql('corpus')},
+        cnorms AS (
+            SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM corpus
+        ),
+        dups AS (
+            SELECT DISTINCT b.vec_id AS vec_id
+            FROM a2 a
+            JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+            JOIN corpus ca ON ca.vec_id = a.vec_id
+            JOIN corpus cb ON cb.vec_id = b.vec_id
+            JOIN cnorms na ON na.vec_id = a.vec_id
+            JOIN cnorms nb ON nb.vec_id = b.vec_id
+            WHERE round({_dot_sql('ca.embedding', 'cb.embedding')}
+                        / (na.nrm * nb.nrm), 9) >= {EMB_DEDUP_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cl AS cluster FROM a2 a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
     """,
     "q_embedding_stats": (
         "WITH "

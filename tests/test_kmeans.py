@@ -1,0 +1,106 @@
+"""Lloyd's k-means + SemDeDup semantic dedup (operators/kmeans.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.kmeans import (
+    KMEANS_K,
+    _update_centroids,
+    assign_clusters,
+    kmeans_fit,
+    semantic_dedup_survivors,
+    seed_centroids,
+)
+from biodata_pipeline_spark.sources.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_fit_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = kmeans_fit(emb)
+    b = kmeans_fit(emb)
+    assert a == b  # exact float equality: no RNG, rounded sums
+
+
+def test_assignment_covers_all_rows(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = assign_clusters(emb, kmeans_fit(emb))
+    n = emb.count()
+    assert out.count() == n
+    stats = out.agg(
+        F.min("cluster").alias("lo"),
+        F.max("cluster").alias("hi"),
+        F.count_distinct("cluster").alias("k"),
+        F.min("dist2").alias("dmin"),
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] < KMEANS_K
+    assert stats["k"] >= 2  # seeds are spread by hash → multiple clusters
+    assert stats["dmin"] >= 0.0
+
+
+def test_lloyd_inertia_non_increasing(spark, sf_dir):
+    """Each Lloyd update must not increase total inertia (the defining
+    property of the algorithm); rounding the centroid sums to 6 dp can
+    perturb it by at most ~dim * 1e-6 per point."""
+    emb = _emb(spark, sf_dir)
+
+    def inertia(cents):
+        return assign_clusters(emb, cents).agg(F.sum("dist2")).first()[0]
+
+    c0 = seed_centroids(emb, KMEANS_K, "vec_id", "embedding")
+    c1 = _update_centroids(assign_clusters(emb, c0), c0, "embedding")
+    c2 = _update_centroids(assign_clusters(emb, c1), c1, "embedding")
+    i0, i1, i2 = inertia(c0), inertia(c1), inertia(c2)
+    slack = 1e-4 * emb.count()
+    assert i1 <= i0 + slack
+    assert i2 <= i1 + slack
+
+
+def test_empty_cluster_carries_previous_centroid(spark):
+    prev = [[0.0, 0.0], [10.0, 10.0], [99.0, 99.0]]
+    # cluster 2 receives no rows → must keep [99, 99]
+    assigned = spark.createDataFrame(
+        [(1, [0.0, 2.0], 0), (2, [0.0, 4.0], 0), (3, [12.0, 10.0], 1)],
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    nxt = _update_centroids(assigned, prev, "embedding")
+    assert nxt[0] == [0.0, 3.0]
+    assert nxt[1] == [12.0, 10.0]
+    assert nxt[2] == [99.0, 99.0]
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000)
+    )
+    corpus = emb.unionByName(copies)
+    survivors = semantic_dedup_survivors(corpus, 0.98)
+    ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    n = emb.count()
+    assert len(ids) == n  # every copy removed, nothing else
+    assert all(i < 100_000 for i in ids)
+
+
+def test_exact_copies_share_cluster(spark, sf_dir):
+    """Bit-identical vectors get bit-identical distances, hence the same
+    argmin cluster — the invariant SemDeDup's recall guarantee rests on."""
+    emb = _emb(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000)
+    )
+    corpus = emb.unionByName(copies)
+    a = assign_clusters(corpus, kmeans_fit(corpus))
+    pairs = (
+        a.filter(F.col("vec_id") >= 100_000)
+        .select(
+            (F.col("vec_id") - 100_000).alias("vec_id"),
+            F.col("cluster").alias("copy_cluster"),
+        )
+        .join(a.select("vec_id", "cluster"), "vec_id")
+    )
+    assert pairs.filter(F.col("cluster") != F.col("copy_cluster")).count() == 0
