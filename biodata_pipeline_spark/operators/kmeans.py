@@ -37,10 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biodata_pipeline_spark.functions.vector import cosine
-from biodata_pipeline_spark.operators.similarity import matrix_literal
-
 KMEANS_K = 8
+MAX_CLUSTER_PAIRWISE = 8192  # per-group dense-score bound (8192² f64 = 0.5 GB)
 KMEANS_ITERS = 2
 SUM_GRAIN = 6  # centroid sums rounded before the count division
 
@@ -54,6 +52,22 @@ def _sqdist(emb, cent) -> F.Column:
         lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sqdist_sql(emb_col: str, cent: list[float]) -> str:
+    """The same fold as ``_sqdist`` spelled as an explicit left-assoc
+    ``+`` chain against centroid literals. SQL ``a + b + c`` parses
+    left-associative, so the IEEE-754 operation sequence — hence every
+    bit of the result — is identical to the aggregate fold and to the
+    oracle's list_sum; but the expression is plain arithmetic Catalyst
+    can codegen, where the lambda fold stays interpreted (measured ~4×
+    on the assignment stage), and ONE sql parse replaces ~1s of py4j
+    Column construction per call (the matrix_literal lesson)."""
+    return " + ".join(
+        f"(CAST(element_at({emb_col}, {i + 1}) AS DOUBLE) - {float(v)!r}D)"
+        f" * (CAST(element_at({emb_col}, {i + 1}) AS DOUBLE) - {float(v)!r}D)"
+        for i, v in enumerate(cent)
+    )
 
 
 def seed_centroids(
@@ -79,23 +93,17 @@ def assign_clusters(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Adds ``cluster`` (int, argmin of squared L2; ties → lowest index)
-    and ``dist2`` (min squared distance, 6 dp). Pure map stage: the k×dim
-    centroid matrix is one parsed literal (similarity.matrix_literal —
-    element-wise F.lit costs ~1s driver time), distances are let-bound
-    via the 1-element-transform pattern so the k folds run once."""
-    cmat = matrix_literal(centroids)
-    dists = F.array(
-        *[_sqdist(F.col(emb_col), F.get(cmat, j)) for j in range(len(centroids))]
-    )
-    picked = F.get(
-        F.transform(
-            F.array(dists),
-            lambda d: F.struct(
-                (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster"),
-                F.round(F.array_min(d), SUM_GRAIN).alias("dist2"),
-            ),
-        ),
-        0,
+    and ``dist2`` (min squared distance, 6 dp). Pure map stage, zero
+    shuffle: the k distance chains ride in ONE parsed expression (see
+    ``_sqdist_sql``), let-bound through a 1-element transform so the k
+    chains evaluate once per row, argmin/round reading the bound array."""
+    dist_arr = "array(" + ",".join(
+        f"({_sqdist_sql(emb_col, c)})" for c in centroids
+    ) + ")"
+    picked = F.expr(
+        f"transform(array({dist_arr}), d -> struct("
+        f"CAST(array_position(d, array_min(d)) - 1 AS INT) AS cluster, "
+        f"round(array_min(d), {SUM_GRAIN}) AS dist2))[0]"
     )
     return df.select(
         "*", picked["cluster"].alias("cluster"), picked["dist2"].alias("dist2")
@@ -115,7 +123,9 @@ def _update_centroids(
     LEFT JOIN + COALESCE."""
     dim = len(prev[0])
     sums = [
-        F.round(F.sum(F.get(F.col(emb_col), i).cast("double")), grain).alias(f"s{i}")
+        F.expr(
+            f"round(sum(CAST(element_at({emb_col}, {i + 1}) AS DOUBLE)), {grain})"
+        ).alias(f"s{i}")
         for i in range(dim)
     ]
     rows = assigned.groupBy("cluster").agg(F.count("*").alias("n"), *sums).collect()
@@ -153,24 +163,69 @@ def semantic_dedup_survivors(
     """SemDeDup: cluster the corpus, then drop every vector whose cosine
     to a smaller-id member of the SAME cluster rounds to >= threshold.
 
-    The cluster equi-join replaces dedup.embedding_dup_pairs' all-pairs
-    comparison: candidate volume drops from n²/2 to ~n²/(2k) and the join
-    shuffles on ``cluster``, so scaling k with n (k ≈ n/target_cluster)
-    keeps per-task pair counts bounded — the 100 TB shape. Exact
-    duplicates share bit-identical distances, hence a cluster, so planted
-    copies are always caught. Returns (survivor id, cluster)."""
+    Per-cluster dense scoring replaces dedup.embedding_dup_pairs'
+    all-pairs comparison: candidate volume drops from n²/2 to ~n²/(2k)
+    and the only shuffle is on ``cluster``, so scaling k with n
+    (k ≈ n/target_cluster) keeps per-task pair counts bounded — the
+    100 TB shape. Each cluster's members are scored in one Arrow batch
+    by the same ascending-dimension numpy fold the JVM/oracle use
+    (``S += A[:,i] * B[:,i]`` — see similarity_join_vectorized), so
+    sims are bit-identical to the HOF cosine path (parity-tested); the
+    round + threshold decision stays JVM-side behind a margin. Groups
+    above MAX_CLUSTER_PAIRWISE raise (fix: raise k), never silently
+    densify. Exact duplicates share bit-identical distances, hence a
+    cluster, so planted copies are always caught. Returns
+    (survivor id, cluster)."""
+    import pandas as pd
+
     cents = kmeans_fit(df, k, iters, id_col, emb_col)
     a = assign_clusters(df, cents, id_col, emb_col)
-    left = a.select(
-        F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "cluster"
+    margin = threshold - 1e-6
+    max_pair = MAX_CLUSTER_PAIRWISE  # closure-bound: ships to workers
+    empty = pd.DataFrame(
+        {
+            "id_b": pd.Series([], dtype="int64"),
+            "sim_raw": pd.Series([], dtype="float64"),
+        }
     )
-    right = a.select(
-        F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "cluster"
+
+    def dups_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if n > max_pair:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} members exceeds the "
+                f"{max_pair} dense-pairwise bound; raise k so "
+                f"clusters shrink (k ≈ n / target_cluster_size)."
+            )
+        mat = np.array(pdf["__emb"].tolist(), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        d = mat.shape[1]
+        acc = np.zeros(n)
+        s = np.zeros((n, n))
+        for i in range(d):  # in-order fold: bit-parity with HOF/oracle
+            acc += mat[:, i] * mat[:, i]
+            s += mat[:, i][:, None] * mat[:, i][None, :]
+        norms = np.sqrt(acc)
+        s /= norms[:, None] * norms[None, :]
+        keep = (ids[:, None] < ids[None, :]) & (s >= margin)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_b": ids[bj], "sim_raw": s[ai, bj]}
+        )
+
+    cand = (
+        a.select(
+            F.col(id_col).alias("__id"), F.col(emb_col).alias("__emb"), "cluster"
+        )
+        .groupBy("cluster")
+        .applyInPandas(dups_in_cluster, "id_b long, sim_raw double")
     )
     dup_ids = (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine("emb_a", "emb_b"), 9) >= F.lit(threshold))
+        cand.filter(F.round("sim_raw", 9) >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -86,6 +86,72 @@ def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
     assert all(i < 100_000 for i in ids)
 
 
+def test_sql_chain_matches_hof_fold(spark, sf_dir):
+    """The explicit left-assoc SQL chain in _sqdist_sql must be
+    bit-identical to the zip_with+aggregate fold (_sqdist) — argmin and
+    the oracle hash both depend on it (literal-type parity rule)."""
+    from biodata_pipeline_spark.operators.kmeans import _sqdist, _sqdist_sql
+
+    emb = _emb(spark, sf_dir)
+    cents = seed_centroids(emb, KMEANS_K, "vec_id", "embedding")
+    checks = emb.select(
+        *[
+            (
+                F.expr(_sqdist_sql("embedding", c))
+                == _sqdist(F.col("embedding"), F.lit(c))
+            ).alias(f"eq{j}")
+            for j, c in enumerate(cents)
+        ]
+    )
+    bad = checks.filter(~F.expr(" AND ".join(f"eq{j}" for j in range(KMEANS_K))))
+    assert bad.count() == 0
+
+
+def test_kernel_dups_match_hof_cosine(spark, sf_dir):
+    """The per-cluster numpy kernel's duplicate set must equal the HOF
+    cosine join's (same in-order fold, same 9 dp rounding boundary)."""
+    from biodata_pipeline_spark.functions.vector import cosine
+
+    emb = _emb(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000)
+    )
+    corpus = emb.unionByName(copies)
+    a = assign_clusters(corpus, kmeans_fit(corpus))
+    left = a.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster")
+    right = a.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cluster")
+    hof_dups = {
+        r["id_b"]
+        for r in left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine("emb_a", "emb_b"), 9) >= 0.98)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    kernel_survivors = {
+        r["vec_id"] for r in semantic_dedup_survivors(corpus, 0.98).collect()
+    }
+    all_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert all_ids - kernel_survivors == hof_dups
+
+
+def test_oversize_cluster_raises(spark):
+    import biodata_pipeline_spark.operators.kmeans as km
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = km.MAX_CLUSTER_PAIRWISE
+    km.MAX_CLUSTER_PAIRWISE = 4
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="dense-pairwise bound"):
+            semantic_dedup_survivors(df, 0.98, k=2).collect()
+    finally:
+        km.MAX_CLUSTER_PAIRWISE = old
+
+
 def test_exact_copies_share_cluster(spark, sf_dir):
     """Bit-identical vectors get bit-identical distances, hence the same
     argmin cluster — the invariant SemDeDup's recall guarantee rests on."""
