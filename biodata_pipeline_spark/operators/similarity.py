@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biodata_pipeline_spark.functions.vector import dot, l2_norm
+from biodata_pipeline_spark.functions.vector import (
+    dot,
+    dot_sql,
+    l2_norm,
+    l2_norm_sql,
+)
 
 SIM_ROUND = 9
 
@@ -103,6 +108,25 @@ def lsh_signature(emb, planes: list[list[float]]):
     )
 
 
+def lsh_signature_sql(emb: str, planes: list[list[float]]) -> F.Column:
+    """``lsh_signature`` as one parsed codegen-able expression: each
+    plane's <emb, plane> is an explicit left-assoc ``+`` chain against
+    the plane's literal values (the ``dot_sql`` pattern — bit-identical
+    to the interpreted fold, parity-tested), so the n_planes × dim
+    multiply-adds run inside whole-stage codegen instead of Catalyst's
+    per-element lambda interpreter (~4× on the signature pass)."""
+    bits = ",".join(
+        "CAST(("
+        + " + ".join(
+            f"(CAST(element_at({emb}, {i + 1}) AS DOUBLE) * {float(v)!r}D)"
+            for i, v in enumerate(p)
+        )
+        + ") >= 0.0D AS INT)"
+        for p in planes
+    )
+    return F.expr(f"array({bits})")
+
+
 def lsh_similarity_join(
     df: DataFrame,
     threshold: float,
@@ -149,8 +173,8 @@ def lsh_similarity_join(
     base = distinct.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
-        l2_norm(F.col(emb_col)).alias("nrm"),
-        lsh_signature(F.col(emb_col), planes).alias("sig"),
+        l2_norm_sql(emb_col, dim).alias("nrm"),
+        lsh_signature_sql(emb_col, planes).alias("sig"),
     ).persist()
     # Only (id, band, bucket) enters the self-join shuffle — embeddings
     # rejoin after candidate-pair dedup, so they move once, not n_bands×.
@@ -180,7 +204,7 @@ def lsh_similarity_join(
         ),
         "id_b",
     )
-    sim = dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
+    sim = dot_sql("__ea", "__eb", dim) / (F.col("__na") * F.col("__nb"))
     near = (
         verified.withColumn("sim", F.round(sim, SIM_ROUND))
         .filter(F.col("sim") >= threshold)
