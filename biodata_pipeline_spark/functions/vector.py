@@ -30,55 +30,6 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
-# --- fixed-dimension fast path ---------------------------------------------
-# Catalyst interprets `aggregate`/`zip_with` lambdas per element — no
-# whole-stage codegen inside the fold. When the vector dimension is known
-# (the engine's embedding tables are fixed-width), the same left fold can be
-# spelled as an explicit `+` chain of element_at terms: SQL `a + b + c`
-# parses left-associative, so the IEEE-754 operation sequence — hence every
-# bit of the result — matches the fold (the leading `0.0 +` of the fold is
-# exact under IEEE; parity is pinned in tests/test_vector_chain.py), but the
-# chain is plain arithmetic Catalyst codegens (~3-4× faster per pass,
-# measured on the kmeans assignment stage). Requires len(array) == dim:
-# ANSI element_at throws on shorter arrays rather than silently truncating.
-
-
-def _dot_chain(a: str, b: str, dim: int) -> str:
-    return " + ".join(
-        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" * CAST(element_at({b}, {i}) AS DOUBLE))"
-        for i in range(1, dim + 1)
-    )
-
-
-def dot_sql(a: str, b: str, dim: int) -> Column:
-    """``dot`` for a known dimension: one codegen-able parsed expression.
-
-    ``a``/``b`` are SQL fragments (column names or expressions) naming
-    array<numeric> values of exactly ``dim`` elements."""
-    return F.expr(_dot_chain(a, b, dim))
-
-
-def l2_norm_sql(a: str, dim: int) -> Column:
-    """``l2_norm`` for a known dimension (bit-identical to the fold)."""
-    return F.sqrt(dot_sql(a, a, dim))
-
-
-def cosine_sql(a: str, b: str, dim: int) -> Column:
-    """``cosine`` for a known dimension.
-
-    Three explicit chains (dot, ||a||², ||b||²) — each the same in-order
-    left fold as the struct-accumulator version, so the result is
-    bit-identical to ``cosine`` (parity-tested). The three sums are
-    let-bound through a 1-element transform so each chain evaluates once
-    even though the quotient references them twice."""
-    d, na, nb = _dot_chain(a, b, dim), _dot_chain(a, a, dim), _dot_chain(b, b, dim)
-    return F.expr(
-        f"transform(array(struct(({d}) AS d, ({na}) AS na, ({nb}) AS nb)), "
-        f"s -> s.d / (sqrt(s.na) * sqrt(s.nb)))[0]"
-    )
-
-
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array<numeric> columns (double).
 

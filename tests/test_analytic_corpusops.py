@@ -169,9 +169,13 @@ def test_vectorized_similarity_join_enforces_bound(spark, sf_dir):
     fallback = similarity_join_vectorized(
         emb, 0.25, max_vectors=10, on_overflow="lsh"
     )
-    # the fallback is the LSH plan: a real equi-join, no MapInPandas kernel
+    # the fallback is the LSH plan: a banded equi-join with no cross
+    # product and no driver-side collect (its verify kernel is a
+    # partition-parallel mapInPandas, unlike the bounded path's
+    # broadcast-matrix collect)
     plan = fallback._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert fallback.count() >= 0
 
 
