@@ -297,10 +297,16 @@ def minhash_lsh_dup_pairs(
     # band index as the first arg) — no string assembly. Only (id, band,
     # bucket) flows into the self-join shuffle; the shingle-hash arrays
     # rejoin after candidate dedup, so they are shuffled once, not n_bands×.
+    # Persisted: the signature pass (32 interpreted xxhash64 lanes per
+    # shingle — the most expensive map stage here) has THREE consumers:
+    # prune_mega_buckets' size aggregation and both aliases of the
+    # candidate self-join. Unpersisted, Spark recomputes it per consumer
+    # (measured 3× the signature cost at sf0.1); the cached frame is just
+    # (id, band, bucket) longs — tiny relative to the shingle table.
     bands = sig.select(
         "id",
         F.posexplode(band_buckets_expr("sig", n_bands, r)).alias("band", "bucket"),
-    )
+    ).persist()
     bands = prune_mega_buckets(bands, max_bucket)
     cands = (
         bands.alias("a")
