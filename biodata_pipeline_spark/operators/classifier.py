@@ -1,0 +1,99 @@
+"""Hashing-trick linear text classifier scoring — the distributed shape
+of fasttext-style quality filtering (Joulin et al. 2016; the CCNet /
+RefinedWeb model-based quality gate), with a deterministic weight scheme
+so the *pipeline* is oracle-checkable end-to-end.
+
+The real thing loads trained weights; the engine's job is the scoring
+dataflow, and that is identical either way:
+
+    tokens → feature bucket (hash % D) → per-bucket weight lookup
+           → per-doc weighted sum → link function
+
+Two scale properties worth the name:
+
+ - **No vocabulary table.** The hashing trick turns the embedding/weight
+   lookup into pure per-row arithmetic — the bucket is ``md5(word) % D``
+   and the weight is derived from the bucket id, so scoring is map-side
+   only and the single shuffle is the per-doc sum. With trained weights
+   the same plan holds: D weights fit in a broadcast literal at any
+   corpus size (D is fixed by the model, not the data).
+ - **Exact accumulation.** Weights are dyadic rationals k/2^32 − 1/2
+   (exactly representable in float64), so partial sums of up to ~2^20
+   terms are EXACT in IEEE double — summation order, and therefore
+   engine/partitioning choice, cannot perturb the result. No rounding
+   dance is needed before the division; the sigmoid of identical doubles
+   is then libm-consistent (the ln/exp precedent in the registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.textfn import tokens
+
+N_BUCKETS = 512
+
+
+def feature_bucket(word, n_buckets: int = N_BUCKETS, salt: str = "feat") -> Column:
+    """Hashed feature id in [0, n_buckets): first 8 md5 hex digits mod D
+    (md5 is engine-portable, unlike xxhash64)."""
+    word = F.col(word) if isinstance(word, str) else word
+    raw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), word)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(raw, F.lit(n_buckets))
+
+
+def bucket_weight(bucket: Column, salt: str = "w") -> Column:
+    """Deterministic weight in [-0.5, 0.5): a dyadic rational k/2^32 − 1/2
+    derived from the bucket id. A trained model would replace this with a
+    broadcast weight array lookup (element_at on a D-wide literal) — the
+    plan shape is unchanged."""
+    raw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), bucket.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return raw / F.lit(float(1 << 32)) - F.lit(0.5)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    gain: float = 8.0,
+) -> DataFrame:
+    """Per-document classifier score: sigmoid of the mean hashed-token
+    weight (times ``gain`` so scores spread over (0,1) instead of
+    clustering at 0.5). Output: ``(doc_id, n_tokens, score, keep)`` with
+    ``keep = score >= 0.5`` — the quality-gate decision column.
+
+    One explode + one per-doc shuffle; every document appears in the
+    output (empty docs score sigmoid(0) = 0.5)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    scored = words.select(
+        "id", bucket_weight(feature_bucket("word", n_buckets)).alias("w")
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w").alias("__sw"),  # exact: dyadic-rational accumulation
+    )
+    logit = F.lit(gain) * F.col("__sw") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    ).cast("double")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce(score, F.lit(0.5)), 6).alias("score"),
+            (F.coalesce(score, F.lit(0.5)) >= 0.5).cast("int").alias("keep"),
+        )
+    )

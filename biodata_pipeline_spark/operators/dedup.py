@@ -159,6 +159,63 @@ def ngram_jaccard_dup_pairs(
     )
 
 
+def duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+) -> DataFrame:
+    """Passage-level duplication audit (the substring-dedup signal of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at token-window granularity): for every document, how many
+    of its distinct ``window``-token passages also appear in at least one
+    OTHER document, and the duplicated fraction.
+
+    Per-doc distinct windows mean the cross-doc count per passage equals
+    its document frequency, so "duplicated" is simply df >= 2 — no
+    self-pair bookkeeping. Plan: one map-side explode, one groupBy on the
+    passage (the df count), a co-partitioned semi-join back, and the
+    per-doc rollup — no self-join of the corpus against itself. At 100 TB
+    the passage groupBy would key on xxhash64(passage) to keep the
+    shuffle rows fixed-width (collision odds ~n²/2⁶⁴ — acceptable for an
+    audit, swapped here for the exact string so the count is
+    oracle-exact).
+
+    Output: ``(doc_id, n_windows, n_dup_windows, dup_frac)`` for every
+    document, zero-filled for docs with no duplicated passage.
+    """
+    # persisted: the exploded passage table feeds the df count, the
+    # semi-join probe side, and the per-doc totals (three consumers; the
+    # tokenize+shingle explode would otherwise run per consumer — the
+    # minhash_lsh_dup_pairs lesson)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), window)).alias("sh"),
+    ).persist()
+    dup_sh = sh.groupBy("sh").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") >= 2
+    )
+    dup_counts = (
+        sh.join(dup_sh.select("sh"), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = sh.groupBy("id").agg(F.count("*").alias("n_windows"))
+    return (
+        totals.join(dup_counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.greatest("n_windows", F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def shingle_hashes(shingles_col) -> F.Column:
     """Each distinct shingle reduced to one 64-bit hash. Every downstream
     MinHash computation (signature derivation, exact-Jaccard verification)

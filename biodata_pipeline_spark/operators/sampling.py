@@ -49,6 +49,54 @@ def hash_sample(
     return df.filter(sample_predicate(key_col, fraction, salt))
 
 
+def hash_uniform(key, salt: str = "") -> Column:
+    """Deterministic uniform draw in (0, 1]: the first 8 hex digits of
+    ``md5(salt‖key)`` as an integer, shifted to exclude 0 (``ln`` of the
+    draw must be finite). The value is a dyadic rational (k+1)/2^32 —
+    exactly representable in float64 on every engine, so downstream
+    arithmetic starts from bit-identical inputs."""
+    key = F.col(key) if isinstance(key, str) else key
+    raw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return (raw + F.lit(1.0)) / F.lit(float(1 << 32))
+
+
+def weighted_sample_key(key, weight, salt: str = "") -> Column:
+    """Efraimidis–Spirakis (A-ES) weighted-sampling key: taking the k
+    rows with the LARGEST ``ln(u)/w`` (u uniform per row, w the row's
+    weight) draws a weighted sample without replacement — the standard
+    one-pass distributed formulation (each partition computes keys
+    map-side; the global top-k is a TakeOrdered, never a full sort).
+
+    ``ln`` of identical doubles is libm-consistent across engines (the
+    q_tfidf precedent) and u is an exact dyadic rational, so keys are
+    reproducible; they are still rounded (12 dp — keys sit in
+    [-22/w_min, 0], far coarser than the rounding) so any residual ulp
+    collapses into ties broken by the caller's id column."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = hash_uniform(key, salt)
+    return F.round(F.log(u) / F.greatest(w.cast("double"), F.lit(1.0)), 12)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "aes",
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement (A-ES). Rows are
+    kept with probability proportional to ``weight_col`` (exactly: the
+    sequential weighted draw), deterministically in ``key_col``."""
+    keyed = df.withColumn(
+        "__sk", weighted_sample_key(key_col, weight_col, salt)
+    )
+    return keyed.orderBy(F.desc("__sk"), F.asc(key_col)).limit(k)
+
+
 def train_test_split(
     df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

@@ -67,6 +67,11 @@ _ALL_ORACLE = {
 #        for round-over-round regression signal.
 _DRIVER_WINDOW = [
     # -- block 1: first driver rows this round ---------------------------
+    # round-4 additions (no prior CORRECTNESS row):
+    "q_weighted_sample",
+    "q_passage_dedup",
+    "q_quality_classifier",
+    # round-3 block (driver-green in r03, kept while fresh):
     "q_chunk_documents",
     "q_token_stats",
     "q_bpe_token_count",
@@ -102,18 +107,16 @@ _DRIVER_WINDOW = [
     "q_embed_quantize",
     "q_kmeans_clusters",
     "q_semantic_dedup",
-    # -- block 2: family representatives (driver-green in r01/r02) -------
+    # -- block 2: family representatives (driver-green in r01/r02/r03) ---
     # (q01/q05 rotated out for the round-3 additions; q07/q17/q20 then
     # q12/q14 rotated out for the round-3 training-data queries; q10/q22
-    # rotated out for the kmeans/semantic-dedup pair — all trivial, green
-    # twice, still covered by the local gate)
+    # rotated out for the kmeans/semantic-dedup pair; q13/q15/q23 rotated
+    # out for the round-4 sampling/passage/classifier queries — all
+    # green in ≥2 rounds, still covered by the local gate)
     "q09_exact_dedup",
     "q11_multiway_join_revenue",
-    "q13_anti_join_manifest",
-    "q15_range_join_price_bands",
     "q16_asof_join",
     "q21_pricing_summary",
-    "q23_rollup_revenue",
     "q24_cosine_topk",
     "q25_similarity_join",
     "q26_retrieval_rank_detail",

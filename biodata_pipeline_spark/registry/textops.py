@@ -434,6 +434,53 @@ def q_stratified_split(spark, sf_dir):
     )
 
 
+WSAMPLE_K = 100
+PASSAGE_WINDOW = 5
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    the 100 documents drawn with probability ∝ n_chars — the
+    importance-sampling primitive mixture builders use to upweight long
+    or high-quality documents deterministically.
+
+    The per-row key ln(u)/w is pure map work from an md5-derived dyadic
+    uniform; the global top-k is a TakeOrderedAndProject (per-partition
+    heaps + one k-row merge at the driver), never a full sort — the same
+    plan at any corpus size."""
+    from biodata_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, WSAMPLE_K, "doc_id", "n_chars").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("__sk").alias("sample_key"),
+    )
+
+
+def q_passage_dedup(spark, sf_dir):
+    """Passage-duplication audit: per document, the count and fraction of
+    its distinct 5-token windows that appear in any other document
+    (Lee et al. 2022's substring-dedup signal at token granularity;
+    operators/dedup.py:duplicated_passages)."""
+    from biodata_pipeline_spark.operators.dedup import duplicated_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_passages(docs, window=PASSAGE_WINDOW)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashing-trick linear quality classifier scoring — the fasttext-
+    style model-based filter as a vocabulary-free dataflow: bucket =
+    md5(word) % 512, weight derived from the bucket, per-doc mean weight
+    through a sigmoid (operators/classifier.py). Map-side feature
+    hashing + one per-doc shuffle; weights are dyadic rationals so the
+    per-doc sums are EXACT regardless of partitioning/summation order."""
+    from biodata_pipeline_spark.operators.classifier import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs)
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -496,6 +543,9 @@ SPARK = {
     "q_mixture_allocation": q_mixture_allocation,
     "q_stratified_split": q_stratified_split,
     "q_token_entropy": q_token_entropy,
+    "q_weighted_sample": q_weighted_sample,
+    "q_passage_dedup": q_passage_dedup,
+    "q_quality_classifier": q_quality_classifier,
 }
 
 # Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
@@ -813,5 +863,80 @@ ORACLE = {
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM ranked GROUP BY 1, 2, 3
+    """,
+    # u = (hex(md5)+1)/2^32 is an exact dyadic rational and ln() is
+    # libm-consistent on identical doubles, so keys match Spark's
+    # bit-for-bit before the shared 12 dp rounding
+    "q_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   round(
+                       ln((CAST(concat('0x', substr(md5(concat('aes', CAST(doc_id AS VARCHAR))), 1, 8))
+                                AS BIGINT) + 1.0) / 4294967296.0)
+                       / greatest(CAST(n_chars AS DOUBLE), 1.0),
+                   12) AS sample_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, sample_key
+        FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT {WSAMPLE_K}
+    """,
+    "q_passage_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(t[i:i+{PASSAGE_WINDOW - 1}], ' ') AS s
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= {PASSAGE_WINDOW}
+              AND i <= len(t) - {PASSAGE_WINDOW - 1}
+        ),
+        dup AS (
+            SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+        ),
+        per_doc AS (
+            SELECT sh.doc_id,
+                   count(*) AS n_windows,
+                   sum(CASE WHEN dup.s IS NULL THEN 0 ELSE 1 END) AS n_dup
+            FROM sh LEFT JOIN dup USING (s)
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(n_dup AS BIGINT) AS n_dup_windows,
+               round(n_dup / greatest(n_windows, 1), 6) AS dup_frac
+        FROM per_doc
+    """,
+    "q_quality_classifier": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+            FROM documents
+        ),
+        weighted AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('w:', CAST(
+                       CAST(concat('0x', substr(md5(concat('feat:', word)), 1, 8))
+                            AS BIGINT) % 512 AS VARCHAR))), 1, 8)) AS BIGINT)
+                       / 4294967296.0 - 0.5 AS w
+            FROM words
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens, sum(w) AS sw
+            FROM weighted GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   CASE WHEN coalesce(p.n_tokens, 0) > 0
+                        THEN 1.0 / (1.0 + exp(-(8.0 * p.sw / p.n_tokens)))
+                        ELSE 0.5 END AS score
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(score, 6) AS score,
+               CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM scored
     """,
 }

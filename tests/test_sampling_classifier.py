@@ -1,0 +1,118 @@
+"""Round-4 operators: A-ES weighted sampling, passage-duplication audit,
+hashing-trick classifier scoring."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.classifier import hashed_linear_score
+from biodata_pipeline_spark.operators.dedup import duplicated_passages
+from biodata_pipeline_spark.operators.sampling import (
+    hash_uniform,
+    weighted_sample,
+)
+
+
+def test_hash_uniform_is_deterministic_and_in_unit_interval(spark):
+    df = spark.range(200).select(hash_uniform("id").alias("u"))
+    rows = [r.u for r in df.collect()]
+    again = [r.u for r in spark.range(200).select(hash_uniform("id").alias("u")).collect()]
+    assert rows == again
+    assert all(0.0 < u <= 1.0 for u in rows)
+    # draws should actually spread over the interval
+    assert max(rows) > 0.9 and min(rows) < 0.1
+
+
+def test_weighted_sample_returns_k_rows_and_is_stable(spark):
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    s1 = weighted_sample(df, 50, "id", "w").select("id").collect()
+    s2 = weighted_sample(df, 50, "id", "w").select("id").collect()
+    assert s1 == s2
+    assert len(s1) == 50
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # half the rows carry 50× the weight: the sample must skew heavy.
+    # With weights 50 vs 1 the expected heavy share is ~98%; 60 of 100
+    # leaves ~12σ of slack, so this is deterministic-in-practice.
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    sample = weighted_sample(df, 100, "id", "w").collect()
+    heavy = sum(1 for r in sample if r.id % 2 == 0)
+    assert heavy > 60
+
+
+def test_weighted_sample_is_a_takeordered_not_a_full_sort(spark):
+    df = spark.range(100).select(F.col("id"), F.lit(1.0).alias("w"))
+    plan = (
+        weighted_sample(df, 5, "id", "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicated_passages_finds_shared_window(spark):
+    shared = "alpha beta gamma delta epsilon"
+    docs = _docs(
+        spark,
+        [
+            (1, f"intro words here {shared} trailing tail one"),
+            (2, f"{shared} completely different ending structure here"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+    )
+    out = {r.doc_id: r for r in duplicated_passages(docs, window=5).collect()}
+    assert out[1].n_dup_windows == 1 and out[2].n_dup_windows == 1
+    assert out[3].n_dup_windows == 0
+    assert out[3].dup_frac == 0.0
+    assert out[1].n_windows == 7  # 11 tokens → 7 distinct 5-token windows
+
+
+def test_duplicated_passages_short_docs_have_no_windows(spark):
+    docs = _docs(spark, [(1, "only four tokens here"), (2, "a b c d e")])
+    out = {r.doc_id: r for r in duplicated_passages(docs, window=5).collect()}
+    assert 1 not in out  # < window tokens → no window rows
+    assert out[2].n_windows == 1 and out[2].n_dup_windows == 0
+
+
+def test_hashed_linear_score_covers_every_doc_and_bounds(spark):
+    docs = _docs(
+        spark,
+        [(1, "some ordinary words in a document"), (2, ""), (3, "more text")],
+    )
+    out = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].n_tokens == 0 and out[2].score == 0.5 and out[2].keep == 1
+    assert all(0.0 < r.score < 1.0 for r in out.values())
+    assert all(r.keep == int(r.score >= 0.5) for r in out.values())
+
+
+def test_hashed_linear_score_matches_local_recompute(spark):
+    """The distributed score must equal a driver-side recompute of the
+    same hashing scheme (exact dyadic accumulation ⇒ no tolerance)."""
+    import hashlib
+
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [(1, text)])
+    out = hashed_linear_score(docs).collect()[0]
+
+    def u32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ws = []
+    for word in text.split():
+        bucket = u32(f"feat:{word}") % 512
+        ws.append(u32(f"w:{bucket}") / 2**32 - 0.5)
+    logit = 8.0 * sum(ws) / len(ws)
+    expected = round(1.0 / (1.0 + math.exp(-logit)), 6)
+    assert out.score == expected
