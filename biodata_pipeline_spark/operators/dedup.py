@@ -37,6 +37,40 @@ def normalized(col) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def collapse_identical(
+    df: DataFrame, id_col: str, key: F.Column
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse rows whose ``key`` expression is identical to one
+    representative (min id) each: returns ``(distinct_rows, edges)``
+    with ``edges = (id_a=rep, id_b=member)`` for every other member.
+
+    Shuffle discipline — the part that matters at corpus scale: the
+    representative window runs over a NARROW ``(id, key)`` projection
+    (two longs per row), never over the full rows, so document text /
+    embedding payloads do not shuffle on the content hash. The narrow
+    rep table is persisted (it feeds both the edge branch and the
+    survivor semi-join; unpersisted, the scan + window re-ran per
+    consumer — measured 3× the window cost on a 100×-duplicated corpus),
+    and the survivors come back as a semi-join on ``id_col``, which AQE
+    turns into a broadcast when the distinct side is small and an
+    id-partitioned shuffle — the payload's only shuffle — when it isn't.
+    """
+    from pyspark.sql import Window
+
+    narrow = df.select(F.col(id_col), key.alias("__k")).withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__k"))
+    ).persist()
+    edges = narrow.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    distinct = df.join(
+        narrow.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return distinct, edges
+
+
 def collapse_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -52,20 +86,10 @@ def collapse_exact(
     a 10× replicated corpus produced 29M candidates from 50k docs and
     OOM'd). After collapsing, banding sees each distinct content once and
     clusters are recovered from the rep→member edges (union-find style:
-    edges, not all-pairs, represent a clique).
-
-    The representative comes from a window min over the content-hash
-    partition — one shuffle, vs. two for the groupBy+join formulation."""
-    from pyspark.sql import Window
-
-    keyed = df.withColumn("__k", F.xxhash64(normalized(F.col(text_col)))).withColumn(
-        "__rep", F.min(id_col).over(Window.partitionBy("__k"))
+    edges, not all-pairs, represent a clique)."""
+    return collapse_identical(
+        df, id_col, F.xxhash64(normalized(F.col(text_col)))
     )
-    edges = keyed.filter(F.col(id_col) != F.col("__rep")).select(
-        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
-    )
-    distinct = keyed.filter(F.col(id_col) == F.col("__rep")).drop("__k", "__rep")
-    return distinct, edges
 
 
 def prune_mega_buckets(

@@ -142,23 +142,14 @@ def lsh_similarity_join(
     # m copies of one vector would put m identical signatures in every
     # band bucket (O(m²) candidates per duplicate cluster; measured OOM on
     # a 10×-replicated corpus). Duplicates come back as rep→member edges
-    # with sim 1.0. Window min over the vector hash = one shuffle.
-    from pyspark.sql import Window
+    # with sim 1.0. collapse_identical windows a narrow (id, hash)
+    # projection, so the embedding payload never shuffles on the hash.
+    from biodata_pipeline_spark.operators.dedup import collapse_identical
 
-    # persisted: exact_edges and the distinct-representative stream both
-    # consume it — without the persist the scan + __k shuffle + window
-    # run twice (once under base's cache build, once for exact_edges)
-    keyed = (
-        df.withColumn("__k", F.xxhash64(F.col(emb_col)))
-        .withColumn("__rep", F.min(id_col).over(Window.partitionBy("__k")))
-        .persist()
+    distinct, dup_edges = collapse_identical(
+        df, id_col, F.xxhash64(F.col(emb_col))
     )
-    exact_edges = keyed.filter(F.col(id_col) != F.col("__rep")).select(
-        F.col("__rep").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.lit(1.0).alias("sim"),
-    )
-    distinct = keyed.filter(F.col(id_col) == F.col("__rep"))
+    exact_edges = dup_edges.withColumn("sim", F.lit(1.0))
     # (id, emb, sig) computed once and persisted: the banding pass and both
     # sides of candidate verification consume it. The HOF signature beats
     # the inlined n_planes×dim SQL chain here: the chain's one-time JIT +
