@@ -52,6 +52,10 @@ HEADLINE = [
     "q_media_inventory",          # Arrow mapInPandas binary decode
     "q_unigram_logprob",          # LM scoring: tf table + bounded-vocab broadcast
     "q_embed_quantize",           # int8 quantization: per-row array math
+    # round 4 additions:
+    "q_weighted_sample",          # A-ES weighted top-k (TakeOrdered, no sort)
+    "q_passage_dedup",            # token-window substring-dedup audit
+    "q_quality_classifier",       # hashing-trick linear scorer (1 shuffle)
 ]
 
 
