@@ -291,7 +291,9 @@ def q_unigram_logprob(spark, sf_dir):
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
     wc = tf.groupBy("word").agg(F.sum("tf").alias("c"))
     vocab = wc.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_K)
-    consts = wc.agg(F.sum("c").alias("__t")).crossJoin(
+    # the corpus token total sums the cached tf table directly (partial
+    # aggs only — no second word-grouped shuffle through wc)
+    consts = tf.agg(F.sum("tf").alias("__t")).crossJoin(
         vocab.agg(F.sum("c").alias("__vt"), F.count("*").alias("__k"))
     )
     scored = (
