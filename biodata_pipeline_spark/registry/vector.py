@@ -246,6 +246,25 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_survivors(corpus, EMB_DEDUP_THRESHOLD)
 
 
+def q_pca_projection(spark, sf_dir):
+    """First-principal-component scores by distributed power iteration
+    (operators/pca.py): μ and two power steps fit eagerly (each step ONE
+    hash aggregate of 64 rounded partial sums — partials shuffle, data
+    never does), then a zero-shuffle projection against embedded
+    literals. Oracle-checkable like q_kmeans_clusters: deterministic
+    seed vector, in-order folds, round(sum, 6)/count at every
+    data-dependent step, so the iterate stays bit-identical across
+    engines."""
+    from biodata_pipeline_spark.operators.pca import (
+        power_iteration_fit,
+        project_pc1,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mu, v = power_iteration_fit(emb)
+    return project_pc1(emb, mu, v)
+
+
 # --- approximate scale paths: no SQL oracle (rows-only + pytest) -------------
 
 
@@ -303,6 +322,7 @@ SPARK = {
     "q_embed_cosine_dedup": q_embed_cosine_dedup,
     "q_kmeans_clusters": q_kmeans_clusters,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_pca_projection": q_pca_projection,
     "q_lsh_similarity_join": q_lsh_similarity_join,
     "q_ivf_ann": q_ivf_ann,
     "q_approx_count_distinct": q_approx_count_distinct,
@@ -330,6 +350,66 @@ _NORMS = f"""
         FROM embeddings
     )
 """
+
+
+def _seed_vector_literal() -> str:
+    """The PCA seed vector as a DuckDB DOUBLE list literal. An exponent
+    suffix forces DOUBLE parsing (a bare decimal literal is DECIMAL in
+    DuckDB); repr round-trips float64 exactly under correctly-rounded
+    strtod, so the embedded values match Spark's bit-for-bit."""
+    from biodata_pipeline_spark.operators.pca import seed_vector
+
+    parts = []
+    for x in seed_vector():
+        s = repr(float(x))
+        parts.append(s if ("e" in s or "E" in s) else s + "e0")
+    return "[" + ",".join(parts) + "]"
+
+
+def _pca_sql(source: str, iters: int = 2, grain: int = 6, dim: int = 64) -> str:
+    """Unrolled power iteration over ``source`` (vec_id, embedding) as a
+    CTE chain ending in ``v{iters}_l`` = the fitted component. Mirrors
+    operators/pca.py step for step: round(sum, grain)/count mean, the
+    same in-order centered-dot fold, per-dimension round(sum, grain)
+    power steps, ascending-fold normalization."""
+    cdot = (
+        "list_sum(list_transform(range(1, {d} + 1), j -> "
+        "(CAST(e.embedding[j] AS DOUBLE) - m.mu[j]) * v.v[j]))"
+    ).format(d=dim)
+    parts = [
+        f"""
+        mu0 AS (
+            SELECT g.i, round(sum(CAST(e.embedding[g.i] AS DOUBLE)), {grain})
+                        / count(*) AS m
+            FROM {source} e CROSS JOIN generate_series(1, {dim}) AS g(i)
+            GROUP BY g.i
+        ),
+        mu_l AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+        v0_l AS (SELECT {_seed_vector_literal()} AS v)"""
+    ]
+    prev = "v0_l"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""
+        p{it} AS (
+            SELECT {cdot} AS p, e.embedding
+            FROM {source} e, mu_l m, {prev} v
+        ),
+        w{it} AS (
+            SELECT g.i,
+                   round(sum(e.p * (CAST(e.embedding[g.i] AS DOUBLE) - m.mu[g.i])),
+                         {grain}) AS w
+            FROM p{it} e, mu_l m, generate_series(1, {dim}) AS g(i)
+            GROUP BY g.i
+        ),
+        v{it}_l AS (
+            SELECT list_transform(wl, x ->
+                x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v
+            FROM (SELECT list(w ORDER BY i) AS wl FROM w{it})
+        )"""
+        )
+        prev = f"v{it}_l"
+    return ",".join(parts)
 
 
 def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
@@ -527,6 +607,14 @@ ORACLE = {
     "q_kmeans_clusters": f"""
         WITH {_kmeans_sql('embeddings')}
         SELECT vec_id, cl AS cluster, round(dist, 6) AS dist2 FROM a2
+    """,
+    "q_pca_projection": f"""
+        WITH {_pca_sql('embeddings')}
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, 65), j ->
+                   (CAST(e.embedding[j] AS DOUBLE) - m.mu[j]) * v.v[j])), 6)
+                 AS pc1
+        FROM embeddings e, mu_l m, v2_l v
     """,
     "q_semantic_dedup": f"""
         WITH corpus AS (
