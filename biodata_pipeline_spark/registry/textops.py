@@ -483,6 +483,21 @@ def q_quality_classifier(spark, sf_dir):
     return hashed_linear_score(docs)
 
 
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-column intake profile of the documents table (row/null/exact-
+    distinct counts, min/max as strings) — the governance summary a
+    pipeline records per corpus drop. Union-of-single-column aggregates:
+    each branch's scan reads exactly one parquet column
+    (operators/profile.py)."""
+    from biodata_pipeline_spark.operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, PROFILE_COLS)
+
+
 # --- approximate dedup (rows-only + pytest recall checks) --------------------
 
 
@@ -548,6 +563,7 @@ SPARK = {
     "q_weighted_sample": q_weighted_sample,
     "q_passage_dedup": q_passage_dedup,
     "q_quality_classifier": q_quality_classifier,
+    "q_corpus_profile": q_corpus_profile,
 }
 
 # Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
@@ -865,6 +881,35 @@ ORACLE = {
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM ranked GROUP BY 1, 2, 3
+    """,
+    "q_corpus_profile": """
+        SELECT 'doc_id' AS column, count(*) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT doc_id) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_val,
+               CAST(max(doc_id) AS VARCHAR) AS max_val
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(*),
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT text), min(text), max(text)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT lang), min(lang), max(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT source), min(source), max(source)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*),
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT n_chars),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
     """,
     # u = (hex(md5)+1)/2^32 is an exact dyadic rational and ln() is
     # libm-consistent on identical doubles, so keys match Spark's

@@ -133,3 +133,12 @@ def test_retrieve_top_k_auto_picks_exact_then_ivf(spark, sf_dir):
     assert len(ex) == 10 and len(ap) == 10
     # each query's own vector is always rank 1 on both paths (sim == 1)
     assert ex[(0, 1)] == 0 and ap[(0, 1)] == 0 and ex[(1, 1)] == 1
+
+
+def test_profile_branches_prune_to_single_columns(spark, sf_dir):
+    """Each union branch of the corpus profile must scan exactly its own
+    parquet column (the union-of-aggregates design contract)."""
+    plan = formatted_plan(SPARK_QUERIES["q_corpus_profile"](spark, sf_dir))
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "ReadSchema: struct<lang:string>" in plan
+    assert "ReadSchema: struct<n_chars:bigint>" in plan

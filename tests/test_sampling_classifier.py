@@ -116,3 +116,27 @@ def test_hashed_linear_score_matches_local_recompute(spark):
     logit = 8.0 * sum(ws) / len(ws)
     expected = round(1.0 / (1.0 + math.exp(-logit)), 6)
     assert out.score == expected
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from biodata_pipeline_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "s"]
+    )
+    out = {r.column: r for r in profile(df, ["id", "s"]).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_val == "a" and out["s"].max_val == "b"
+    assert out["id"].min_val == "1" and out["id"].max_val == "4"
+
+
+def test_profile_approx_mode_stays_close(spark):
+    from biodata_pipeline_spark.operators.profile import profile
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    exact = profile(df, ["k"]).collect()[0]
+    approx = profile(df, ["k"], exact=False).collect()[0]
+    assert exact.n_distinct == 1000
+    assert abs(approx.n_distinct - 1000) < 100
