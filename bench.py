@@ -56,6 +56,7 @@ HEADLINE = [
     "q_weighted_sample",          # A-ES weighted top-k (TakeOrdered, no sort)
     "q_passage_dedup",            # token-window substring-dedup audit
     "q_quality_classifier",       # hashing-trick linear scorer (1 shuffle)
+    "q_pca_projection",           # power iteration: partial-sum-only shuffles
 ]
 
 
