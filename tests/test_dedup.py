@@ -294,3 +294,21 @@ def test_approx_stratum_buckets_tracks_exact_ntile(spark, sf_dir):
         docs, "lang", "n_tok", n_buckets=4
     ).collect()}
     assert again == {(r.doc_id, r.bucket) for r in rows}
+
+
+def test_simhash_kernel_matches_hof_fold(spark, sf_dir):
+    """The numpy vote fold must reproduce the JVM HOF fingerprint
+    bit-for-bit (pure integer math — no tolerance)."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_fingerprints,
+    )
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    hof = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("fp")).collect()}
+    ker = {r.id: r.fp for r in simhash_fingerprints(docs).collect()}
+    assert hof == ker and len(ker) > 0
