@@ -273,8 +273,19 @@ def shingle_hash_table(
         )
 
     hs = F.get(F.transform(F.array(ht_expr), shingles_from), 0)
-    return df.select(F.col(id_col).alias("id"), hs.alias("hs")).filter(
-        F.size("hs") > 0
+    # Guard against empty shingle sets with a CHEAP text-level predicate
+    # (trim non-empty ∧ ≥ n whitespace-split fields ⇔ size(hs) > 0), NOT
+    # a filter on the computed hs column: Catalyst substitutes a computed
+    # column's defining expression into a filter and pushes it through
+    # joins, so `filter(size(hs) > 0)` below a selective semi-join ran
+    # the full tokenize+shingle+hash chain over every pre-join row
+    # (measured: 11.3 s vs 4.9 s on a 100×-duplicated corpus where the
+    # join keeps 1%). The cheap predicate pushes to the scan instead.
+    has_shingles = (F.length(F.trim(F.col(text_col))) > 0) & (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    )
+    return df.filter(has_shingles).select(
+        F.col(id_col).alias("id"), hs.alias("hs")
     )
 
 
