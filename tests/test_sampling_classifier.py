@@ -140,3 +140,16 @@ def test_profile_approx_mode_stays_close(spark):
     approx = profile(df, ["k"], exact=False).collect()[0]
     assert exact.n_distinct == 1000
     assert abs(approx.n_distinct - 1000) < 100
+
+
+def test_duplicated_passages_exact_copies_are_all_dup(spark):
+    """Exact duplicates collapse before shingling, but multiplicity must
+    still count toward document frequency: copies are all-dup, and a
+    window shared only between the copies still counts as duplicated."""
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(spark, [(1, text), (2, text), (3, "totally different words here now")])
+    out = {r.doc_id: r for r in duplicated_passages(docs, window=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_windows == 2 and out[1].dup_frac == 1.0
+    assert out[2].n_windows == 2 and out[2].dup_frac == 1.0  # member copies rep
+    assert out[3].n_dup_windows == 0
