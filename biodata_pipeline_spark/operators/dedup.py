@@ -218,7 +218,15 @@ def duplicated_passages(
     # edges (copies of a duplicated doc are all-dup by definition:
     # weight ≥ 2 marks every one of their windows). Measured 63.7 s →
     # single-digit seconds on the 100×-duplication probe.
-    distinct, edges = collapse_exact(df, id_col, text_col)
+    #
+    # The collapse key preserves CASE (unlike collapse_exact's
+    # lowercased normalization): passage identity is exact token
+    # equality, so "A B" and "a b" must not share a representative —
+    # only whitespace runs (which \s+ tokenization cannot see) collapse.
+    case_exact_key = F.xxhash64(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+    distinct, edges = collapse_identical(df, id_col, case_exact_key)
     weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
     # persisted: the exploded passage table feeds the weighted df count,
     # the semi-join probe side, and the per-doc totals (three consumers;

@@ -153,3 +153,14 @@ def test_duplicated_passages_exact_copies_are_all_dup(spark):
     assert out[1].n_windows == 2 and out[1].dup_frac == 1.0
     assert out[2].n_windows == 2 and out[2].dup_frac == 1.0  # member copies rep
     assert out[3].n_dup_windows == 0
+
+
+def test_duplicated_passages_case_variants_do_not_collapse(spark):
+    """Case-variant docs are NOT exact passage duplicates: their window
+    strings differ, so neither doc's windows may count as duplicated."""
+    docs = _docs(
+        spark,
+        [(1, "Alpha Beta Gamma Delta Epsilon"), (2, "alpha beta gamma delta epsilon")],
+    )
+    out = {r.doc_id: r for r in duplicated_passages(docs, window=5).collect()}
+    assert out[1].n_dup_windows == 0 and out[2].n_dup_windows == 0
