@@ -77,6 +77,7 @@ def hashed_linear_score(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     gain: float = 8.0,
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """Per-document classifier score: sigmoid of the mean hashed-token
     weight (times ``gain`` so scores spread over (0,1) instead of
@@ -84,30 +85,58 @@ def hashed_linear_score(
     ``keep = score >= 0.5`` — the quality-gate decision column.
 
     One explode + one per-doc shuffle; every document appears in the
-    output (empty docs score sigmoid(0) = 0.5)."""
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("word"),
-    )
-    scored = words.select(
-        "id",
-        bucket_weight(feature_bucket("word", n_buckets), n_buckets).alias("w"),
-    )
-    per_doc = scored.groupBy("id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum("w").alias("__sw"),  # exact: dyadic-rational accumulation
-    )
-    logit = F.lit(gain) * F.col("__sw") / F.greatest(
-        F.col("n_tokens"), F.lit(1)
-    ).cast("double")
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(F.coalesce(score, F.lit(0.5)), 6).alias("score"),
-            (F.coalesce(score, F.lit(0.5)) >= 0.5).cast("int").alias("keep"),
+    output (empty docs score sigmoid(0) = 0.5).
+
+    ``collapse_duplicates`` (default on) scores once per distinct
+    content and copies the row to exact duplicates via the collapse
+    edges — the score is a pure function of the token sequence, and web
+    corpora are 30-60% exact duplicates, so this is the 100 TB shape
+    (the CCNet order: dedup before LM scoring). The collapse key is
+    whitespace-normalized but CASE-PRESERVING, because feature buckets
+    are case-sensitive; whitespace runs are invisible to the ``\\s+``
+    tokenizer, so collapsed variants provably score identically."""
+
+    def score_frame(base: DataFrame) -> DataFrame:
+        words = base.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("word"),
         )
+        scored = words.select(
+            "id",
+            bucket_weight(feature_bucket("word", n_buckets), n_buckets).alias(
+                "w"
+            ),
+        )
+        per_doc = scored.groupBy("id").agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("__sw"),  # exact: dyadic-rational accumulation
+        )
+        logit = F.lit(gain) * F.col("__sw") / F.greatest(
+            F.col("n_tokens"), F.lit(1)
+        ).cast("double")
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+        return (
+            base.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                F.round(F.coalesce(score, F.lit(0.5)), 6).alias("score"),
+                (F.coalesce(score, F.lit(0.5)) >= 0.5).cast("int").alias("keep"),
+            )
+        )
+
+    if not collapse_duplicates:
+        return score_frame(df)
+
+    from biodata_pipeline_spark.operators.dedup import collapse_identical
+
+    key = F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    distinct, edges = collapse_identical(df, id_col, key)
+    rep = score_frame(distinct)
+    member = edges.join(
+        rep.withColumnRenamed(id_col, "id_a"), "id_a"
+    ).select(
+        F.col("id_b").alias(id_col), "n_tokens", "score", "keep"
     )
+    return rep.unionByName(member)

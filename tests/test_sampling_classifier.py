@@ -164,3 +164,27 @@ def test_duplicated_passages_case_variants_do_not_collapse(spark):
     )
     out = {r.doc_id: r for r in duplicated_passages(docs, window=5).collect()}
     assert out[1].n_dup_windows == 0 and out[2].n_dup_windows == 0
+
+
+def test_hashed_linear_score_collapse_matches_direct(spark):
+    """Content memoization must be invisible in the output: identical
+    rows with and without duplicate collapsing, including exact copies
+    and whitespace variants (same tokens), but not case variants."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),       # exact copy of 1
+            (3, "alpha  beta   gamma"),    # whitespace variant of 1
+            (4, "Alpha Beta Gamma"),       # case variant: different buckets
+            (5, ""),
+        ],
+    )
+    direct = sorted(
+        hashed_linear_score(docs, collapse_duplicates=False).collect()
+    )
+    collapsed = sorted(hashed_linear_score(docs).collect())
+    assert direct == collapsed
+    rows = {r.doc_id: r for r in collapsed}
+    assert rows[1].score == rows[2].score == rows[3].score
+    assert rows[4].score != rows[1].score
