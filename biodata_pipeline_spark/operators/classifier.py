@@ -129,14 +129,6 @@ def hashed_linear_score(
     if not collapse_duplicates:
         return score_frame(df)
 
-    from biodata_pipeline_spark.operators.dedup import collapse_identical
+    from biodata_pipeline_spark.operators.dedup import per_content
 
-    key = F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    distinct, edges = collapse_identical(df, id_col, key)
-    rep = score_frame(distinct)
-    member = edges.join(
-        rep.withColumnRenamed(id_col, "id_a"), "id_a"
-    ).select(
-        F.col("id_b").alias(id_col), "n_tokens", "score", "keep"
-    )
-    return rep.unionByName(member)
+    return per_content(df, score_frame, id_col, text_col)

@@ -71,6 +71,48 @@ def collapse_identical(
     return distinct, edges
 
 
+def case_exact_key(text_col: str) -> F.Column:
+    """Whitespace-normalized, case-preserving content key: collapses
+    variants the ``\\s+`` tokenizer cannot distinguish and nothing else.
+    The collapse key for content-pure computations whose token features
+    are case-sensitive (passage windows, hashed classifier buckets)."""
+    return F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def per_content(
+    df: DataFrame,
+    compute,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: F.Column | None = None,
+) -> DataFrame:
+    """Content memoization: run ``compute`` (a frame → frame function
+    that preserves ``id_col`` and emits one row per input row) once per
+    distinct content, then copy each representative's row to its exact
+    duplicates via the collapse edges.
+
+    The 100 TB lever for every content-pure per-document operator
+    (quality/LM scoring, fingerprints, token stats): web corpora run
+    30-60% exact duplicates, and recomputing a pure function per copy is
+    pure waste — this is the CCNet ordering (dedup before scoring) as a
+    combinator. Cost: the narrow collapse window + one broadcast-ish
+    semi-join + the edge join; wins whenever ``compute`` is more
+    expensive than that, or the duplication factor is real.
+
+    ``key`` defaults to ``case_exact_key`` — callers whose features are
+    case-insensitive may pass a looser key (e.g. collapse_exact's
+    normalized hash) for a higher collapse rate."""
+    distinct, edges = collapse_identical(
+        df, id_col, key if key is not None else case_exact_key(text_col)
+    )
+    rep = compute(distinct)
+    others = [c for c in rep.columns if c != id_col]
+    member = edges.join(
+        rep.withColumnRenamed(id_col, "id_a"), "id_a"
+    ).select(F.col("id_b").alias(id_col), *others)
+    return rep.unionByName(member)
+
+
 def collapse_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -223,10 +265,7 @@ def duplicated_passages(
     # lowercased normalization): passage identity is exact token
     # equality, so "A B" and "a b" must not share a representative —
     # only whitespace runs (which \s+ tokenization cannot see) collapse.
-    case_exact_key = F.xxhash64(
-        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    )
-    distinct, edges = collapse_identical(df, id_col, case_exact_key)
+    distinct, edges = collapse_identical(df, id_col, case_exact_key(text_col))
     weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
     # persisted: the exploded passage table feeds the weighted df count,
     # the semi-join probe side, and the per-doc totals (three consumers;

@@ -334,28 +334,40 @@ def q_token_entropy(spark, sf_dir):
     is rounded before the division (round(sum,2)/n) and the output is
     rounded at 6 dp — ln() diverges by 1 ulp between engines for some
     inputs (measured 8.9e-16 on this query unrounded), which the output
-    rounding absorbs (the tfidf precedent)."""
+    rounding absorbs (the tfidf precedent).
+
+    Entropy is content-pure, so the tf explode runs once per DISTINCT
+    content (``per_content``, case-preserving key) and duplicates copy
+    their representative's row — the collapse-before-scoring shape."""
+    from biodata_pipeline_spark.operators.dedup import per_content
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    per_doc = tf.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))), 2
-        ).alias("__tlt"),
-    )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.round(
-            F.when(
-                F.coalesce("n_tokens", F.lit(0)) > 0,
-                F.log(F.col("n_tokens").cast("double"))
-                - F.col("__tlt") / F.col("n_tokens"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("entropy"),
-    )
+
+    def entropy_frame(base):
+        words = base.select(
+            "doc_id", F.explode(textfn.tokens("text")).alias("word")
+        )
+        tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        per_doc = tf.groupBy("doc_id").agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))), 2
+            ).alias("__tlt"),
+        )
+        return base.select("doc_id").join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.log(F.col("n_tokens").cast("double"))
+                    - F.col("__tlt") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy"),
+        )
+
+    return per_content(docs, entropy_frame)
 
 
 MIX_TOKEN_BUDGET = 200_000  # target token budget for the sampled mixture

@@ -312,3 +312,29 @@ def test_simhash_kernel_matches_hof_fold(spark, sf_dir):
         "doc_id", simhash64(F.col("text")).alias("fp")).collect()}
     ker = {r.id: r.fp for r in simhash_fingerprints(docs).collect()}
     assert hof == ker and len(ker) > 0
+
+
+def test_per_content_memoizes_and_propagates(spark):
+    """per_content must call compute on representatives only and copy
+    rows to exact duplicates, with whitespace variants collapsing and
+    case variants staying distinct under the default key."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.dedup import per_content
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x  y  z"), (4, "X Y Z")],
+        ["doc_id", "text"],
+    )
+    calls = []
+
+    def compute(base):
+        calls.append(base)
+        return base.select("doc_id", F.length("text").alias("n"))
+
+    out = {r.doc_id: r.n for r in per_content(docs, compute).collect()}
+    assert len(calls) == 1
+    reps = {r.doc_id for r in calls[0].select("doc_id").collect()}
+    assert reps == {1, 4}  # 2 and 3 collapse into 1; case variant 4 stays
+    # members copy the representative's row (including its length!)
+    assert out == {1: 5, 2: 5, 3: 5, 4: 5}
