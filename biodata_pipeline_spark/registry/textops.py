@@ -166,18 +166,43 @@ def q_tfidf_top_terms(spark, sf_dir):
     between engines on the same libm; scores are rounded to 6 dp anyway
     so a sub-ulp divergence cannot flip the hash."""
     docs = load_table(spark, sf_dir, "documents")
+    # Corpus statistics over a collapsed corpus: exact duplicates (case-
+    # preserving key — tokens are case-sensitive) explode/aggregate once,
+    # with document frequency counted by COPY MULTIPLICITY (Σ collapse
+    # weights per term ≡ raw-corpus df, since copies contribute identical
+    # term sets) and N the raw document count. Per-doc rows are then
+    # content-pure given the idf table, so representatives' top-3 rows
+    # copy to members via the collapse edges (the passage-audit shape).
+    from biodata_pipeline_spark.operators.dedup import (
+        case_exact_key,
+        collapse_identical,
+    )
+
+    distinct, edges = collapse_identical(
+        docs, "doc_id", case_exact_key("text")
+    )
+    weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
     # N enters the plan as a broadcast 1-row aggregate (the oracle's scalar
     # subquery), not an eager count() — building the query plans a job-free
     # tree (plan audits / bench declaration triggered a full count per call).
     n_docs = docs.agg(F.count("*").cast("double").alias("__n_docs"))
-    words = docs.select(
+    words = distinct.select(
         "doc_id", F.explode(textfn.tokens("text")).alias("word")
     )
     # tf feeds two consumers (the scored stream and the df derivation);
     # persisted so the documents scan + explode + (doc_id, word) exchange
     # run once — without it Catalyst evaluates the whole subtree twice.
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
-    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    df_ = (
+        tf.join(
+            F.broadcast(weights.withColumnRenamed("id_a", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("__w", F.coalesce("__w", F.lit(1)))
+        .groupBy("word")
+        .agg(F.sum("__w").alias("df"))
+    )
     scored = (
         tf.join(F.broadcast(df_), "word")
         .crossJoin(F.broadcast(n_docs))
@@ -195,11 +220,17 @@ def q_tfidf_top_terms(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("word").asc()
     )
-    return (
+    rep_out = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tf", "tfidf", "rn")
     )
+    member_out = edges.join(
+        rep_out.withColumnRenamed("doc_id", "id_a"), "id_a"
+    ).select(
+        F.col("id_b").alias("doc_id"), "word", "tf", "tfidf", "rn"
+    )
+    return rep_out.unionByName(member_out)
 
 
 CONTAM_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" slice
@@ -215,20 +246,30 @@ def q_contamination_check(spark, sf_dir):
     doc slice → broadcast; the corpus side is a map-side explode +
     broadcast semi-join + one partial-agg groupBy on doc_id. The corpus
     never joins itself — at 100 TB the only shuffle is the per-doc count
-    rollup."""
-    from biodata_pipeline_spark.operators.dedup import _exploded_shingles
+    rollup. The per-doc count is content-pure given the (fixed) benchmark
+    set, so the corpus side shingles once per distinct content via
+    ``per_content`` and duplicates copy their representative's count —
+    the benchmark side stays raw (its membership is keyed on doc_id)."""
+    from biodata_pipeline_spark.operators.dedup import (
+        _exploded_shingles,
+        per_content,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % CONTAM_MOD != 0)
     bench_sh = _exploded_shingles(bench, "doc_id", "text", 3).select("sh").distinct()
-    corpus_sh = _exploded_shingles(corpus, "doc_id", "text", 3)
-    # shingle arrays are distinct per doc, so count(*) = distinct overlap
-    return (
-        corpus_sh.join(F.broadcast(bench_sh), "sh")
-        .groupBy(F.col("id").alias("doc_id"))
-        .agg(F.count("*").alias("n_shared_shingles"))
-    )
+
+    def shared_counts(base):
+        corpus_sh = _exploded_shingles(base, "doc_id", "text", 3)
+        # shingle arrays are distinct per doc, so count(*) = distinct overlap
+        return (
+            corpus_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count("*").alias("n_shared_shingles"))
+        )
+
+    return per_content(corpus, shared_counts)
 
 
 VOCAB_K = 1000

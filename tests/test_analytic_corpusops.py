@@ -351,3 +351,26 @@ def test_token_entropy_bounds(spark, sf_dir):
             # 0 <= H <= ln(n_tokens) (±5e-7: the 6dp output rounding can
             # round an all-distinct doc's H = ln(n) upward past the bound)
             assert -5e-7 <= r.entropy <= math.log(r.n_tokens) + 5e-7, r
+
+
+def test_tfidf_df_counts_duplicate_copies(spark, tmp_path):
+    """Document frequency must count copies: a term appearing only in
+    two identical docs has df=2 (idf ln(3/2)), not df=1, and both
+    copies carry identical top-3 rows."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "zzz aaa"), (2, "zzz aaa"), (3, "bbb ccc ddd")],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from biodata_pipeline_spark.registry.textops import q_tfidf_top_terms
+
+    out = q_tfidf_top_terms(spark, str(tmp_path))
+    rows = {(r.doc_id, r.word): r for r in out.collect()}
+    expected = round(1 * math.log(3 / 2), 6)
+    assert rows[(1, "zzz")].tfidf == expected
+    assert rows[(2, "zzz")].tfidf == expected
+    assert rows[(1, "zzz")].rn == rows[(2, "zzz")].rn
+    # doc 3's unique terms: df=1 → idf ln(3)
+    assert rows[(3, "bbb")].tfidf == round(math.log(3.0), 6)
