@@ -328,13 +328,38 @@ def q_unigram_logprob(spark, sf_dir):
     never round(avg)): ln() of identical doubles is libm-consistent (the
     q_tfidf precedent) and the 2dp rounding absorbs summation-order ulp."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
-    wc = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    # Collapsed-corpus LM: the corpus counts behind the model (word
+    # totals, the top-K vocabulary cut, T) weight each distinct content
+    # by its copy multiplicity — integer-exact equal to raw-corpus
+    # counting — and per-doc scores (content-pure given the model
+    # constants) propagate from representatives to copies (the tfidf
+    # shape; was 26.1 s at 100×-duplication re-exploding every copy).
+    from biodata_pipeline_spark.operators.dedup import (
+        case_exact_key,
+        collapse_identical,
+    )
+
+    distinct, edges = collapse_identical(docs, "doc_id", case_exact_key("text"))
+    weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
+    words = distinct.select(
+        "doc_id", F.explode(textfn.tokens("text")).alias("word")
+    )
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .join(
+            F.broadcast(weights.withColumnRenamed("id_a", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("__w", F.coalesce("__w", F.lit(1)))
+        .persist()
+    )
+    wc = tf.groupBy("word").agg(F.sum(F.col("tf") * F.col("__w")).alias("c"))
     vocab = wc.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_K)
     # the corpus token total sums the cached tf table directly (partial
     # aggs only — no second word-grouped shuffle through wc)
-    consts = tf.agg(F.sum("tf").alias("__t")).crossJoin(
+    consts = tf.agg(F.sum(F.col("tf") * F.col("__w")).alias("__t")).crossJoin(
         vocab.agg(F.sum("c").alias("__vt"), F.count("*").alias("__k"))
     )
     scored = (
@@ -357,11 +382,15 @@ def q_unigram_logprob(spark, sf_dir):
             "avg_logprob"
         ),
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    rep_out = distinct.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
     )
+    member_out = edges.join(
+        rep_out.withColumnRenamed("doc_id", "id_a"), "id_a"
+    ).select(F.col("id_b").alias("doc_id"), "n_tokens", "avg_logprob")
+    return rep_out.unionByName(member_out)
 
 
 def q_token_entropy(spark, sf_dir):
