@@ -164,31 +164,81 @@ def retrieval_rank_metrics(
     distributions where one bucket holds most of a query's corpus would
     re-concentrate that bucket's window partition; with 9-dp-rounded real
     embeddings the 1024 buckets stay balanced.
+
+    Scoring itself runs in an Arrow numpy kernel: each chunk's sims
+    against ALL queries come back as one array column (the query
+    embeddings — tiny by contract — are collected driver-side and closed
+    over, like the kmeans centroids), which a ``posexplode`` + broadcast
+    join turns back into (query, chunk) rows for the JVM-side rounding
+    and regex match. The kernel accumulates dimension-by-dimension in
+    ascending order — the identical IEEE-754 fold the HOF path used, so
+    sims are bit-equal (IEEE multiplication is commutative, so nq·nc is
+    too) and the oracle hash is unchanged. Replaces the interpreted
+    per-pair lambda fold, which dominated the 100×-corpus probe.
     """
+    import numpy as np
+    import pandas as pd
+
     n_chunks = chunks.select(
         F.count("*").cast("long").alias("__n_chunks")
     )  # 1-row frame, crossJoin-broadcast as the sentinel
-    corpus = _with_norm(chunks, chunk_emb, "__nc").repartition(
+    corpus = chunks.repartition(
         chunks.sparkSession.sparkContext.defaultParallelism
     )
-    q = _with_norm(
-        queries.select(query_id, pattern_col, query_emb), query_emb, "__nq"
+    q_rows = queries.select(query_id, pattern_col, query_emb).collect()
+    if not q_rows:
+        raise ValueError("retrieval_rank_metrics: empty query set")
+    qmat = np.array([[float(v) for v in r[query_emb]] for r in q_rows])
+    nqs = np.zeros(len(q_rows))
+    for i in range(qmat.shape[1]):  # ascending-dim fold ≡ l2_norm's
+        nqs += qmat[:, i] * qmat[:, i]
+    nqs = np.sqrt(nqs)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array(pdf["__emb"].tolist(), dtype=np.float64)
+            s = np.zeros((n, len(q_rows)))
+            nc = np.zeros(n)
+            for i in range(emb.shape[1]):  # in-order fold: bit-parity
+                nc += emb[:, i] * emb[:, i]
+                s += emb[:, [i]] * qmat[:, i][None, :]
+            s /= nqs[None, :] * np.sqrt(nc)[:, None]
+            yield pd.DataFrame(
+                {
+                    "__cid": pdf["__cid"],
+                    "__ctext": pdf["__ctext"],
+                    "__sims": list(s),
+                }
+            )
+
+    qmeta = queries.sparkSession.createDataFrame(
+        [(i, r[query_id], r[pattern_col]) for i, r in enumerate(q_rows)],
+        ["__qidx", query_id, pattern_col],
     )
+    kernel_out = corpus.select(
+        F.col(chunk_id).alias("__cid"),
+        F.col(chunk_text).alias("__ctext"),
+        F.col(chunk_emb).alias("__emb"),
+    ).mapInPandas(score, "__cid long, __ctext string, __sims array<double>")
     bucket = F.least(
         F.greatest(F.floor((F.col("sim") + 1) * (SIM_BUCKETS / 2)), F.lit(0)),
         F.lit(SIM_BUCKETS - 1),
     ).cast("int")
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        kernel_out.select(
+            "__cid",
+            "__ctext",
+            F.posexplode("__sims").alias("__qidx", "__sim_raw"),
+        )
+        .join(F.broadcast(qmeta), "__qidx")
         .select(
             F.col(query_id),
-            F.col(chunk_id),
-            F.round(
-                dot(F.col(query_emb), F.col(chunk_emb))
-                / (F.col("__nq") * F.col("__nc")),
-                SIM_ROUND,
-            ).alias("sim"),
-            F.regexp_like(F.col(chunk_text), F.col(pattern_col)).alias(
+            F.col("__cid").alias(chunk_id),
+            F.round("__sim_raw", SIM_ROUND).alias("sim"),
+            F.regexp_like(F.col("__ctext"), F.col(pattern_col)).alias(
                 "__is_match"
             ),
         )
