@@ -202,6 +202,47 @@ def fingerprint(col: Column | str, length: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, length)
 
 
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every character ``k``-gram, slide a window
+    of ``w`` consecutive hashes, keep each window's minimum; the distinct
+    minima are a position-robust fingerprint set that any sufficiently
+    long shared substring (≥ k + w − 1 chars) is guaranteed to hit.
+
+    Pure per-row array HOFs — zero shuffle; the k-gram hash is an md5
+    prefix so the set is oracle-checkable (xxhash64 is the drop-in at
+    scale). Documents shorter than k + w − 1 get an empty set. The
+    k-gram hash array is let-bound so the md5 pass runs once per row,
+    not once per window."""
+    c = _c(col)
+    grams = F.when(
+        F.length(c) < k + w - 1, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    )
+
+    def pick_minima(gh):
+        return F.when(
+            F.size(gh) < w, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(gh) - w + 1),
+                        lambda j: F.array_min(F.slice(gh, j, w)),
+                    )
+                )
+            )
+        )
+
+    return _let(grams, pick_minima)
+
+
 def _let(bound: Column, f) -> Column:
     """Evaluate ``bound`` once per row and pass it to ``f`` as a lambda
     variable. Spark has no let-expression, and every textual reference to

@@ -73,6 +73,7 @@ _DRIVER_WINDOW = [
     "q_quality_classifier",
     "q_pca_projection",
     "q_corpus_profile",
+    "q_winnow_fingerprints",
     # round-3 block (driver-green in r03, kept while fresh):
     "q_chunk_documents",
     "q_token_stats",
@@ -114,8 +115,9 @@ _DRIVER_WINDOW = [
     # q12/q14 rotated out for the round-3 training-data queries; q10/q22
     # rotated out for the kmeans/semantic-dedup pair; q13/q15/q23 rotated
     # out for the round-4 sampling/passage/classifier queries, q31 for
-    # the PCA projection, q30 for the corpus profile — all green in ≥2
-    # rounds, still covered by the local gate)
+    # the PCA projection, q30 for the corpus profile, q35 for the
+    # winnowing fingerprints — all green in ≥2 rounds, still covered by
+    # the local gate)
     "q09_exact_dedup",
     "q11_multiway_join_revenue",
     "q16_asof_join",
@@ -124,7 +126,6 @@ _DRIVER_WINDOW = [
     "q25_similarity_join",
     "q26_retrieval_rank_detail",
     "q27_row_number_rank",
-    "q35_tumbling_window",
     "q37_session_window",
 ]
 

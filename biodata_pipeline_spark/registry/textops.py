@@ -565,6 +565,26 @@ def q_quality_classifier(spark, sf_dir):
     return hashed_linear_score(docs)
 
 
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: shared substrings ≥ k+w-1 hit)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    al. SIGMOD'03): per document, the distinct window-minima of char
+    8-gram hashes — the position-robust fingerprint set plagiarism /
+    near-dup scanners index. One row per (doc_id, fingerprint); pure
+    per-row array HOFs + explode, zero shuffle
+    (functions/textfn.py:winnow_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            textfn.winnow_fingerprints("text", WINNOW_K, WINNOW_W)
+        ).alias("fp"),
+    )
+
+
 PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -646,6 +666,7 @@ SPARK = {
     "q_passage_dedup": q_passage_dedup,
     "q_quality_classifier": q_quality_classifier,
     "q_corpus_profile": q_corpus_profile,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
 }
 
 # Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
@@ -963,6 +984,27 @@ ORACLE = {
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM ranked GROUP BY 1, 2, 3
+    """,
+    "q_winnow_fingerprints": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, length(text) - {WINNOW_K} + 1),
+                       i -> CAST(concat('0x',
+                            substr(md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 8))
+                            AS BIGINT)) AS gh
+            FROM documents
+            WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        wins AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(gh) - {WINNOW_W} + 1),
+                       j -> list_min(gh[CAST(j AS INTEGER):CAST(j + {WINNOW_W - 1} AS INTEGER)])))
+                     AS fps
+            FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM wins
     """,
     "q_corpus_profile": """
         SELECT 'doc_id' AS column, count(*) AS n_rows,

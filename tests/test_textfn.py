@@ -198,3 +198,38 @@ def test_oov_rate_against_known_vocab(spark):
     )
     out = {r.doc_id: (r.n_tokens, r.n_oov) for r in per_doc.collect()}
     assert out == {0: (4, 0), 1: (3, 1), 2: (3, 3)}
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """Winnowing's core guarantee: any shared substring of length >=
+    k + w - 1 produces at least one shared fingerprint; and a short doc
+    (< k + w - 1 chars) yields the empty set."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.functions.textfn import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"  # 25 chars >= 8 + 4 - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB ending one"),
+            (2, f"ZZZZZZZ different prefix {shared}"),
+            (3, "completely unrelated content with no overlap at all"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id", winnow_fingerprints("text").alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in out}
+    assert fps[1] & fps[2], "shared 25-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3] & fps[2])
+    assert fps[4] == set()
+    # deterministic across runs
+    again = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert fps == again
