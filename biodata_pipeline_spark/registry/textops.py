@@ -574,15 +574,27 @@ def q_winnow_fingerprints(spark, sf_dir):
     al. SIGMOD'03): per document, the distinct window-minima of char
     8-gram hashes — the position-robust fingerprint set plagiarism /
     near-dup scanners index. One row per (doc_id, fingerprint); pure
-    per-row array HOFs + explode, zero shuffle
-    (functions/textfn.py:winnow_fingerprints)."""
+    per-row array HOFs + explode (functions/textfn.py:
+    winnow_fingerprints), fingerprinted once per distinct content via
+    ``per_content`` (the gram-hash pass is ~400 md5s per document —
+    measured 336 s re-fingerprinting every copy of a 100×-duplicated
+    corpus vs 1× work + edge propagation)."""
+    from biodata_pipeline_spark.operators.dedup import per_content
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(
-            textfn.winnow_fingerprints("text", WINNOW_K, WINNOW_W)
-        ).alias("fp"),
-    )
+
+    def fp_frame(base):
+        return base.select(
+            "doc_id",
+            F.explode(
+                textfn.winnow_fingerprints("text", WINNOW_K, WINNOW_W)
+            ).alias("fp"),
+        )
+
+    # char-level fingerprints see raw bytes, so the collapse key must be
+    # the EXACT text (even a whitespace-run difference changes k-grams —
+    # stricter than the default whitespace-normalized key)
+    return per_content(docs, fp_frame, key=F.xxhash64(F.col("text")))
 
 
 PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
