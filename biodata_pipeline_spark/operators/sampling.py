@@ -97,6 +97,35 @@ def weighted_sample(
     return keyed.orderBy(F.desc("__sk"), F.asc(key_col)).limit(k)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    salt: str = "aes",
+) -> DataFrame:
+    """Top-``k`` A-ES weighted sample WITHIN each group — the
+    per-stratum draw mixture builders run (k docs per source/language,
+    probability ∝ weight). Same map-side keys as ``weighted_sample``;
+    the rank is a window over (group, key DESC), so the shuffle
+    partitions by group and each partition heap-sorts only its own
+    stratum — no global ordering exists anywhere in the plan."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn(
+        "__sk", weighted_sample_key(key_col, weight_col, salt)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__sk"), F.asc(key_col)
+    )
+    return (
+        keyed.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
 def train_test_split(
     df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

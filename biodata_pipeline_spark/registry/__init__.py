@@ -74,6 +74,7 @@ _DRIVER_WINDOW = [
     "q_pca_projection",
     "q_corpus_profile",
     "q_winnow_fingerprints",
+    "q_group_weighted_sample",
     # round-3 block (driver-green in r03, kept while fresh):
     "q_chunk_documents",
     "q_token_stats",
@@ -116,8 +117,8 @@ _DRIVER_WINDOW = [
     # rotated out for the kmeans/semantic-dedup pair; q13/q15/q23 rotated
     # out for the round-4 sampling/passage/classifier queries, q31 for
     # the PCA projection, q30 for the corpus profile, q35 for the
-    # winnowing fingerprints — all green in ≥2 rounds, still covered by
-    # the local gate)
+    # winnowing fingerprints, q27 for the per-group weighted sample —
+    # all green in ≥2 rounds, still covered by the local gate)
     "q09_exact_dedup",
     "q11_multiway_join_revenue",
     "q16_asof_join",
@@ -125,7 +126,6 @@ _DRIVER_WINDOW = [
     "q24_cosine_topk",
     "q25_similarity_join",
     "q26_retrieval_rank_detail",
-    "q27_row_number_rank",
     "q37_session_window",
 ]
 

@@ -565,6 +565,29 @@ def q_quality_classifier(spark, sf_dir):
     return hashed_linear_score(docs)
 
 
+GROUP_SAMPLE_K = 10
+
+
+def q_group_weighted_sample(spark, sf_dir):
+    """Per-source A-ES weighted sample: the 10 documents per source drawn
+    with probability ∝ n_chars — the per-stratum draw a mixture builder
+    runs after q_mixture_allocation fixes per-source rates. Window over
+    (source, key DESC): partitions by source, no global sort
+    (operators/sampling.py:weighted_sample_per_group)."""
+    from biodata_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, GROUP_SAMPLE_K, "source", "doc_id", "n_chars"
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("__sk").alias("sample_key"),
+    )
+
+
 WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # winnowing window (guarantee: shared substrings ≥ k+w-1 hit)
 
@@ -679,6 +702,7 @@ SPARK = {
     "q_quality_classifier": q_quality_classifier,
     "q_corpus_profile": q_corpus_profile,
     "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_group_weighted_sample": q_group_weighted_sample,
 }
 
 # Tokenizer parity guard: Spark's textfn.tokens returns [] for empty /
@@ -996,6 +1020,25 @@ ORACLE = {
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM ranked GROUP BY 1, 2, 3
+    """,
+    "q_group_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   round(
+                       ln((CAST(concat('0x', substr(md5(concat('aes', CAST(doc_id AS VARCHAR))), 1, 8))
+                                AS BIGINT) + 1.0) / 4294967296.0)
+                       / greatest(CAST(n_chars AS DOUBLE), 1.0),
+                   12) AS sample_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, sample_key
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY sample_key DESC, doc_id ASC
+            ) AS rn
+            FROM keyed
+        )
+        WHERE rn <= {GROUP_SAMPLE_K}
     """,
     "q_winnow_fingerprints": f"""
         WITH g AS (

@@ -188,3 +188,27 @@ def test_hashed_linear_score_collapse_matches_direct(spark):
     rows = {r.doc_id: r for r in collapsed}
     assert rows[1].score == rows[2].score == rows[3].score
     assert rows[4].score != rows[1].score
+
+
+def test_weighted_sample_per_group_draws_k_per_stratum(spark):
+    from biodata_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 5 + 1).alias("w"),
+    )
+    out = weighted_sample_per_group(df, 7, "grp", "id", "w").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.grp, []).append(r.id)
+    assert set(per) == {"0", "1", "2"}
+    assert all(len(v) == 7 for v in per.values())
+    # no global ordering: the plan is a grouped window, not a TakeOrdered
+    plan = (
+        weighted_sample_per_group(df, 7, "grp", "id", "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" not in plan and "Window" in plan
