@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biodata_pipeline_spark.functions.textfn import tokens
+from biodata_pipeline_spark.operators.caching import register_cached
 
 
 def _is_store_missing(e: AnalysisException) -> bool:
@@ -57,9 +58,11 @@ def collapse_identical(
     """
     from pyspark.sql import Window
 
-    narrow = df.select(F.col(id_col), key.alias("__k")).withColumn(
-        "__rep", F.min(id_col).over(Window.partitionBy("__k"))
-    ).persist()
+    narrow = register_cached(
+        df.select(F.col(id_col), key.alias("__k")).withColumn(
+            "__rep", F.min(id_col).over(Window.partitionBy("__k"))
+        ).persist()
+    )
     edges = narrow.filter(F.col(id_col) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
     )
@@ -77,6 +80,30 @@ def case_exact_key(text_col: str) -> F.Column:
     The collapse key for content-pure computations whose token features
     are case-sensitive (passage windows, hashed classifier buckets)."""
     return F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+# Collapse pays for itself only when duplicates are real: below this
+# distinct/total ratio the corpus is duplicate-heavy enough that running
+# ``compute`` once per distinct content beats the collapse machinery's
+# fixed cost (the narrow window + semi-join + edge join, ~0.5 s at
+# sf0.1). Above it the collapse is skipped — both branches produce
+# IDENTICAL output (the collapse is an identity on duplicate-free input,
+# unit-pinned), so the gate is a pure physical-plan decision, the same
+# kind of size-driven switch AQE makes for join strategies.
+DUP_GATE_RATIO = 0.95
+
+
+def duplication_ratio(df: DataFrame, key: F.Column) -> float:
+    """Estimated distinct-content fraction: approx_count_distinct(key) /
+    count(*). One cheap aggregation job — a single narrow column scan
+    with map-side partial HLL sketches; the only shuffle row is one
+    sketch per task. ~1.0 means duplicate-free; 0.01 means a 100×
+    duplicated corpus."""
+    row = df.agg(
+        F.approx_count_distinct(key).alias("__d"),
+        F.count("*").alias("__n"),
+    ).first()
+    return (row["__d"] / row["__n"]) if row["__n"] else 1.0
 
 
 def per_content(
@@ -101,10 +128,16 @@ def per_content(
 
     ``key`` defaults to ``case_exact_key`` — callers whose features are
     case-insensitive may pass a looser key (e.g. collapse_exact's
-    normalized hash) for a higher collapse rate."""
-    distinct, edges = collapse_identical(
-        df, id_col, key if key is not None else case_exact_key(text_col)
-    )
+    normalized hash) for a higher collapse rate.
+
+    Gated on measured duplication: a duplicate-light corpus (estimated
+    distinct ratio ≥ ``DUP_GATE_RATIO``) skips the collapse entirely and
+    runs ``compute`` over the raw frame — identical output, none of the
+    collapse overhead."""
+    key = key if key is not None else case_exact_key(text_col)
+    if duplication_ratio(df, key) >= DUP_GATE_RATIO:
+        return compute(df)
+    distinct, edges = collapse_identical(df, id_col, key)
     rep = compute(distinct)
     others = [c for c in rep.columns if c != id_col]
     member = edges.join(
@@ -247,40 +280,59 @@ def duplicated_passages(
     audit, swapped here for the exact string so the count is
     oracle-exact).
 
-    Output: ``(doc_id, n_windows, n_dup_windows, dup_frac)`` for every
-    document, zero-filled for docs with no duplicated passage.
+    Output: ``(doc_id, n_windows, n_dup_windows, dup_frac)`` — one row
+    per document that HAS at least one ``window``-token passage;
+    documents shorter than ``window`` tokens (and empty/null text) yield
+    no windows and are omitted, matching the oracle (zero-fill them with
+    a caller-side left join from the document table if needed).
     """
-    # Exact duplicates are collapsed BEFORE shingling: the audit is a
-    # pure function of content, so a 100×-duplicated corpus needs 1× the
-    # shingle work, with document frequency counted by MULTIPLICITY
-    # (each passage's df = Σ over distinct contents containing it of
-    # that content's copy count — identical to counting over the raw
-    # corpus, since duplicate docs contribute identical window sets).
-    # Representatives' rows then propagate to members via the collapse
-    # edges (copies of a duplicated doc are all-dup by definition:
-    # weight ≥ 2 marks every one of their windows). Measured 63.7 s →
-    # single-digit seconds on the 100×-duplication probe.
+    # Exact duplicates are collapsed BEFORE shingling when measured
+    # duplication warrants it (duplication_ratio gate — on duplicate-
+    # light corpora the collapse machinery is pure overhead and both
+    # branches are provably identical): the audit is a pure function of
+    # content, so a 100×-duplicated corpus needs 1× the shingle work,
+    # with document frequency counted by MULTIPLICITY (each passage's
+    # df = Σ over distinct contents containing it of that content's
+    # copy count — identical to counting over the raw corpus, since
+    # duplicate docs contribute identical window sets). Representatives'
+    # rows then propagate to members via the collapse edges (copies of
+    # a duplicated doc are all-dup by definition: weight ≥ 2 marks every
+    # one of their windows). Measured 63.7 s → single-digit seconds on
+    # the 100×-duplication probe.
     #
     # The collapse key preserves CASE (unlike collapse_exact's
     # lowercased normalization): passage identity is exact token
     # equality, so "A B" and "a b" must not share a representative —
     # only whitespace runs (which \s+ tokenization cannot see) collapse.
-    distinct, edges = collapse_identical(df, id_col, case_exact_key(text_col))
-    weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
+    if duplication_ratio(df, case_exact_key(text_col)) >= DUP_GATE_RATIO:
+        distinct, edges, weights = df, None, None
+    else:
+        distinct, edges = collapse_identical(df, id_col, case_exact_key(text_col))
+        weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
     # persisted: the exploded passage table feeds the weighted df count,
     # the semi-join probe side, and the per-doc totals (three consumers;
     # the tokenize+shingle explode would otherwise run per consumer —
     # the minhash_lsh_dup_pairs lesson)
-    sh = distinct.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(F.col(text_col), window)).alias("sh"),
-    ).persist()
-    shw = sh.join(
-        F.broadcast(weights.withColumnRenamed("id_a", "id")), "id", "left"
-    ).withColumn("__w", F.coalesce("__w", F.lit(1)))
-    dup_sh = shw.groupBy("sh").agg(F.sum("__w").alias("__df")).filter(
-        F.col("__df") >= 2
+    sh = register_cached(
+        distinct.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text_col), window)).alias("sh"),
+        ).persist()
     )
+    if weights is None:
+        dup_sh = sh.groupBy("sh").agg(F.count("*").alias("__df")).filter(
+            F.col("__df") >= 2
+        )
+    else:
+        # no broadcast hint on the weights side: it has one row per
+        # DUPLICATED distinct content, which grows with the corpus —
+        # AQE picks broadcast when it is actually small
+        shw = sh.join(
+            weights.withColumnRenamed("id_a", "id"), "id", "left"
+        ).withColumn("__w", F.coalesce("__w", F.lit(1)))
+        dup_sh = shw.groupBy("sh").agg(F.sum("__w").alias("__df")).filter(
+            F.col("__df") >= 2
+        )
     dup_counts = (
         sh.join(dup_sh.select("sh"), "sh")
         .groupBy("id")
@@ -300,6 +352,8 @@ def duplicated_passages(
             ).alias("dup_frac"),
         )
     )
+    if edges is None:
+        return rep_out.withColumnRenamed("id", id_col)
     member_out = (
         edges.join(rep_out.withColumnRenamed("id", "id_a"), "id_a")
         .select(
@@ -455,7 +509,9 @@ def minhash_lsh_dup_pairs(
     # signature/banding pass AND both sides of candidate verification (three
     # consumers — without the persist the tokenize+shingle pass runs 3×).
     # At cluster scale this is the table you would checkpoint.
-    base = shingle_hash_table(distinct, id_col, text_col, n).persist()
+    base = register_cached(
+        shingle_hash_table(distinct, id_col, text_col, n).persist()
+    )
     sig = base.withColumn("sig", minhash_signature_from("hs", num_hashes))
     # Band buckets hash the r signature longs directly (multi-arg xxhash64,
     # band index as the first arg) — no string assembly. Only (id, band,
@@ -467,10 +523,14 @@ def minhash_lsh_dup_pairs(
     # candidate self-join. Unpersisted, Spark recomputes it per consumer
     # (measured 3× the signature cost at sf0.1); the cached frame is just
     # (id, band, bucket) longs — tiny relative to the shingle table.
-    bands = sig.select(
-        "id",
-        F.posexplode(band_buckets_expr("sig", n_bands, r)).alias("band", "bucket"),
-    ).persist()
+    bands = register_cached(
+        sig.select(
+            "id",
+            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
+                "band", "bucket"
+            ),
+        ).persist()
+    )
     bands = prune_mega_buckets(bands, max_bucket)
     cands = (
         bands.alias("a")
@@ -547,7 +607,12 @@ def simhash_fingerprints(
     only the 63-bit vote fold crosses to numpy — pure integer math, so
     the fingerprints are BIT-identical to ``simhash64``'s (parity-pinned
     in tests) at ~3× the throughput of the interpreted HOF fold (the
-    63-wide zip_with accumulator allocates per token)."""
+    63-wide zip_with accumulator allocates per token).
+
+    Null text propagates as a null fingerprint (``tokens()`` yields a
+    null array, matching the HOF expression's null semantics) — null
+    rows then drop out of band equi-joins downstream instead of
+    crashing the kernel."""
     import numpy as np
     import pandas as pd
 
@@ -564,11 +629,13 @@ def simhash_fingerprints(
             n = len(pdf)
             if n == 0:
                 continue
-            fps = np.zeros(n, dtype=np.int64)
+            fps: list[int | None] = [0] * n
             for r in range(n):
-                hs = np.asarray(pdf["ht"].iloc[r], dtype=np.int64).astype(
-                    np.uint64
-                )
+                raw = pdf["ht"].iloc[r]
+                if raw is None:  # null text → null array → null fp
+                    fps[r] = None
+                    continue
+                hs = np.asarray(raw, dtype=np.int64).astype(np.uint64)
                 if hs.size == 0:
                     continue  # no tokens: all votes negative → fp 0
                 bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
@@ -580,7 +647,9 @@ def simhash_fingerprints(
                     .sum()
                     .astype(np.int64)
                 )
-            yield pd.DataFrame({"id": pdf["id"], "fp": fps})
+            yield pd.DataFrame(
+                {"id": pdf["id"], "fp": pd.array(fps, dtype="Int64")}
+            )
 
     return ht.mapInPandas(fold, "id long, fp long")
 
@@ -613,7 +682,9 @@ def simhash_dup_pairs(
     """
     bits_per_band = 63 // n_bands + 1
     distinct, exact_edges = collapse_exact(df, id_col, text_col)
-    fp = simhash_fingerprints(distinct, id_col, text_col).persist()
+    fp = register_cached(
+        simhash_fingerprints(distinct, id_col, text_col).persist()
+    )
     bands = prune_mega_buckets(
         fp.select(
             "id",
@@ -725,7 +796,8 @@ class SignatureStore:
         is then the caller's concern (pair with a Manifest on id)."""
         spark = new_docs.sparkSession
         shingles, bands = self._state_for(new_docs, id_col, text_col)
-        shingles, bands = shingles.persist(), bands.persist()
+        shingles = register_cached(shingles.persist())
+        bands = register_cached(bands.persist())
         try:
             # drop("batch_id") is a no-op for stores written pre-batching
             old_bands = spark.read.parquet(self._bands_path()).drop("batch_id")

@@ -116,75 +116,78 @@ def rank_all(
 
 
 SIM_BUCKETS = 1024  # coarse sim partitioning for the distributed rank
+# Corpus size at which scoring switches from the JVM HOF expression to
+# the Arrow numpy kernel: the kernel's fixed cost (driver query-collect +
+# Arrow worker spin-up, ~0.7 s) only pays for itself once the per-pair
+# interpreted fold dominates (measured crossover well under this bound;
+# at the 100× probe the kernel is 5× faster, at sf0.1 the HOF path is
+# ~0.7 s faster). The same observed-size strategy switch as
+# retrieve_top_k_auto / AQE join selection.
+KERNEL_CORPUS_THRESHOLD = 100_000
+# Driver-collect bound for the kernel path's query set (the reference's
+# test-pair TSVs are tens of rows; RAG-eval-test_model.py:123-128) —
+# enforced, not assumed: an unbounded collect is the one scale-killer
+# pattern this engine bans (the similarity_join_vectorized precedent,
+# similarity.py count gate).
+MAX_QUERY_ROWS = 10_000
 
 
-def retrieval_rank_metrics(
+def _hof_scored(
     queries: DataFrame,
-    chunks: DataFrame,
-    query_id: str = "term",
-    pattern_col: str = "pattern",
-    query_emb: str = "query_emb",
-    chunk_id: str = "chunk_uid",
-    chunk_text: str = "chunk_text",
-    chunk_emb: str = "embedding",
+    corpus: DataFrame,
+    query_id: str,
+    pattern_col: str,
+    query_emb: str,
+    chunk_id: str,
+    chunk_text: str,
+    chunk_emb: str,
 ) -> DataFrame:
-    """Per-query retrieval-rank detail (the reference's VectorTest).
+    """All-JVM scoring: broadcast cross join + dot/norm HOF fold. The
+    whole stage stays inside codegen — no driver collect, no Python
+    worker. Bit-equal to the kernel path (same ascending-dim fold)."""
+    q = _with_norm(
+        queries.select(query_id, pattern_col, query_emb), query_emb, "__nq"
+    )
+    corpus = _with_norm(corpus, chunk_emb, "__nc")  # n norms, not n×q
+    return corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id),
+        F.col(chunk_id),
+        F.round(
+            dot(F.col(query_emb), F.col(chunk_emb))
+            / (F.col("__nq") * F.col("__nc")),
+            SIM_ROUND,
+        ).alias("sim"),
+        F.regexp_like(F.col(chunk_text), F.col(pattern_col)).alias(
+            "__is_match"
+        ),
+    )
 
-    For each query: rank all chunks by cosine sim, find word-boundary regex
-    matches of the query pattern in chunk text, and report::
 
-        term, n_matches, first_hit_rank, sum_match_rank, avg_match_rank
-
-    No-match queries get the sentinel rank = corpus size
-    (RAG-eval-test_model.py:145-147 — never silently dropped). All metrics
-    derive from integer rank sums (exact in float64), so values are
-    bit-identical across engines with no rounding needed.
-
-    Scale design — **no per-query global window, and the scored stream is
-    never shuffled whole**. A matched chunk's rank in the (sim DESC,
-    chunk_id ASC) total order is ``1 + #chunks ordered above it``; split
-    that count at the boundary of ``SIM_BUCKETS`` coarse sim buckets:
-
-    1. score map-side (broadcast queries; the corpus never shuffles here);
-    2. ``#chunks in strictly-higher buckets``: a per-(query, bucket)
-       count with map-side partial aggregation — only |Q|×1024 total
-       rows enter the shuffle, then a running sum per query;
-    3. ``position within its own bucket``: ``row_number`` over
-       (query, bucket) — but only for buckets that CONTAIN a match. The
-       distinct (query, bucket) match set is ≤ |Q|×SIM_BUCKETS rows *by
-       construction*, so it is always broadcastable, and the windowed
-       subset is only those buckets' rows (worst case — every bucket
-       matched — degrades to one full-stream shuffle, i.e. never worse
-       than ranking everything);
-    4. ``rank = above_buckets + row_number`` for matched rows, then a
-       plain groupBy.
-
-    The scored stream is persisted once (three consumers: bucket totals,
-    matched-bucket set, within-bucket ranking). Degenerate sim
-    distributions where one bucket holds most of a query's corpus would
-    re-concentrate that bucket's window partition; with 9-dp-rounded real
-    embeddings the 1024 buckets stay balanced.
-
-    Scoring itself runs in an Arrow numpy kernel: each chunk's sims
-    against ALL queries come back as one array column (the query
-    embeddings — tiny by contract — are collected driver-side and closed
-    over, like the kmeans centroids), which a ``posexplode`` + broadcast
-    join turns back into (query, chunk) rows for the JVM-side rounding
-    and regex match. The kernel accumulates dimension-by-dimension in
-    ascending order — the identical IEEE-754 fold the HOF path used, so
-    sims are bit-equal (IEEE multiplication is commutative, so nq·nc is
-    too) and the oracle hash is unchanged. Replaces the interpreted
-    per-pair lambda fold, which dominated the 100×-corpus probe.
-    """
+def _kernel_scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    pattern_col: str,
+    query_emb: str,
+    chunk_id: str,
+    chunk_text: str,
+    chunk_emb: str,
+    max_query_rows: int,
+) -> DataFrame:
+    """Arrow numpy scoring: queries collected driver-side (bounded by the
+    count gate), sims computed batch-wise against every chunk."""
     import numpy as np
     import pandas as pd
 
-    n_chunks = chunks.select(
-        F.count("*").cast("long").alias("__n_chunks")
-    )  # 1-row frame, crossJoin-broadcast as the sentinel
-    corpus = chunks.repartition(
-        chunks.sparkSession.sparkContext.defaultParallelism
-    )
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"retrieval_rank_metrics: query set has {n_q} rows, over the "
+            f"driver-collect bound of {max_query_rows}. The kernel path "
+            "broadcasts the query embeddings from the driver; split the "
+            "query set, raise max_query_rows deliberately, or score with "
+            "cosine_top_k (fully distributed) instead."
+        )
     q_rows = queries.select(query_id, pattern_col, query_emb).collect()
     if not q_rows:
         raise ValueError("retrieval_rank_metrics: empty query set")
@@ -223,11 +226,7 @@ def retrieval_rank_metrics(
         F.col(chunk_text).alias("__ctext"),
         F.col(chunk_emb).alias("__emb"),
     ).mapInPandas(score, "__cid long, __ctext string, __sims array<double>")
-    bucket = F.least(
-        F.greatest(F.floor((F.col("sim") + 1) * (SIM_BUCKETS / 2)), F.lit(0)),
-        F.lit(SIM_BUCKETS - 1),
-    ).cast("int")
-    scored = (
+    return (
         kernel_out.select(
             "__cid",
             "__ctext",
@@ -242,8 +241,100 @@ def retrieval_rank_metrics(
                 "__is_match"
             ),
         )
-        .withColumn("__bucket", bucket)
-        .persist()
+    )
+
+
+def retrieval_rank_metrics(
+    queries: DataFrame,
+    chunks: DataFrame,
+    query_id: str = "term",
+    pattern_col: str = "pattern",
+    query_emb: str = "query_emb",
+    chunk_id: str = "chunk_uid",
+    chunk_text: str = "chunk_text",
+    chunk_emb: str = "embedding",
+    kernel_threshold: int = KERNEL_CORPUS_THRESHOLD,
+    max_query_rows: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Per-query retrieval-rank detail (the reference's VectorTest).
+
+    For each query: rank all chunks by cosine sim, find word-boundary regex
+    matches of the query pattern in chunk text, and report::
+
+        term, n_matches, first_hit_rank, sum_match_rank, avg_match_rank
+
+    No-match queries get the sentinel rank = corpus size
+    (RAG-eval-test_model.py:145-147 — never silently dropped). All metrics
+    derive from integer rank sums (exact in float64), so values are
+    bit-identical across engines with no rounding needed.
+
+    Scale design — **no per-query global window, and the scored stream is
+    never shuffled whole**. A matched chunk's rank in the (sim DESC,
+    chunk_id ASC) total order is ``1 + #chunks ordered above it``; split
+    that count at the boundary of ``SIM_BUCKETS`` coarse sim buckets:
+
+    1. score map-side (broadcast queries; the corpus never shuffles here);
+    2. ``#chunks in strictly-higher buckets``: a per-(query, bucket)
+       count with map-side partial aggregation — only |Q|×1024 total
+       rows enter the shuffle, then a running sum per query;
+    3. ``position within its own bucket``: ``row_number`` over
+       (query, bucket) — but only for buckets that CONTAIN a match. The
+       distinct (query, bucket) match set is ≤ |Q|×SIM_BUCKETS rows *by
+       construction*, so it is always broadcastable, and the windowed
+       subset is only those buckets' rows (worst case — every bucket
+       matched — degrades to one full-stream shuffle, i.e. never worse
+       than ranking everything);
+    4. ``rank = above_buckets + row_number`` for matched rows, then a
+       plain groupBy.
+
+    The scored stream is persisted once (three consumers: bucket totals,
+    matched-bucket set, within-bucket ranking). Degenerate sim
+    distributions where one bucket holds most of a query's corpus would
+    re-concentrate that bucket's window partition; with 9-dp-rounded real
+    embeddings the 1024 buckets stay balanced.
+
+    Scoring switches on observed corpus size (``kernel_threshold``).
+    Large corpora use an Arrow numpy kernel: each chunk's sims against
+    ALL queries come back as one array column (the query embeddings —
+    bounded by the enforced ``max_query_rows`` gate — are collected
+    driver-side and closed over, like the kmeans centroids), which a
+    ``posexplode`` + broadcast join turns back into (query, chunk) rows
+    for the JVM-side rounding and regex match. Small corpora keep the
+    all-JVM HOF expression — no driver collect, no Arrow spin-up (~0.7 s
+    fixed cost the kernel can't amortize at bench scale). The kernel
+    accumulates dimension-by-dimension in ascending order — the
+    identical IEEE-754 fold the HOF path uses, so sims are bit-equal
+    on both paths (IEEE multiplication is commutative, so nq·nc is too;
+    parity-pinned in tests) and the oracle hash is path-independent.
+    """
+    from biodata_pipeline_spark.operators.caching import register_cached
+
+    n_chunks = chunks.select(
+        F.count("*").cast("long").alias("__n_chunks")
+    )  # 1-row frame, crossJoin-broadcast as the sentinel
+    # Strategy pick on the observed corpus size — one cheap count that
+    # also warms ``chunks``'s cache when the caller persisted it (the
+    # flagship does; its two downstream consumers reuse the result).
+    n_corpus = chunks.count()
+    corpus = chunks.repartition(
+        chunks.sparkSession.sparkContext.defaultParallelism
+    )
+    if n_corpus > kernel_threshold:
+        scored_base = _kernel_scored(
+            queries, corpus, query_id, pattern_col, query_emb,
+            chunk_id, chunk_text, chunk_emb, max_query_rows,
+        )
+    else:
+        scored_base = _hof_scored(
+            queries, corpus, query_id, pattern_col, query_emb,
+            chunk_id, chunk_text, chunk_emb,
+        )
+    bucket = F.least(
+        F.greatest(F.floor((F.col("sim") + 1) * (SIM_BUCKETS / 2)), F.lit(0)),
+        F.lit(SIM_BUCKETS - 1),
+    ).cast("int")
+    scored = register_cached(
+        scored_base.withColumn("__bucket", bucket).persist()
     )
     btot = scored.groupBy(query_id, "__bucket").agg(F.count("*").alias("__bcnt"))
     w_above = (

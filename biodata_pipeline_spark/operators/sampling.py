@@ -71,14 +71,22 @@ def weighted_sample_key(key, weight, salt: str = "") -> Column:
     one-pass distributed formulation (each partition computes keys
     map-side; the global top-k is a TakeOrdered, never a full sort).
 
+    PRECONDITION: ``weight > 0``. The key divides by the TRUE weight —
+    fractional weights behave proportionally (an earlier clamp to ≥ 1
+    silently flattened all weights in (0, 1] to 1, breaking the
+    "probability ∝ weight" contract). Rows with w ≤ 0 get a null key
+    (0/negative weight has no place in the A-ES order); ``weighted_sample``
+    / ``weighted_sample_per_group`` exclude them up front.
+
     ``ln`` of identical doubles is libm-consistent across engines (the
     q_tfidf precedent) and u is an exact dyadic rational, so keys are
     reproducible; they are still rounded (12 dp — keys sit in
     [-22/w_min, 0], far coarser than the rounding) so any residual ulp
     collapses into ties broken by the caller's id column."""
     w = F.col(weight) if isinstance(weight, str) else weight
+    w = w.cast("double")
     u = hash_uniform(key, salt)
-    return F.round(F.log(u) / F.greatest(w.cast("double"), F.lit(1.0)), 12)
+    return F.when(w > 0, F.round(F.log(u) / w, 12))
 
 
 def weighted_sample(
@@ -90,8 +98,11 @@ def weighted_sample(
 ) -> DataFrame:
     """Top-``k`` weighted sample without replacement (A-ES). Rows are
     kept with probability proportional to ``weight_col`` (exactly: the
-    sequential weighted draw), deterministically in ``key_col``."""
-    keyed = df.withColumn(
+    sequential weighted draw), deterministically in ``key_col``. Rows
+    with non-positive weight are excluded — they have zero selection
+    probability under the A-ES model."""
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn(
         "__sk", weighted_sample_key(key_col, weight_col, salt)
     )
     return keyed.orderBy(F.desc("__sk"), F.asc(key_col)).limit(k)
@@ -107,13 +118,15 @@ def weighted_sample_per_group(
 ) -> DataFrame:
     """Top-``k`` A-ES weighted sample WITHIN each group — the
     per-stratum draw mixture builders run (k docs per source/language,
-    probability ∝ weight). Same map-side keys as ``weighted_sample``;
-    the rank is a window over (group, key DESC), so the shuffle
-    partitions by group and each partition heap-sorts only its own
-    stratum — no global ordering exists anywhere in the plan."""
+    probability ∝ weight). Same map-side keys as ``weighted_sample``
+    (non-positive weights excluded, true-weight divide); the rank is a
+    window over (group, key DESC), so the shuffle partitions by group
+    and each partition heap-sorts only its own stratum — no global
+    ordering exists anywhere in the plan."""
     from pyspark.sql import Window
 
-    keyed = df.withColumn(
+    w_col = F.col(weight_col).cast("double")
+    keyed = df.filter(w_col > 0).withColumn(
         "__sk", weighted_sample_key(key_col, weight_col, salt)
     )
     w = Window.partitionBy(group_col).orderBy(

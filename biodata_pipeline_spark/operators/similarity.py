@@ -155,11 +155,15 @@ def lsh_similarity_join(
     # the inlined n_planes×dim SQL chain here: the chain's one-time JIT +
     # per-task serialization (~1.2 MB task binaries) dominated the whole
     # query at bench scale (measured 5.4 s vs 0.8 s for this stage).
-    base = distinct.select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).alias("emb"),
-        lsh_signature(F.col(emb_col), planes).alias("sig"),
-    ).persist()
+    from biodata_pipeline_spark.operators.caching import register_cached
+
+    base = register_cached(
+        distinct.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("emb"),
+            lsh_signature(F.col(emb_col), planes).alias("sig"),
+        ).persist()
+    )
     # Only (id, band, bucket) enters the self-join shuffle — embeddings
     # rejoin after candidate-pair dedup, so they move once, not n_bands×.
     from biodata_pipeline_spark.operators.dedup import band_buckets_expr

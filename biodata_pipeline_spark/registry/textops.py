@@ -173,15 +173,24 @@ def q_tfidf_top_terms(spark, sf_dir):
     # term sets) and N the raw document count. Per-doc rows are then
     # content-pure given the idf table, so representatives' top-3 rows
     # copy to members via the collapse edges (the passage-audit shape).
+    # Gated on measured duplication: duplicate-light corpora skip the
+    # collapse entirely (identical output, ~0.5 s less machinery at
+    # sf0.1 — the dedup.DUP_GATE_RATIO contract).
+    from biodata_pipeline_spark.operators.caching import register_cached
     from biodata_pipeline_spark.operators.dedup import (
+        DUP_GATE_RATIO,
         case_exact_key,
         collapse_identical,
+        duplication_ratio,
     )
 
-    distinct, edges = collapse_identical(
-        docs, "doc_id", case_exact_key("text")
-    )
-    weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
+    if duplication_ratio(docs, case_exact_key("text")) >= DUP_GATE_RATIO:
+        distinct, edges, weights = docs, None, None
+    else:
+        distinct, edges = collapse_identical(
+            docs, "doc_id", case_exact_key("text")
+        )
+        weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
     # N enters the plan as a broadcast 1-row aggregate (the oracle's scalar
     # subquery), not an eager count() — building the query plans a job-free
     # tree (plan audits / bench declaration triggered a full count per call).
@@ -192,17 +201,22 @@ def q_tfidf_top_terms(spark, sf_dir):
     # tf feeds two consumers (the scored stream and the df derivation);
     # persisted so the documents scan + explode + (doc_id, word) exchange
     # run once — without it Catalyst evaluates the whole subtree twice.
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
-    df_ = (
-        tf.join(
-            F.broadcast(weights.withColumnRenamed("id_a", "doc_id")),
-            "doc_id",
-            "left",
-        )
-        .withColumn("__w", F.coalesce("__w", F.lit(1)))
-        .groupBy("word")
-        .agg(F.sum("__w").alias("df"))
+    tf = register_cached(
+        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
     )
+    if weights is None:
+        df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    else:
+        # no broadcast hint: weights has one row per duplicated distinct
+        # content (grows with the corpus) — AQE decides from actual size
+        df_ = (
+            tf.join(
+                weights.withColumnRenamed("id_a", "doc_id"), "doc_id", "left"
+            )
+            .withColumn("__w", F.coalesce("__w", F.lit(1)))
+            .groupBy("word")
+            .agg(F.sum("__w").alias("df"))
+        )
     scored = (
         tf.join(F.broadcast(df_), "word")
         .crossJoin(F.broadcast(n_docs))
@@ -225,6 +239,8 @@ def q_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tf", "tfidf", "rn")
     )
+    if edges is None:
+        return rep_out
     member_out = edges.join(
         rep_out.withColumnRenamed("doc_id", "id_a"), "id_a"
     ).select(
@@ -334,27 +350,37 @@ def q_unigram_logprob(spark, sf_dir):
     # counting — and per-doc scores (content-pure given the model
     # constants) propagate from representatives to copies (the tfidf
     # shape; was 26.1 s at 100×-duplication re-exploding every copy).
+    # Duplication-gated like q_tfidf: duplicate-light corpora skip the
+    # collapse (provably identical output — weights all 1).
+    from biodata_pipeline_spark.operators.caching import register_cached
     from biodata_pipeline_spark.operators.dedup import (
+        DUP_GATE_RATIO,
         case_exact_key,
         collapse_identical,
+        duplication_ratio,
     )
 
-    distinct, edges = collapse_identical(docs, "doc_id", case_exact_key("text"))
-    weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
+    if duplication_ratio(docs, case_exact_key("text")) >= DUP_GATE_RATIO:
+        distinct, edges = docs, None
+        weights = None
+    else:
+        distinct, edges = collapse_identical(
+            docs, "doc_id", case_exact_key("text")
+        )
+        weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
     words = distinct.select(
         "doc_id", F.explode(textfn.tokens("text")).alias("word")
     )
-    tf = (
-        words.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-        .join(
-            F.broadcast(weights.withColumnRenamed("id_a", "doc_id")),
-            "doc_id",
-            "left",
-        )
-        .withColumn("__w", F.coalesce("__w", F.lit(1)))
-        .persist()
-    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    if weights is None:
+        tf = tf.withColumn("__w", F.lit(1))
+    else:
+        # no broadcast hint on weights (one row per duplicated distinct
+        # content — corpus-growing): AQE picks the strategy from its size
+        tf = tf.join(
+            weights.withColumnRenamed("id_a", "doc_id"), "doc_id", "left"
+        ).withColumn("__w", F.coalesce("__w", F.lit(1)))
+    tf = register_cached(tf.persist())
     wc = tf.groupBy("word").agg(F.sum(F.col("tf") * F.col("__w")).alias("c"))
     vocab = wc.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_K)
     # the corpus token total sums the cached tf table directly (partial
@@ -387,6 +413,8 @@ def q_unigram_logprob(spark, sf_dir):
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
     )
+    if edges is None:
+        return rep_out
     member_out = edges.join(
         rep_out.withColumnRenamed("doc_id", "id_a"), "id_a"
     ).select(F.col("id_b").alias("doc_id"), "n_tokens", "avg_logprob")
@@ -1027,9 +1055,10 @@ ORACLE = {
                    round(
                        ln((CAST(concat('0x', substr(md5(concat('aes', CAST(doc_id AS VARCHAR))), 1, 8))
                                 AS BIGINT) + 1.0) / 4294967296.0)
-                       / greatest(CAST(n_chars AS DOUBLE), 1.0),
+                       / CAST(n_chars AS DOUBLE),
                    12) AS sample_key
             FROM documents
+            WHERE n_chars > 0
         )
         SELECT doc_id, source, n_chars, sample_key
         FROM (
@@ -1099,9 +1128,10 @@ ORACLE = {
                    round(
                        ln((CAST(concat('0x', substr(md5(concat('aes', CAST(doc_id AS VARCHAR))), 1, 8))
                                 AS BIGINT) + 1.0) / 4294967296.0)
-                       / greatest(CAST(n_chars AS DOUBLE), 1.0),
+                       / CAST(n_chars AS DOUBLE),
                    12) AS sample_key
             FROM documents
+            WHERE n_chars > 0
         )
         SELECT doc_id, source, n_chars, sample_key
         FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT {WSAMPLE_K}

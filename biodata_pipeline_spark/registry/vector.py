@@ -70,6 +70,8 @@ def q25_similarity_join(spark, sf_dir):
 
 
 def _flagship_inputs(spark, sf_dir):
+    from biodata_pipeline_spark.operators.caching import register_cached
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.agg(F.count("*").alias("__n_vec"))
@@ -89,6 +91,7 @@ def _flagship_inputs(spark, sf_dir):
         # so the chunk+attach pipeline scans documents once, not twice.
         .persist()
     )
+    chunks = register_cached(chunks)
     terms = spark.createDataFrame(
         [(t, i) for i, t in enumerate(FLAGSHIP_TERMS)], ["term", "qvec"]
     ).withColumn("pattern", F.concat(F.lit(r"(^|\W)"), F.col("term"), F.lit(r"($|\W)")))

@@ -338,3 +338,63 @@ def test_per_content_memoizes_and_propagates(spark):
     assert reps == {1, 4}  # 2 and 3 collapse into 1; case variant 4 stays
     # members copy the representative's row (including its length!)
     assert out == {1: 5, 2: 5, 3: 5, 4: 5}
+
+
+def test_per_content_skips_collapse_on_duplicate_free_input(spark):
+    """Duplicate-light corpora skip the collapse machinery (the
+    DUP_GATE_RATIO gate) — compute then sees every row, and the output
+    is identical to the collapsed branch by construction."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.dedup import per_content
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    calls = []
+
+    def compute(base):
+        calls.append(base)
+        return base.select("doc_id", F.length("text").alias("n"))
+
+    out = {r.doc_id: r.n for r in per_content(docs, compute).collect()}
+    assert len(calls) == 1
+    assert calls[0] is docs  # gate took the raw-frame branch
+    assert out == {i: len(f"unique text {i}") for i in range(20)}
+
+
+def test_simhash_kernel_propagates_null_text_as_null_fp(spark):
+    """Null text must yield a null fingerprint (the HOF expression's
+    null semantics), not crash the Arrow kernel."""
+    from biodata_pipeline_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.fp for r in simhash_fingerprints(docs).collect()}
+    assert out[2] is None
+    assert out[1] is not None
+    assert out[3] == 0  # empty text: no tokens, all votes negative
+
+
+def test_cache_scope_releases_operator_internal_persists(spark):
+    """Operator-internal persist()s registered inside a cache_scope are
+    unpersisted on exit; outside a scope behavior is unchanged."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.caching import cache_scope
+    from biodata_pipeline_spark.operators.dedup import per_content
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], ["doc_id", "text"]
+    )
+
+    def compute(base):
+        return base.select("doc_id", F.length("text").alias("n"))
+
+    with cache_scope() as tracked:
+        per_content(docs, compute).collect()
+        assert tracked, "collapse_identical should have registered its persist"
+        assert any(df.storageLevel.useMemory for df in tracked)
+    assert all(not df.storageLevel.useMemory for df in tracked)

@@ -126,3 +126,29 @@ def test_cosine_top_k_exact_and_deterministic(spark):
         ranked = sorted(corpus, key=lambda c: (-cos(qe, c[1]), c[0]))[:5]
         for rank, (vid, _) in enumerate(ranked, 1):
             assert got[(qid, rank)] == vid
+
+
+def test_kernel_and_hof_paths_are_bit_identical(spark, frames):
+    """The size-driven strategy switch must be invisible in the output:
+    forcing the Arrow kernel (kernel_threshold=0) yields exactly the
+    rows the default (HOF at this scale) path yields."""
+    queries, chunks = frames
+    hof = sorted(
+        retrieval_rank_metrics(queries, chunks).collect(),
+        key=lambda r: r.term,
+    )
+    kern = sorted(
+        retrieval_rank_metrics(queries, chunks, kernel_threshold=0).collect(),
+        key=lambda r: r.term,
+    )
+    assert [tuple(r) for r in hof] == [tuple(r) for r in kern]
+
+
+def test_kernel_query_set_bound_is_enforced(spark, frames):
+    """The kernel path's driver collect is gated: an over-bound query
+    frame raises with the bound named instead of OOMing the driver."""
+    queries, chunks = frames
+    with pytest.raises(ValueError, match="driver-collect bound of 2"):
+        retrieval_rank_metrics(
+            queries, chunks, kernel_threshold=0, max_query_rows=2
+        )

@@ -212,3 +212,38 @@ def test_weighted_sample_per_group_draws_k_per_stratum(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" not in plan and "Window" in plan
+
+
+def test_weighted_sample_respects_fractional_weights(spark):
+    """Weights in (0, 1] must behave proportionally — the A-ES key
+    divides by the TRUE weight (a clamp to >= 1 would make weight 0.01
+    and weight 1.0 rows equally likely). A 100x weight gap on fractional
+    weights must dominate the draw."""
+    from biodata_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 0.5 if i < 50 else 0.005) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    sample = weighted_sample(df, 40, "id", "w").collect()
+    heavy = sum(1 for r in sample if r.id < 50)
+    # 50 rows carry 100x the weight of the other 950: they must take the
+    # overwhelming majority of a 40-row draw (deterministic given the salt)
+    assert heavy >= 30
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from biodata_pipeline_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "g"), (2, 0.0, "g"), (3, -1.0, "g"), (4, 2.0, "g")],
+        "id long, w double, grp string",
+    )
+    ids = {r.id for r in weighted_sample(df, 10, "id", "w").collect()}
+    assert ids == {1, 4}
+    ids = {
+        r.id
+        for r in weighted_sample_per_group(df, 10, "grp", "id", "w").collect()
+    }
+    assert ids == {1, 4}
