@@ -309,12 +309,12 @@ def retrieval_rank_metrics(
     """
     from biodata_pipeline_spark.operators.caching import register_cached
 
-    n_chunks = chunks.select(
-        F.count("*").cast("long").alias("__n_chunks")
-    )  # 1-row frame, crossJoin-broadcast as the sentinel
     # Strategy pick on the observed corpus size — one cheap count that
     # also warms ``chunks``'s cache when the caller persisted it (the
-    # flagship does; its two downstream consumers reuse the result).
+    # flagship does; its downstream consumer reuses the result). The
+    # same number IS the no-match sentinel (reference: rank = corpus
+    # size), so it enters the plan as a literal instead of a second
+    # count(*) aggregate subtree.
     n_corpus = chunks.count()
     corpus = chunks.repartition(
         chunks.sparkSession.sparkContext.defaultParallelism
@@ -366,7 +366,7 @@ def retrieval_rank_metrics(
     return (
         queries.select(query_id)
         .join(per_query, query_id, "left")
-        .crossJoin(F.broadcast(n_chunks))
+        .withColumn("__n_chunks", F.lit(n_corpus).cast("long"))
         .select(
             query_id,
             F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),

@@ -182,9 +182,10 @@ def q_tfidf_top_terms(spark, sf_dir):
         case_exact_key,
         collapse_identical,
         duplication_ratio,
+        gate_key,
     )
 
-    if duplication_ratio(docs, case_exact_key("text")) >= DUP_GATE_RATIO:
+    if duplication_ratio(docs, gate_key("text")) >= DUP_GATE_RATIO:
         distinct, edges, weights = docs, None, None
     else:
         distinct, edges = collapse_identical(
@@ -358,9 +359,10 @@ def q_unigram_logprob(spark, sf_dir):
         case_exact_key,
         collapse_identical,
         duplication_ratio,
+        gate_key,
     )
 
-    if duplication_ratio(docs, case_exact_key("text")) >= DUP_GATE_RATIO:
+    if duplication_ratio(docs, gate_key("text")) >= DUP_GATE_RATIO:
         distinct, edges = docs, None
         weights = None
     else:
