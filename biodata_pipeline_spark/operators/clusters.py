@@ -5,22 +5,48 @@ The dedup family (exact / Jaccard / MinHash / SimHash / cosine) emits
 labeled with a canonical representative so one survivor per cluster can
 be kept. Pairs → clusters is connected components: an inherently
 iterative computation (SURVEY §2's "genuinely non-SQL-expressible"
-category), implemented as label propagation:
+category), implemented as alternating large-star / small-star
+contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+and Beyond" — the standard Spark CC):
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+    large-star:  for each node u, hook every LARGER neighbor to
+                 m(u) = min(Γ(u) ∪ {u})
+    small-star:  for each node u, hook u and its SMALLER neighbors
+                 to their minimum
 
-repeated to fixpoint. Each round is one join + one aggregation; the
-number of rounds is bounded by the graph diameter (near-dup clusters are
-shallow — a handful of rounds in practice). ``localCheckpoint`` truncates
-the lineage each round so plans don't grow with iterations — the
-standard Spark pattern for iterative algorithms (same shape GraphX/
-GraphFrames use).
+Each operation is one groupBy-min plus one join, and the edge set
+CONTRACTS as clusters collapse toward their minima — unlike plain label
+propagation, which reshuffles the full edge set every round and needs
+diameter-many rounds (the round-4 scale probe's worst offender: 6.4×
+at 100× data). Star contraction converges in O(log² n) rounds with
+geometrically shrinking work; the fixpoint is a star forest whose
+centers are the component minima. ``localCheckpoint`` truncates lineage
+each round so plans don't grow with iterations (the standard Spark
+pattern for iterative algorithms; GraphX/GraphFrames do the same).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _is_star_forest(canon: DataFrame) -> bool:
+    """True iff the (hi, lo) edge set is a star forest: every hi occurs
+    exactly once and no hi also appears as a lo. A star forest is a
+    fixpoint of both star operations (checked directly instead of
+    running a confirming round — one limit-1 job against the
+    just-checkpointed edges, saving a full round of shuffles)."""
+    multi_hi = (
+        canon.groupBy("hi")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select(F.lit(1).alias("bad"))
+    )
+    hi_is_lo = canon.join(
+        canon.select(F.col("hi").alias("lo")).distinct(), "lo", "left_semi"
+    ).select(F.lit(1).alias("bad"))
+    return multi_hi.unionByName(hi_is_lo).limit(1).count() == 0
 
 
 def connected_components(
@@ -34,68 +60,93 @@ def connected_components(
     Returns ``(id, component)`` for every vertex appearing in ``edges``,
     where ``component`` is the smallest vertex id reachable from ``id`` —
     deterministic, so downstream "keep min-id per cluster" decisions are
-    reproducible. Isolated vertices don't appear (no edges ⇒ no dedup
-    decision needed).
+    reproducible. Vertices with only self-loop edges map to themselves.
 
-    Raises ``RuntimeError`` if the labels have not reached fixpoint within
-    ``max_iterations`` — chain-shaped clusters (successively drifting
-    near-dups) can exceed any fixed round budget, and unconverged labels
-    would silently keep several "survivors" from one cluster. Raise the
-    budget for deep graphs; propagation costs one join per round.
+    Raises ``RuntimeError`` if the star forest has not stabilized within
+    ``max_iterations`` rounds of (large-star, small-star) — unconverged
+    labels would silently keep several "survivors" from one cluster.
+    O(log² n) rounds suffice for any graph, so a hit budget signals a
+    pathological input, not a tuning knob to raise casually.
     """
-    # Undirected: materialize both directions once.
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = fwd.unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
-    sym = sym.localCheckpoint()
-
-    labels = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("nbr_min"))
+    # Canonical orientation (hi > lo), self-loops dropped, both input
+    # directions folded together.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    canon = (
+        e.filter(F.col("a") != F.col("b"))
         .select(
-            F.col("u").alias("id"),
-            F.least(F.col("u"), F.col("nbr_min")).alias("component"),
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
+        .distinct()
         .localCheckpoint()
     )
+    from pyspark.sql import Window
+
+    converged = _is_star_forest(canon)
     for _ in range(max_iterations):
-        # candidate label per vertex: min over neighbors' current labels
-        neighbor_labels = (
-            sym.join(labels.withColumnRenamed("id", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_label"))
-            .select(F.col("u").alias("id"), "nbr_label")
-        )
-        # (Pointer doubling was tried and measured SLOWER here: near-dup
-        # clusters are shallow, so the extra per-round join costs more than
-        # the rounds it saves. Plain propagation wins for this graph shape.)
-        # The convergence flag rides along in the same projection, so the
-        # fixpoint test is a filter over the already-materialized
-        # checkpoint — not a second labels⋈updated join per round.
-        updated = (
-            labels.withColumnRenamed("component", "__old")
-            .join(neighbor_labels, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("__old"), F.coalesce("nbr_label", F.col("__old"))
-                ).alias("component"),
-                (F.coalesce("nbr_label", F.col("__old")) < F.col("__old")).alias(
-                    "__changed"
-                ),
+        if converged:
+            break
+        # LARGE-STAR: per node u, hook each neighbor v > u to
+        # m = min(Γ(u) ∪ {u}). A min-window over u — ONE shuffle,
+        # single pass, no groupBy+join round trip. Output keeps the
+        # hi > lo orientation (v > u ≥ m).
+        sym = canon.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(canon.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        large = (
+            sym.withColumn(
+                "mn", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
             )
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("mn").alias("lo"))
+        )
+        # SMALL-STAR over the hi > lo edges: per node hi, hook hi and
+        # every smaller neighbor to m = min of the smaller neighbors —
+        # the same min-window shape, with both emitted edges produced in
+        # the same pass via explode (duplicates from skipping large's
+        # distinct are harmless: min is idempotent, and the final
+        # distinct collapses them).
+        small = large.withColumn(
+            "m", F.min("lo").over(Window.partitionBy("hi"))
+        )
+        canon_next = (
+            small.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("lo").alias("hi"), F.col("m").alias("lo")),
+                        F.struct(F.col("hi").alias("hi"), F.col("m").alias("lo")),
+                    )
+                ).alias("e")
+            )
+            .select("e.hi", "e.lo")
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge within {max_iterations} "
-        "rounds — the edge graph has a component deeper than the budget; "
-        "raise max_iterations"
+        converged = _is_star_forest(canon_next)
+        canon = canon_next
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds of star contraction — pathological input (star "
+            "contraction needs O(log² n) rounds on any graph); raise "
+            "max_iterations"
+        )
+    # Fixpoint = star forest: every hi occurs once, pointing at its
+    # component minimum; centers map to themselves. Vertices that only
+    # ever appeared in self-loops are their own components.
+    comp = canon.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    roots = canon.select(F.col("lo").alias("id")).distinct().withColumn(
+        "component", F.col("id")
     )
+    vertices = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    self_only = vertices.join(
+        comp.select("id").unionByName(roots.select("id")), "id", "left_anti"
+    ).withColumn("component", F.col("id"))
+    return comp.unionByName(roots).unionByName(self_only)
 
 
 def dedup_survivors(

@@ -60,18 +60,29 @@ def test_components_match_union_find(spark, seed):
 
 
 def test_unconverged_chain_raises_not_silent_wrong_labels(spark):
-    """A chain deeper than the round budget must raise — unconverged
-    labels would keep multiple 'survivors' from one cluster with no
-    signal. With a sufficient budget the same chain converges."""
+    """A graph needing more rounds than the budget must raise —
+    unconverged labels would keep multiple 'survivors' from one cluster
+    with no signal. With the default budget the same chain converges
+    (star contraction: O(log² n) rounds, so even a 100-deep chain is
+    comfortably inside 20)."""
     import pytest
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=3)
-    got = {r.id: r.component for r in connected_components(chain, max_iterations=20).collect()}
+        connected_components(chain, max_iterations=1)
+    got = {r.id: r.component for r in connected_components(chain).collect()}
     assert set(got.values()) == {0}
+    assert len(got) == 101
+
+
+def test_self_loop_only_vertices_map_to_themselves(spark):
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (7, 7)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 7: 7}
 
 
 def test_dedup_survivors_end_to_end(spark, sf_dir):
