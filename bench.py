@@ -113,19 +113,24 @@ def main() -> None:
     # observed to inflate single runs up to 4× late in the sequence, not
     # any cached state).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = None
+        runs[name] = []
         for _ in range(2):
-            t = run_one(spark, name, sf_dir)
-            best = t if best is None else min(best, t)
+            runs[name].append(round(run_one(spark, name, sf_dir), 3))
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = min(runs[name])
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-run detail (VERDICT r4): "queries" is min-of-two; "runs"
+        # exposes both raw timings so rounds stay comparable to the
+        # single-run r1-r3 series (compare runs[0] to those).
+        "runs": runs,
+        "run1_total": round(sum(r[0] for r in runs.values()), 3),
         "sf": sf,
     }
     prev = prev_bench()

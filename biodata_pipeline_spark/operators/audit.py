@@ -1,0 +1,351 @@
+"""Oracle-checkable recall audits for the approximate-dedup family.
+
+The production MinHash-LSH / SimHash paths (`operators/dedup.py`) hash
+with ``xxhash64`` — a JVM-only function — so their recall against exact
+ground truth could previously be verified only in pytest (rows-only
+driver checks). These audits close that gap: they re-run the SAME
+algorithms (same shingling, same banding scheme, same pigeonhole
+regime) with an **md5-derived hash family** that any engine can
+reproduce, then join the candidate pairs against exact ground truth
+computed by the already-hash-verified machinery (`ngram_jaccard_dup_
+pairs` for Jaccard, an exact Hamming scan for SimHash). The outputs —
+per-threshold found/missed counts, per-pair hit flags — are fully
+deterministic ANSI SQL, so the engine's most important approximate
+operators gain a value-hash-checked correctness row instead of a
+rows-only one.
+
+Reference anchor: the reference's only approximate component is Chroma
+retrieval (rag_evaluation/RAG-eval-test_model.py:233-248), evaluated
+there by exact string containment of the expected answer — the same
+"audit the approximation against an exact signal" pattern formalized
+here.
+
+Hash family: ``h(s) = int64(md5(s)[:15 hex])`` — 60 unbiased bits.
+Per-lane hashes are ``h(lane ':' s)`` (independent md5 per lane) rather
+than an affine ``(a·h+b) mod p`` mix: modular multiplication of 60-bit
+values overflows int64, and the two engines disagree on overflow
+(Spark wraps, DuckDB raises), so arithmetic mixing is not
+cross-engine-safe. md5-per-lane is ~L× more hashing but runs on a
+bounded audit corpus by design (``AUDIT_MAX_DOC``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.textfn import tokens
+from biodata_pipeline_spark.functions.vector import cosine
+from biodata_pipeline_spark.operators.caching import register_cached
+from biodata_pipeline_spark.operators.dedup import (
+    _exploded_shingles,
+    ngram_jaccard_dup_pairs,
+)
+
+# The audit's quadratic components (exact Hamming scan, shingle
+# co-occurrence join on an un-pruned corpus) are bounded by doc_id so the
+# audit stays cheap at any SF: sf0.01 (500 docs) and sf0.1 (2000 of 5000
+# docs) are fully covered; a 100 TB corpus audits a fixed-size slice —
+# which is the point: recall of a deterministic hash family measured on a
+# representative slice transfers to the full corpus, all-pairs ground
+# truth over 100 TB does not exist at any budget.
+AUDIT_MAX_DOC = 2000
+
+
+def md5_int60(col: F.Column) -> F.Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in any
+    engine with md5 + hex parsing (DuckDB: CAST('0x'||substr(md5(x),1,15)
+    AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _lane_hash(lane_col, shingle_col) -> F.Column:
+    return md5_int60(F.concat_ws(":", lane_col, shingle_col))
+
+
+def minhash_candidate_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_lanes: int = 32,
+    rows_per_band: int = 4,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with the md5 hash family — the
+    cross-engine-reproducible twin of ``minhash_lsh_dup_pairs``'s
+    xxhash64 banding (same 32-lane / 8-band / 4-row geometry).
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` — every pair
+    sharing at least one band bucket.
+
+    Plan shape: the signature is ONE groupBy(id) carrying all lanes as
+    separate min() aggregates — map-side partial combine reduces each
+    partition to |docs| rows before the shuffle, vs exploding a
+    (doc, lane) row per lane (num_lanes× the shuffle volume for the same
+    result). Band keys are then literal column concats in lane order —
+    matching the oracle's ``string_agg(lpad(lane,2,'0')||':'||m ORDER BY
+    lane)`` without any collect_list/sort machinery.
+
+    ``shingles``: optionally a precomputed ``_exploded_shingles`` frame
+    (persist it when the caller also feeds it to the exact-Jaccard side,
+    as ``minhash_recall_audit`` does — tokenizing twice is the audit's
+    single biggest cost otherwise).
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else _exploded_shingles(df, id_col, text_col, n)
+    )
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(_lane_hash(F.lit(i), F.col("sh"))).alias(f"m{i}")
+            for i in range(num_lanes)
+        ]
+    )
+    band_keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.concat_ws(":", F.lit(f"{lane:02d}"), F.col(f"m{lane}").cast("string"))
+                for lane in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        for b in range(num_lanes // rows_per_band)
+    ]
+    bands = register_cached(
+        sig.select(
+            "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+        ).persist()
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_recall_audit(
+    df: DataFrame,
+    thresholds: Sequence[float] = (0.5, 0.7, 0.8, 0.9),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_lanes: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Per-threshold recall of MinHash-LSH candidates vs exact Jaccard.
+
+    Ground truth = ``ngram_jaccard_dup_pairs`` (exact shingle-set
+    Jaccard, itself hash-verified as q_ngram_jaccard_dedup). For each
+    audit threshold t: how many exact pairs with jaccard >= t did the
+    LSH candidate set find / miss. Output is one row per threshold —
+    (threshold, n_true_pairs, n_found, n_missed, recall) — deterministic
+    in any engine.
+    """
+    spark = df.sparkSession
+    sh = register_cached(_exploded_shingles(df, id_col, text_col, n).persist())
+    cand = minhash_candidate_pairs_md5(
+        df, id_col, text_col, n, num_lanes, rows_per_band, shingles=sh
+    ).withColumn("found", F.lit(1))
+    exact = ngram_jaccard_dup_pairs(
+        df, min(thresholds), id_col, text_col, n, shingles=sh
+    )
+    hits = register_cached(
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .select("jaccard", F.coalesce("found", F.lit(0)).alias("found"))
+        .persist()
+    )
+    th = spark.createDataFrame([(float(t),) for t in thresholds], "threshold double")
+    # tiny-side broadcast theta-join: |thresholds| rows against the
+    # (already small) exact-pair table
+    agg = (
+        hits.join(F.broadcast(th), hits.jaccard >= th.threshold)
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.sum("found").alias("n_found"),
+        )
+    )
+    return (
+        th.join(agg, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            (F.coalesce("n_true_pairs", F.lit(0)) - F.coalesce("n_found", F.lit(0))).alias(
+                "n_missed"
+            ),
+            F.when(F.coalesce("n_true_pairs", F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_found") / F.col("n_true_pairs").cast("double"), 4
+                )
+            )
+            .alias("recall"),
+        )
+    )
+
+
+def simhash60_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash fingerprints from md5 token hashes.
+
+    Classic Charikar construction: per bit j, sum tf-weighted ±1 votes of
+    each distinct token's hash bit j; fingerprint bit j = (sum > 0).
+    60 bits (not 64) because the cross-engine hash is the 60-bit md5
+    prefix. Documents with zero tokens produce no row (both engines'
+    aggregates drop the empty group identically).
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_int60(F.col("tok")))
+    )
+    # shiftright/shiftleft with a COLUMN bit count is SQL-only (the
+    # PySpark wrappers require a Python int), hence the expr() strings.
+    votes = (
+        tf.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+            F.col("cnt"),
+            F.col("h"),
+        )
+        .groupBy("id", "bit")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1")
+            ).alias("s")
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("fp")
+    )
+
+
+def simhash_recall_audit(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pigeonhole-regime SimHash audit: per exact near-dup pair, was it
+    found by the band join?
+
+    With 60-bit fingerprints split into ``n_bands`` = ``max_hamming``+1
+    bands of 15 bits, any pair at Hamming distance <= max_hamming has at
+    least one intact band, so band-join recall is EXACTLY 1 — an
+    equality, not a probabilistic bound. The audit makes that equality a
+    hash-checked row set: ground truth is an exact all-pairs Hamming
+    scan (bounded corpus), output one row per true pair —
+    (id_a, id_b, hamming, found) — where every ``found`` must be 1.
+    """
+    assert 60 % n_bands == 0 and n_bands >= max_hamming + 1
+    band_bits = 60 // n_bands
+    mask = (1 << band_bits) - 1
+    fp = register_cached(simhash60_md5(df, id_col, text_col).persist())
+    truth = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # n_bands is a Python constant, so the band keys are built with
+    # LITERAL shifts (posexplode of a key array) — stays in codegen.
+    banded = fp.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .withColumn("found", F.lit(1))
+    )
+    return truth.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        F.coalesce("found", F.lit(0)).alias("found"),
+    )
+
+
+def ann_bucket_recall_audit(
+    emb: DataFrame,
+    n_queries: int = 100,
+    sign_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed-ANN recall audit with a deterministic quantizer.
+
+    The production ANN paths (IVF with kmeans cells, random-hyperplane
+    LSH) are rows-only because their cell assignments depend on JVM
+    hashing / iterative centroids. This audit uses the degenerate-but-
+    deterministic member of the same family — axis-aligned hyperplanes
+    (sign bits of the first ``sign_dims`` dimensions) — so the
+    bucket assignment, the exact top-1 neighbor, and therefore the
+    bucket-recall flag are all reproducible in ANSI SQL.
+
+    Output: one row per query — (query_id, top1_id, sim, same_bucket) —
+    where ``same_bucket`` = 1 iff the true nearest neighbor would be
+    found by a single-probe bucket lookup. Tie-break on (sim desc,
+    id asc); sim rounded to 9dp BEFORE ranking so ulp noise cannot flip
+    the winner between engines.
+    """
+    bucket = sum(
+        F.when(F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        for j in range(sign_dims)
+    ).cast("long")
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket.alias("bucket"),
+    )
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sims = base.join(F.broadcast(q), F.col("id") != F.col("query_id")).withColumn(
+        "sim", F.round(cosine("qv", "v"), 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("id").alias("top1_id"),
+            "sim",
+            F.when(F.col("bucket") == F.col("qbucket"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("same_bucket"),
+        )
+    )

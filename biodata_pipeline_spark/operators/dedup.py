@@ -245,13 +245,22 @@ def ngram_jaccard_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over n-token shingle sets.
 
     |A∩B| comes from an equi-join on the shingle (co-partitioned shuffle, no
     cross product); |A∪B| = |A|+|B|−|A∩B|. Output: id_a, id_b, jaccard.
+
+    ``shingles``: optionally a precomputed (persisted) ``_exploded_shingles``
+    frame, so a caller that needs the shingle table twice (e.g. the
+    MinHash recall audit: exact side + signature side) tokenizes once.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else _exploded_shingles(df, id_col, text_col, n)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")

@@ -1,0 +1,273 @@
+"""Recall audits for the approximate operator families — declared,
+oracle-checked queries.
+
+Round-4 state: the engine's approximate operators (MinHash-LSH, SimHash,
+near-dup connected components, bucketed ANN) were rows-only driver
+checks; their recall against exact ground truth lived only in pytest.
+These queries promote recall to the hash-checked tier by re-running the
+same algorithms with cross-engine-reproducible hashing (md5-derived, see
+``operators/audit.py``) and joining candidates against exact ground
+truth that is itself plain ANSI SQL.
+
+Reference anchor: the reference evaluates its one approximate component
+(Chroma retrieval) by exact string containment of the expected answer
+(rag_evaluation/RAG-eval-test_model.py:233-248) — the same
+"exact signal audits the approximation" pattern, formalized per family:
+
+ - q_lsh_recall_audit      MinHash-LSH candidates vs exact Jaccard pairs
+                           (per-threshold found/missed/recall counts)
+ - q_simhash_recall_audit  pigeonhole-regime band join vs exact Hamming
+                           scan (per-pair found flag; recall must be 1)
+ - q_dedup_cc_audit        star-contraction connected components vs a
+                           recursive-CTE reachability oracle
+ - q_ann_bucket_recall     deterministic sign-bit bucket quantizer vs
+                           exact top-1 cosine neighbor
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.audit import (
+    AUDIT_MAX_DOC,
+    ann_bucket_recall_audit,
+    minhash_recall_audit,
+    simhash_recall_audit,
+)
+from biodata_pipeline_spark.operators.clusters import connected_components
+from biodata_pipeline_spark.operators.dedup import ngram_jaccard_dup_pairs
+from biodata_pipeline_spark.sources.tables import load_table
+
+CC_THRESHOLD = 0.5
+ANN_QUERIES = 100
+ANN_SIGN_DIMS = 8
+
+
+def _audit_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AUDIT_MAX_DOC
+    )
+
+
+def q_lsh_recall_audit(spark, sf_dir):
+    """Per-threshold recall of md5-family MinHash-LSH (32 lanes, 8 bands
+    x 4 rows — the production geometry) against exact shingle-Jaccard
+    ground truth."""
+    return minhash_recall_audit(_audit_docs(spark, sf_dir))
+
+
+def q_simhash_recall_audit(spark, sf_dir):
+    """SimHash pigeonhole audit: every exact pair at Hamming <= 3 must be
+    found by the 4-band join (recall exactly 1 — an equality the driver
+    hash-checks pair by pair)."""
+    return simhash_recall_audit(_audit_docs(spark, sf_dir))
+
+
+def q_dedup_cc_audit(spark, sf_dir):
+    """Connected components over exact Jaccard >= 0.5 edges. The Spark
+    side is the iterative star-contraction operator (Kiveris et al.) the
+    production dedup uses; the oracle re-derives components via recursive
+    reachability + min label — so the iterative algorithm itself gets a
+    value-hash-checked row, not a rows-only one."""
+    edges = ngram_jaccard_dup_pairs(_audit_docs(spark, sf_dir), CC_THRESHOLD)
+    comp = connected_components(edges)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_ann_bucket_recall(spark, sf_dir):
+    """Single-probe bucket recall of a deterministic sign-bit quantizer
+    against the exact top-1 cosine neighbor, per query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_bucket_recall_audit(
+        emb, n_queries=ANN_QUERIES, sign_dims=ANN_SIGN_DIMS
+    )
+
+
+SPARK = {
+    "q_lsh_recall_audit": q_lsh_recall_audit,
+    "q_simhash_recall_audit": q_simhash_recall_audit,
+    "q_dedup_cc_audit": q_dedup_cc_audit,
+    "q_ann_bucket_recall": q_ann_bucket_recall,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles. Shared fragments: the tokenizer CASE matches textops._TOKS; the
+# shingle/Jaccard CTEs are the (hash-green) q_ngram_jaccard_dedup machinery
+# re-bounded to AUDIT_MAX_DOC; md5-int60 parsing is
+# CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) in DuckDB ==
+# conv(substring(md5(x), 1, 15), 16, 10) :: long in Spark.
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    r"CASE WHEN trim(text) = '' THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
+
+_SHINGLES = f"""
+    toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < {AUDIT_MAX_DOC}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, generate_series(1, 8192) AS g(i)
+        WHERE len(t) >= 3 AND i <= len(t) - 2
+    )
+"""
+
+_JACCARD = """
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) >= {threshold}
+    )
+"""
+
+_MD5_60 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+_ANN_BUCKET = " + ".join(
+    f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(ANN_SIGN_DIMS)
+)
+
+ORACLE = {
+    "q_lsh_recall_audit": f"""
+        WITH {_SHINGLES},
+        {_JACCARD.format(threshold=0.5)},
+        lanes AS (
+            SELECT doc_id, lane,
+                   min({_MD5_60.format(x="CAST(lane AS VARCHAR) || ':' || s")}) AS m
+            FROM sh, generate_series(0, 31) AS l(lane)
+            GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT doc_id, lane // 4 AS band,
+                   string_agg(
+                       lpad(CAST(lane AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR),
+                       ',' ORDER BY lane) AS key
+            FROM lanes GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+        hits AS (
+            SELECT j.jaccard,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+            FROM jac j LEFT JOIN cand c
+              ON c.id_a = j.id_a AND c.id_b = j.id_b
+        ),
+        agg AS (
+            SELECT t.threshold,
+                   count(h.jaccard) AS n_true,
+                   CAST(coalesce(sum(h.found), 0) AS BIGINT) AS n_found
+            FROM th t LEFT JOIN hits h ON h.jaccard >= t.threshold
+            GROUP BY 1
+        )
+        SELECT threshold,
+               n_true AS n_true_pairs,
+               n_found,
+               n_true - n_found AS n_missed,
+               CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(n_found / CAST(n_true AS DOUBLE), 4) END AS recall
+        FROM agg
+    """,
+    "q_simhash_recall_audit": f"""
+        WITH toksm AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE doc_id < {AUDIT_MAX_DOC}
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toksm GROUP BY 1, 2),
+        tfh AS (
+            SELECT doc_id, cnt, {_MD5_60.format(x="tok")} AS h FROM tf
+        ),
+        votes AS (
+            SELECT doc_id, bit,
+                   sum(cnt * (((h >> CAST(bit AS INTEGER)) & 1) * 2 - 1)) AS s
+            FROM tfh, generate_series(0, 59) AS b(bit)
+            GROUP BY 1, 2
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                                 ELSE 0 END) AS BIGINT) AS fp
+            FROM votes GROUP BY 1
+        ),
+        truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.fp, b.fp)) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        banded AS (
+            SELECT doc_id, band, (fp >> CAST(band * 15 AS INTEGER)) & 32767 AS key
+            FROM fp, generate_series(0, 3) AS g(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT t.id_a, t.id_b,
+               CAST(t.hamming AS INTEGER) AS hamming,
+               CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+        FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    """,
+    "q_dedup_cc_audit": f"""
+        WITH RECURSIVE {_SHINGLES},
+        {_JACCARD.format(threshold=CC_THRESHOLD)},
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM jac
+            UNION
+            SELECT id_b, id_a FROM jac
+        ),
+        nodes AS (SELECT DISTINCT a FROM e),
+        reach(a, b) AS (
+            SELECT a, a FROM nodes
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        )
+        SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+    "q_ann_bucket_recall": f"""
+        WITH base AS (
+            SELECT vec_id AS id, embedding,
+                   CAST({_ANN_BUCKET} AS BIGINT) AS bucket,
+                   sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+            FROM embeddings
+        ),
+        sims AS (
+            SELECT q.id AS query_id, c.id,
+                   c.bucket, q.bucket AS qbucket,
+                   round({_DOT.format(a="q.embedding", b="c.embedding")}
+                         / (q.nrm * c.nrm), 9) AS sim
+            FROM base q JOIN base c ON c.id <> q.id
+            WHERE q.id < {ANN_QUERIES}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rn
+            FROM sims
+        )
+        SELECT query_id, id AS top1_id, sim,
+               CASE WHEN bucket = qbucket THEN 1 ELSE 0 END AS same_bucket
+        FROM ranked WHERE rn = 1
+    """,
+}
