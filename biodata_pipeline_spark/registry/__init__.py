@@ -76,11 +76,13 @@ _ALL_ORACLE = {
 # The other 42 r04-window queries are driver-green on CURRENT code as of
 # r04 and stay covered by the identical local gate.
 _DRIVER_WINDOW = [
-    # -- block 1: round-5 recall audits (no prior CORRECTNESS row) -------
+    # -- block 1: round-5 additions (no prior CORRECTNESS row) -----------
     "q_lsh_recall_audit",
     "q_simhash_recall_audit",
     "q_dedup_cc_audit",
+    "q_dedup_survivors_best",
     "q_ann_bucket_recall",
+    "q_bpe_merge_pairs",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -126,8 +128,6 @@ _DRIVER_WINDOW = [
     "q31_per_group_topk",
     "q35_tumbling_window",
     # -- block 3: fresh r04-green regression representatives --------------
-    "q21_pricing_summary",
-    "q24_cosine_topk",
     "q26_retrieval_rank_detail",
     "q_minhash_lsh_dedup",
 ]

@@ -74,6 +74,42 @@ def q_dedup_cc_audit(spark, sf_dir):
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_survivors_best(spark, sf_dir):
+    """The end-user dedup decision, hash-checked: one survivor per
+    near-dup cluster, keeping the LONGEST member (ties -> smallest id)
+    instead of the reference's implicit keep-first
+    (generate_narratives_from_data.py:55-60 skip-if-exists). Clusters
+    are star-contraction CC over exact Jaccard >= 0.5 edges; singletons
+    survive as their own component. Output: (component, survivor_id,
+    survivor_tokens, n_members)."""
+    from pyspark.sql import Window
+
+    from biodata_pipeline_spark.functions.textfn import token_count
+
+    docs = _audit_docs(spark, sf_dir)
+    edges = ngram_jaccard_dup_pairs(docs, CC_THRESHOLD)
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    labeled = (
+        docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("n_members"))
+    survivors = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_tokens").alias("survivor_tokens"),
+        )
+    )
+    return survivors.join(sizes, "component")
+
+
 def q_ann_bucket_recall(spark, sf_dir):
     """Single-probe bucket recall of a deterministic sign-bit quantizer
     against the exact top-1 cosine neighbor, per query vector."""
@@ -87,6 +123,7 @@ SPARK = {
     "q_lsh_recall_audit": q_lsh_recall_audit,
     "q_simhash_recall_audit": q_simhash_recall_audit,
     "q_dedup_cc_audit": q_dedup_cc_audit,
+    "q_dedup_survivors_best": q_dedup_survivors_best,
     "q_ann_bucket_recall": q_ann_bucket_recall,
 }
 
@@ -245,6 +282,40 @@ ORACLE = {
             SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
         )
         SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+    "q_dedup_survivors_best": f"""
+        WITH RECURSIVE {_SHINGLES},
+        {_JACCARD.format(threshold=CC_THRESHOLD)},
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM jac
+            UNION
+            SELECT id_b, id_a FROM jac
+        ),
+        nodes AS (SELECT DISTINCT a FROM e),
+        reach(a, b) AS (
+            SELECT a, a FROM nodes
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        ),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        labeled AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            WHERE d.doc_id < {AUDIT_MAX_DOC}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY n_tokens DESC, doc_id ASC) AS rn
+            FROM labeled
+        ),
+        csizes AS (SELECT component, count(*) AS n_members FROM labeled GROUP BY 1)
+        SELECT r.component, r.doc_id AS survivor_id,
+               r.n_tokens AS survivor_tokens, s.n_members
+        FROM ranked r JOIN csizes s USING (component)
+        WHERE r.rn = 1
     """,
     "q_ann_bucket_recall": f"""
         WITH base AS (

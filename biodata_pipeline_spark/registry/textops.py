@@ -145,6 +145,31 @@ def q_word_freq_topk(spark, sf_dir):
     )
 
 
+def q_bpe_merge_pairs(spark, sf_dir):
+    """First BPE merge iteration (Sennrich et al.): corpus-wide counts of
+    adjacent CHARACTER pairs inside whitespace words, top-50 by count —
+    the statistic a tokenizer-training pass computes before its first
+    merge. Same scale shape as the vocab build: the explode emits ~one
+    row per character, but map-side partial aggregation collapses each
+    task to its distinct pairs (bounded by alphabet², not corpus size)
+    before the single shuffle; top-50 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(textfn.tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing per language: token offsets and 512-token sequence
     ids over the doc_id-ordered layout (operators/packing.py — the LLM
@@ -715,6 +740,7 @@ SPARK = {
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
+    "q_bpe_merge_pairs": q_bpe_merge_pairs,
     "q_pack_sequences": q_pack_sequences,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_contamination_check": q_contamination_check,
@@ -862,6 +888,18 @@ ORACLE = {
         GROUP BY word
         ORDER BY n DESC, word ASC
         LIMIT 30
+    """,
+    "q_bpe_merge_pairs": f"""
+        WITH words AS (SELECT unnest({_TOKS}) AS w FROM documents),
+        pairs AS (
+            SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+            FROM words, generate_series(1, 8191) AS g(i)
+            WHERE length(w) >= 2 AND i <= length(w) - 1
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs GROUP BY 1
+        ORDER BY n DESC, pair ASC
+        LIMIT 50
     """,
     "q_pack_sequences": f"""
         WITH toked AS (
