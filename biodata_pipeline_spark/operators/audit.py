@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from biodata_pipeline_spark.functions.textfn import tokens
-from biodata_pipeline_spark.functions.vector import cosine
+from biodata_pipeline_spark.functions.vector import dot, l2_norm
 from biodata_pipeline_spark.operators.caching import register_cached
 from biodata_pipeline_spark.operators.dedup import (
     _exploded_shingles,
@@ -294,6 +294,13 @@ def simhash_recall_audit(
     )
 
 
+# Exact top-1 ground truth is O(|corpus|) per query by definition, so the
+# audit measures recall on a fixed-size corpus slice (same rationale as
+# AUDIT_MAX_DOC: a deterministic quantizer's recall on a representative
+# slice transfers; a 100 TB brute-force scan does not exist).
+AUDIT_MAX_VEC = 20_000
+
+
 def ann_bucket_recall_audit(
     emb: DataFrame,
     n_queries: int = 100,
@@ -323,18 +330,25 @@ def ann_bucket_recall_audit(
         )
         for j in range(sign_dims)
     ).cast("long")
-    base = emb.select(
+    # Norms are computed ONCE per vector here, so the O(queries x corpus)
+    # pair loop below folds only the dot product — 3x less array work per
+    # pair than a self-contained cosine, and the exact shape of the
+    # oracle's norms-CTE formulation (sqrt of the same in-order fold,
+    # divided after rounding boundary: bit-identical).
+    base = emb.filter(F.col(id_col) < AUDIT_MAX_VEC).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         bucket.alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
     q = base.filter(F.col("id") < n_queries).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     sims = base.join(F.broadcast(q), F.col("id") != F.col("query_id")).withColumn(
-        "sim", F.round(cosine("qv", "v"), 9)
+        "sim", F.round(dot("qv", "v") / (F.col("qnrm") * F.col("nrm")), 9)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
     return (

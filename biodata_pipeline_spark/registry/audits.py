@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from biodata_pipeline_spark.operators.audit import (
     AUDIT_MAX_DOC,
+    AUDIT_MAX_VEC,
     ann_bucket_recall_audit,
     minhash_recall_audit,
     simhash_recall_audit,
@@ -322,7 +323,7 @@ ORACLE = {
             SELECT vec_id AS id, embedding,
                    CAST({_ANN_BUCKET} AS BIGINT) AS bucket,
                    sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE vec_id < {AUDIT_MAX_VEC}
         ),
         sims AS (
             SELECT q.id AS query_id, c.id,
