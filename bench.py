@@ -57,6 +57,10 @@ HEADLINE = [
     "q_passage_dedup",            # token-window substring-dedup audit
     "q_quality_classifier",       # hashing-trick linear scorer (1 shuffle)
     "q_pca_projection",           # power iteration: partial-sum-only shuffles
+    # round 5 additions:
+    "q_bpe_merge_pairs",          # char-pair counts: alphabet²-bounded shuffle
+    "q_dedup_survivors_best",     # CC clusters + quality-max survivor window
+    "q_ann_bucket_recall",        # bounded exact-top1 vs sign-bit buckets
 ]
 
 
