@@ -83,6 +83,7 @@ _DRIVER_WINDOW = [
     "q_dedup_survivors_best",
     "q_ann_bucket_recall",
     "q_bpe_merge_pairs",
+    "q_corpus_diff",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -127,9 +128,8 @@ _DRIVER_WINDOW = [
     "q30_orderby_limit_topk",
     "q31_per_group_topk",
     "q35_tumbling_window",
-    # -- block 3: fresh r04-green regression representatives --------------
+    # -- block 3: fresh r04-green regression representative ---------------
     "q26_retrieval_rank_detail",
-    "q_minhash_lsh_dedup",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -170,6 +170,29 @@ def q_bpe_merge_pairs(spark, sf_dir):
     )
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff v1 -> v2 (operators/snapshot.py): v2 models the next
+    crawl deterministically — doc_id % 13 == 0 dropped, % 7 == 0 edited,
+    % 17 == 0 re-crawled under a new id. Output: every added / removed /
+    changed document with its per-side char counts. The incremental-
+    ingest decision (only added/changed re-enter the expensive stages) as
+    a hash-checked row set."""
+    from biodata_pipeline_spark.operators.snapshot import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(13)) != 0).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+    recrawled = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return snapshot_diff(docs, v2.unionByName(recrawled))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing per language: token offsets and 512-token sequence
     ids over the doc_id-ordered layout (operators/packing.py — the LLM
@@ -741,6 +764,7 @@ SPARK = {
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
+    "q_corpus_diff": q_corpus_diff,
     "q_pack_sequences": q_pack_sequences,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_contamination_check": q_contamination_check,
@@ -900,6 +924,39 @@ ORACLE = {
         FROM pairs GROUP BY 1
         ORDER BY n DESC, pair ASC
         LIMIT 50
+    """,
+    "q_corpus_diff": """
+        WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        o AS (
+            SELECT doc_id AS id, md5(text) AS fp_old,
+                   CAST(length(text) AS BIGINT) AS chars_old
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id AS id, md5(text) AS fp_new,
+                   CAST(length(text) AS BIGINT) AS chars_new
+            FROM v2
+        ),
+        j AS (
+            SELECT coalesce(o.id, n.id) AS id,
+                   fp_old, fp_new, chars_old, chars_new
+            FROM o FULL OUTER JOIN n ON o.id = n.id
+        )
+        SELECT id AS doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               chars_old, chars_new
+        FROM j
+        WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new
     """,
     "q_pack_sequences": f"""
         WITH toked AS (

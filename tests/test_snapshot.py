@@ -1,0 +1,50 @@
+"""Snapshot diffing: added/removed/changed classification and the
+incremental work set (only new-or-changed rows re-enter the pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.snapshot import (
+    incremental_work_set,
+    snapshot_diff,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_snapshot_diff_classifies(spark):
+    old = _corpus(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    new = _corpus(spark, [(2, "b"), (3, "c CHANGED"), (4, "d"), (5, "e")])
+    got = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert set(got) == {1, 3, 5}
+    assert got[1].status == "removed" and got[1].chars_new is None
+    assert got[3].status == "changed" and (got[3].chars_old, got[3].chars_new) == (1, 9)
+    assert got[5].status == "added" and got[5].chars_old is None
+
+
+def test_snapshot_diff_empty_on_identical(spark):
+    old = _corpus(spark, [(1, "a"), (2, "b")])
+    assert snapshot_diff(old, old).count() == 0
+
+
+def test_incremental_work_set_is_added_plus_changed(spark):
+    old = _corpus(spark, [(1, "a"), (2, "b")])
+    new = _corpus(spark, [(1, "a"), (2, "b2"), (3, "c")])
+    got = sorted(r.doc_id for r in incremental_work_set(old, new).collect())
+    assert got == [2, 3]
+
+
+def test_diff_join_is_fingerprint_narrow(spark):
+    """The full-outer join must carry fingerprints, not document text —
+    text may only be read beneath the projections feeding the join."""
+    old = _corpus(spark, [(1, "a" * 1000)])
+    new = _corpus(spark, [(1, "b" * 1000)])
+    plan = snapshot_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    join_idx = plan.find("Join FullOuter")
+    assert join_idx != -1
+    # above the join (the text BEFORE it in the plan string) no raw text
+    # column may appear — only ids, fingerprints, lengths
+    assert "text#" not in plan[:join_idx]
