@@ -1,0 +1,136 @@
+"""BM25 sparse retrieval + reciprocal-rank-fusion hybrid ranking.
+
+The reference's retrieval is dense-only (Chroma cosine over chunk
+embeddings, rag_evaluation/RAG-eval-test_model.py:233-248). A production
+corpus engine pairs that with a sparse keyword ranker (BM25) and fuses
+the two rankings (RRF, Cormack et al. 2009) — the standard hybrid
+retrieval stack. Both are fully declarative here:
+
+ - BM25 is two hash aggregates (tf per doc/term, df per term) plus a
+   broadcast of the term statistics — the corpus never moves except for
+   the token explode, and map-side combine bounds the tf shuffle by
+   |docs| x |query terms|.
+ - determinism: every BM25 input (tf, df, dl, N) is an exact integer,
+   so per-term contributions are bit-identical across engines; the
+   per-document sum folds contributions in sorted term order (the same
+   in-order left fold the oracle's list_sum(list(... ORDER BY term))
+   performs) — NOT a groupBy sum, whose float addition order is
+   nondeterministic.
+ - top-k is orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+   no global sort) on the 9dp-rounded score with id tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.textfn import token_count, tokens
+
+RRF_K = 60
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 score for a fixed keyword query.
+
+    Output: ``(doc_id, bm25)`` for every document matching at least one
+    query term; ``bm25`` rounded to 9dp (the ranking-key convention).
+    """
+    ids = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    dl = ids.select("id", token_count("text").cast("long").alias("dl"))
+    consts = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot")
+    ).withColumn("avgdl", F.col("tot").cast("double") / F.col("n_docs"))
+    tf = (
+        ids.select("id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # constants pre-folded in python so the oracle can write the same
+    # literals: k1+1 and 1-b are computed once (1.2+1 == parse("2.2") in
+    # IEEE-754, 1-0.75 == 0.25 exactly), keeping every operation in the
+    # same order as the SQL expression — bit-identical contributions.
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * k1p1)
+            / (
+                F.col("tf")
+                + k1 * (one_minus_b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # in-order fold over term-sorted contributions (see module docstring)
+    folded = contrib.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("contrib")))
+                ),
+                lambda x: x["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score")
+    )
+    return folded.select(
+        F.col("id").alias(id_col), F.round("score", 9).alias("bm25")
+    )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    k: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists.
+
+    Inputs are small top-N frames with columns ``(id_col, rank)`` (rank
+    1-based). Output: ``(doc_id, rrf, rank_sparse, rank_dense)`` with
+    ``rrf = 1/(k+rank_s) + 1/(k+rank_d)`` (a missing side contributes 0),
+    rounded to 9dp. The fuse is a full outer join of two already-tiny
+    lists — all the heavy lifting happened in the per-ranker top-N.
+    """
+    s = sparse.select(F.col(id_col).alias("id"), F.col("rank").alias("rank_sparse"))
+    d = dense.select(F.col(id_col).alias("id"), F.col("rank").alias("rank_dense"))
+    fused = s.join(d, "id", "full_outer").withColumn(
+        "rrf",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_sparse")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_dense")), F.lit(0.0)),
+            9,
+        ),
+    )
+    return fused.select(
+        F.col("id").alias(id_col), "rrf", "rank_sparse", "rank_dense"
+    )
+
+
+def ranked_top_n(
+    scored: DataFrame, score_col: str, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic top-N with 1-based ranks: orderBy+limit first
+    (TakeOrderedAndProject — no global sort), then row_number over the
+    N surviving rows (a single tiny partition by construction)."""
+    top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(n)
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -84,6 +84,8 @@ _DRIVER_WINDOW = [
     "q_ann_bucket_recall",
     "q_bpe_merge_pairs",
     "q_corpus_diff",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -93,11 +95,12 @@ _DRIVER_WINDOW = [
     "q06_regex_suffix_strip",
     "q07_word_boundary_match",
     "q08_comment_prefix_filter",
-    "q09b_exact_dedup_text",
+    # (q09b_exact_dedup_text and q14b_sweep_grid_literal — redundant
+    # variants of driver-green families — yield their slots to the
+    # round-5 retrieval queries; local gate still covers them)
     "q10_broadcast_dim_join",
     "q12_semi_join",
     "q14_cross_join_grid",
-    "q14b_sweep_grid_literal",
     "q17_left_outer_sentinel",
     "q18_global_avg",
     "q19_avg_of_group_min",

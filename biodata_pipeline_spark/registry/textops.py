@@ -170,6 +170,59 @@ def q_bpe_merge_pairs(spark, sf_dir):
     )
 
 
+BM25_TERMS = ("hash", "merge", "vector")
+BM25_TOPK = 20
+RRF_TOPN = 50
+RRF_TOPK = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Sparse keyword retrieval: BM25 top-20 for a fixed 3-term query
+    (operators/bm25.py). Complements the dense cosine rankers — the
+    sparse half of the hybrid retrieval stack. Two hash aggregates +
+    broadcast term stats; per-doc score folds term contributions in
+    sorted order so both engines sum identical doubles identically."""
+    from biodata_pipeline_spark.operators.bm25 import bm25_scores, ranked_top_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ranked_top_n(bm25_scores(docs, BM25_TERMS), "bm25", BM25_TOPK)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    keyword ranking and the dense cosine ranking against query vector 0.
+    Each ranker reduces to a top-50 via TakeOrderedAndProject before the
+    (tiny) full-outer fuse — the heavy work never sees the other ranker."""
+    from biodata_pipeline_spark.functions.vector import dot, l2_norm
+    from biodata_pipeline_spark.operators.bm25 import (
+        bm25_scores,
+        ranked_top_n,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = ranked_top_n(bm25_scores(docs, BM25_TERMS), "bm25", RRF_TOPN)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qnrm")
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot("qv", "embedding")
+                / (F.col("qnrm") * l2_norm(F.col("embedding"))),
+                9,
+            ).alias("sim"),
+        )
+    )
+    dense = ranked_top_n(dense_scored, "sim", RRF_TOPN)
+    fused = rrf_fuse(sparse, dense)
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff v1 -> v2 (operators/snapshot.py): v2 models the next
     crawl deterministically — doc_id % 13 == 0 dropped, % 7 == 0 edited,
@@ -764,6 +817,8 @@ SPARK = {
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
+    "q_bm25_topk": q_bm25_topk,
+    "q_hybrid_rrf": q_hybrid_rrf,
     "q_corpus_diff": q_corpus_diff,
     "q_pack_sequences": q_pack_sequences,
     "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -793,6 +848,36 @@ _TOKS = (
     r"CASE WHEN trim(text) = '' THEN [] "
     r"ELSE string_split_regex(trim(text), '\s+') END"
 )
+
+# Shared BM25 CTE chain (q_bm25_topk / q_hybrid_rrf). Constants written
+# as the same pre-folded literals the Spark side computes (2.2 = k1+1,
+# 0.25 = 1-b) in the same operation order — contributions bit-identical.
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_CTES = f"""
+    dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+    consts AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    words AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tfq AS (
+        SELECT doc_id, term, count(*) AS tf FROM words
+        WHERE term IN ({_BM25_IN}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+    contrib AS (
+        SELECT t.doc_id, t.term,
+               ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) AS contrib
+        FROM tfq t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        CROSS JOIN consts c
+    ),
+    bscores AS (
+        SELECT doc_id, round(list_sum(list(contrib ORDER BY term)), 9) AS bm25
+        FROM contrib GROUP BY 1
+    )
+"""
 
 ORACLE = {
     "q_chunk_documents": """
@@ -924,6 +1009,63 @@ ORACLE = {
         FROM pairs GROUP BY 1
         ORDER BY n DESC, pair ASC
         LIMIT 50
+    """,
+    "q_bm25_topk": f"""
+        WITH {_BM25_CTES}
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+                   AS rank
+        FROM bscores
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    "q_hybrid_rrf": f"""
+        WITH {_BM25_CTES},
+        sparse AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INTEGER) AS rank_sparse
+            FROM (SELECT * FROM bscores ORDER BY bm25 DESC, doc_id
+                  LIMIT {RRF_TOPN})
+        ),
+        q AS (
+            SELECT embedding AS qv,
+                   sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE)))) AS qnrm
+            FROM embeddings WHERE vec_id = 0
+        ),
+        dsc AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                             i -> CAST(q.qv[i] AS DOUBLE)
+                                  * CAST(e.embedding[i] AS DOUBLE)))
+                         / (q.qnrm
+                            * sqrt(list_sum(list_transform(
+                                  range(1, len(e.embedding) + 1),
+                                  i -> CAST(e.embedding[i] AS DOUBLE)
+                                       * CAST(e.embedding[i] AS DOUBLE))))),
+                         9) AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id > 0
+        ),
+        dense AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                        AS INTEGER) AS rank_dense
+            FROM (SELECT * FROM dsc ORDER BY sim DESC, doc_id
+                  LIMIT {RRF_TOPN})
+        ),
+        fused AS (
+            SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+                   round(coalesce(1.0 / (60 + s.rank_sparse), 0.0)
+                         + coalesce(1.0 / (60 + d.rank_dense), 0.0), 9) AS rrf,
+                   s.rank_sparse, d.rank_dense
+            FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, rrf, rank_sparse, rank_dense
+        FROM fused ORDER BY rrf DESC, doc_id
+        LIMIT {RRF_TOPK}
     """,
     "q_corpus_diff": """
         WITH v2 AS (
