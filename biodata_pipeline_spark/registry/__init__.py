@@ -86,6 +86,7 @@ _DRIVER_WINDOW = [
     "q_corpus_diff",
     "q_bm25_topk",
     "q_hybrid_rrf",
+    "q_dup_source_matrix",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -105,7 +106,7 @@ _DRIVER_WINDOW = [
     "q18_global_avg",
     "q19_avg_of_group_min",
     "q20_grouped_count_distinct",
-    "q21b_salted_pricing",
+    # (q21b_salted_pricing yields its slot likewise)
     "q21c_percentiles",
     "q22_length_bucket_group",
     "q26b_retrieval_rank_summary",

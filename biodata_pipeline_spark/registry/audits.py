@@ -111,6 +111,29 @@ def q_dedup_survivors_best(spark, sf_dir):
     return survivors.join(sizes, "component")
 
 
+def q_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup pair counts by
+    (source, source) — which ingest sources duplicate each other, the
+    provenance signal corpus curation uses to drop or down-weight a
+    crawl. Pairs from the exact-Jaccard machinery (bounded audit slice);
+    the source pair is orientation-normalized (least/greatest) so the
+    matrix is upper-triangular."""
+    docs = _audit_docs(spark, sf_dir)
+    edges = ngram_jaccard_dup_pairs(docs, CC_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    labeled = edges.join(
+        src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a"
+    ).join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def q_ann_bucket_recall(spark, sf_dir):
     """Single-probe bucket recall of a deterministic sign-bit quantizer
     against the exact top-1 cosine neighbor, per query vector."""
@@ -125,6 +148,7 @@ SPARK = {
     "q_simhash_recall_audit": q_simhash_recall_audit,
     "q_dedup_cc_audit": q_dedup_cc_audit,
     "q_dedup_survivors_best": q_dedup_survivors_best,
+    "q_dup_source_matrix": q_dup_source_matrix,
     "q_ann_bucket_recall": q_ann_bucket_recall,
 }
 
@@ -283,6 +307,17 @@ ORACLE = {
             SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
         )
         SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+    "q_dup_source_matrix": f"""
+        WITH {_SHINGLES},
+        {_JACCARD.format(threshold=CC_THRESHOLD)}
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               count(*) AS n_pairs
+        FROM jac j
+        JOIN documents sa ON sa.doc_id = j.id_a
+        JOIN documents sb ON sb.doc_id = j.id_b
+        GROUP BY 1, 2
     """,
     "q_dedup_survivors_best": f"""
         WITH RECURSIVE {_SHINGLES},
