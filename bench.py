@@ -61,6 +61,9 @@ HEADLINE = [
     "q_bpe_merge_pairs",          # char-pair counts: alphabet²-bounded shuffle
     "q_dedup_survivors_best",     # CC clusters + quality-max survivor window
     "q_ann_bucket_recall",        # bounded exact-top1 vs sign-bit buckets
+    "q_bm25_topk",                # sparse keyword ranker (2 hash aggs)
+    "q_hybrid_rrf",               # BM25 x cosine reciprocal-rank fusion
+    "q_corpus_diff",              # fingerprint-narrow full-outer snapshot diff
 ]
 
 

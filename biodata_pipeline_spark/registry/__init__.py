@@ -7,16 +7,13 @@ tables. Names without oracle SQL are non-SQL-expressible (approximate /
 stateful) and get a rows-only check.
 
 Ordering contract: the round driver hash-checks exactly the FIRST 50
-keys of ``queries()`` (verified across CORRECTNESS_r01/r02: each file is
+keys of ``queries()`` (verified across CORRECTNESS_r01-r04: each file is
 the 50-key prefix of that round's registry order). ``_DRIVER_WINDOW``
-therefore pins the window explicitly: queries that have never had a
-driver row (round-2 additions: all textops + analytic + the rows-only
-vector estimators + media) come first, followed by one representative
-per §2 operator family; redundant variants whose families are already
-driver-green in r01/r02 (q09b, q14b, q21b/c, q26b … full list in
-COVERAGE.md) sit past position 50 and stay covered by the identical
-local gate (tools/check_oracle.py). tests/test_plans.py asserts the
-window invariants so a future query addition cannot silently evict an
+pins that prefix explicitly — never-driver-checked queries first, then
+stale ones cycling back through (see the block comments below) —
+and queries past position 50 stay covered by the identical local gate
+(tools/check_oracle.py). tests/test_registry.py asserts the window
+invariants so a future query addition cannot silently evict an
 unchecked query again.
 
 Determinism rules enforced throughout (SURVEY §5.1):

@@ -22,6 +22,11 @@ Reference anchor: the reference evaluates its one approximate component
                            recursive-CTE reachability oracle
  - q_ann_bucket_recall     deterministic sign-bit bucket quantizer vs
                            exact top-1 cosine neighbor
+
+Plus the curation decisions built on the audited clusters:
+
+ - q_dedup_survivors_best  one survivor per cluster (longest member)
+ - q_dup_source_matrix     near-dup pair counts by source pair
 """
 
 from __future__ import annotations
