@@ -49,11 +49,42 @@ def _is_star_forest(canon: DataFrame) -> bool:
     return multi_hi.unionByName(hi_is_lo).limit(1).count() == 0
 
 
+# Edge-count bound for the driver union-find shortcut. Dedup edge sets
+# are SPARSE by construction (near-dup pairs, not all-pairs); below this
+# bound the edges are aggregate-sized and every star-contraction round's
+# fixed job latency (two window shuffles + distinct + convergence probe,
+# ~0.3 s each on a 32-partition session) dwarfs the actual work —
+# measured 2.5 s of rounds for a 45-edge graph at sf0.1. The same
+# observed-size strategy switch as retrieve_top_k_auto / the flagship's
+# kernel-vs-HOF pick; both paths produce identical labels (min reachable
+# id), pinned against each other in tests/test_audit.py.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _union_find_components(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Driver-side union-find with min-label roots (path-halving)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Cluster assignment from an undirected edge list.
 
@@ -62,15 +93,26 @@ def connected_components(
     deterministic, so downstream "keep min-id per cluster" decisions are
     reproducible. Vertices with only self-loop edges map to themselves.
 
+    Strategy switch on the OBSERVED deduplicated edge count (known for
+    free: the canonical edge set is checkpointed before iterating):
+    at most ``small_graph_edges`` edges → driver union-find (the
+    MLlib-shaped aggregate-sized collect; one job, no rounds); larger →
+    alternating star contraction (fully distributed).
+
     Raises ``RuntimeError`` if the star forest has not stabilized within
     ``max_iterations`` rounds of (large-star, small-star) — unconverged
     labels would silently keep several "survivors" from one cluster.
     O(log² n) rounds suffice for any graph, so a hit budget signals a
     pathological input, not a tuning knob to raise casually.
     """
-    # Canonical orientation (hi > lo), self-loops dropped, both input
-    # directions folded together.
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Narrow (a, b) projection checkpointed ONCE: both the canonical
+    # edge set and the final vertex inventory consume it, so an expensive
+    # upstream edge derivation (e.g. the exact-Jaccard shingle join) runs
+    # once, not once per consumer. localCheckpoint is MEMORY_AND_DISK —
+    # two longs per edge, spill-safe at any realistic near-dup density.
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     canon = (
         e.filter(F.col("a") != F.col("b"))
         .select(
@@ -79,6 +121,23 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if canon.count() <= small_graph_edges:
+        spark = edges.sparkSession
+        labels = _union_find_components(
+            [(r.hi, r.lo) for r in canon.collect()]
+        )
+        comp_uf = spark.createDataFrame(
+            labels or [(None, None)], "id long, component long"
+        ).filter(F.col("id").isNotNull())
+        vertices = (
+            e.select(F.col("a").alias("id"))
+            .unionByName(e.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        self_only = vertices.join(comp_uf.select("id"), "id", "left_anti")
+        return comp_uf.unionByName(
+            self_only.withColumn("component", F.col("id"))
+        )
     from pyspark.sql import Window
 
     converged = _is_star_forest(canon)

@@ -82,14 +82,16 @@ def test_lsh_candidates_are_ordered_distinct_pairs(spark, docs):
 
 def test_cc_audit_matches_union_find(spark, docs):
     """Star-contraction components == driver-side union-find over the
-    same exact-Jaccard edge set."""
+    same exact-Jaccard edge set. small_graph_edges=0 forces the
+    DISTRIBUTED star-contraction path, so this pins the two strategies
+    of the observed-size switch against each other."""
     from biodata_pipeline_spark.operators.clusters import connected_components
     from biodata_pipeline_spark.operators.dedup import ngram_jaccard_dup_pairs
 
     edges = ngram_jaccard_dup_pairs(docs, 0.5)
     got = {
         r.id: r.component
-        for r in connected_components(edges).collect()
+        for r in connected_components(edges, small_graph_edges=0).collect()
     }
     parent: dict[int, int] = {}
 

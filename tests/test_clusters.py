@@ -70,9 +70,14 @@ def test_unconverged_chain_raises_not_silent_wrong_labels(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
     )
+    # small_graph_edges=0 forces the iterative path (the union-find
+    # shortcut would solve a 100-edge chain in one job, never iterating)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=1)
-    got = {r.id: r.component for r in connected_components(chain).collect()}
+        connected_components(chain, max_iterations=1, small_graph_edges=0)
+    got = {
+        r.id: r.component
+        for r in connected_components(chain, small_graph_edges=0).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == 101
 
