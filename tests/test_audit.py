@@ -110,6 +110,41 @@ def test_cc_audit_matches_union_find(spark, docs):
     assert got == want
 
 
+def test_audit_persists_are_scope_released(spark, docs):
+    """The audit's operator-internal persists (shared shingles, bands,
+    hits) register with cache_scope so library callers can release them
+    — the round-4 ADVICE contract."""
+    from biodata_pipeline_spark.operators.caching import cache_scope
+
+    sample = docs.filter(F.col("doc_id") < 120)
+    with cache_scope() as frames:
+        minhash_recall_audit(sample).collect()
+        assert len(frames) == 3  # shingles, bands, hits
+        assert all(f.storageLevel.useMemory for f in frames)
+    assert all(not f.storageLevel.useMemory for f in frames)
+
+
+def test_md5_int60_range_property(spark):
+    """Property: md5_int60 is always in [0, 2^60) — the bit budget the
+    SimHash bands and minhash lanes rely on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import duckdb
+
+    con = duckdb.connect()
+
+    @given(st.text(max_size=50))
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        (v,) = con.execute(
+            "SELECT CAST('0x' || substring(md5(?), 1, 15) AS BIGINT)", [s]
+        ).fetchone()
+        assert 0 <= v < (1 << 60)
+
+    check()
+
+
 def test_ann_bucket_audit_shape(spark):
     emb = load_table(spark, SF001, "embeddings")
     out = ann_bucket_recall_audit(emb, n_queries=20).collect()
