@@ -147,6 +147,8 @@ def minhash_recall_audit(
     (threshold, n_true_pairs, n_found, n_missed, recall) — deterministic
     in any engine.
     """
+    if not thresholds:
+        raise ValueError("minhash_recall_audit: need at least one threshold")
     spark = df.sparkSession
     sh = register_cached(_exploded_shingles(df, id_col, text_col, n).persist())
     cand = minhash_candidate_pairs_md5(
@@ -251,7 +253,13 @@ def simhash_recall_audit(
     scan (bounded corpus), output one row per true pair —
     (id_a, id_b, hamming, found) — where every ``found`` must be 1.
     """
-    assert 60 % n_bands == 0 and n_bands >= max_hamming + 1
+    if 60 % n_bands or n_bands < max_hamming + 1:
+        raise ValueError(
+            f"simhash_recall_audit: n_bands={n_bands} must divide 60 and "
+            f"exceed max_hamming={max_hamming} — with fewer bands than "
+            "max_hamming+1 the pigeonhole guarantee (some band intact) "
+            "does not hold and the audit's recall==1 contract is void"
+        )
     band_bits = 60 // n_bands
     mask = (1 << band_bits) - 1
     fp = register_cached(simhash60_md5(df, id_col, text_col).persist())

@@ -24,3 +24,51 @@ def length_batched(
     length = F.length(F.col(text_col))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartitionByRange(parts, length).sortWithinPartitions(length)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+    mode: str = "error",
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files.
+
+    The maintenance pass every long-running ingest needs — streaming and
+    incremental appends (``idempotent_append``, the availableNow sinks)
+    accumulate per-microbatch files, and at 100 TB a scan's task count is
+    the FILE count, so thousands of kilobyte files turn a 10-second scan
+    into a scheduler stall. Partition count comes from the actual on-disk
+    byte size (Hadoop ``ContentSummary`` — works on any supported
+    filesystem scheme, not just ``file:``), so the output file size
+    tracks the target regardless of input fragmentation.
+
+    With ``sort_cols`` the rewrite range-partitions + sorts on those
+    columns, so parquet min/max row-group stats become selective for
+    downstream predicate pushdown (the poor man's Z-order; the right
+    call when one column dominates filters — e.g. doc_id, ship date).
+
+    Returns ``{"files_in", "bytes_in", "files_out"}``.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    bytes_in, files_in = summary.getLength(), summary.getFileCount()
+    n_out = max(1, math.ceil(bytes_in / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(
+            n_out, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        # coalesce when shrinking (no shuffle — the whole point of
+        # compaction is cheap consolidation); repartition only to grow
+        df = df.coalesce(n_out)
+    df.write.mode(mode).parquet(dst)
+    return {"files_in": files_in, "bytes_in": bytes_in, "files_out": n_out}

@@ -37,6 +37,10 @@ def snapshot_diff(
 
     ``fingerprint`` defaults to ``md5(text)`` — engine-portable, so the
     diff itself is oracle-checkable.
+
+    Precondition: ``id_col`` is unique within each snapshot (the corpus
+    primary key). Duplicate ids would fan out in the full outer join —
+    run ``exact_dedup`` first if the snapshot may contain key dupes.
     """
     fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
     o = old.select(

@@ -189,3 +189,36 @@ def test_audio_features_deterministic(spark, sf_dir):
     b = {r.media_id: (r.rms, r.zero_crossings) for r in audio_features(media).collect()}
     assert a == b and len(a) == 10
     assert all(rms >= 0 for rms, _ in a.values())
+
+
+def test_compact_parquet_consolidates_fragments(spark, tmp_path):
+    """50 fragment files -> few files sized by the byte target; rows
+    unchanged; sort_cols variant orders rows for row-group pruning."""
+    from biodata_pipeline_spark.operators.layout import compact_parquet
+
+    src, dst, dst2 = (
+        str(tmp_path / "frag"),
+        str(tmp_path / "compact"),
+        str(tmp_path / "sorted"),
+    )
+    spark.range(5000).withColumn("v", F.col("id") * 2).repartition(
+        50
+    ).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert stats["files_in"] >= 50
+    assert stats["files_out"] == 1
+    import glob
+
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 5000
+    assert got.agg(F.sum("v")).first()[0] == 5000 * 4999
+
+    stats2 = compact_parquet(
+        spark, src, dst2, target_file_bytes=1 << 30, sort_cols=["id"]
+    )
+    assert stats2["files_out"] == 1
+    first_rows = [
+        r.id for r in spark.read.parquet(dst2).limit(10).collect()
+    ]
+    assert first_rows == sorted(first_rows)
