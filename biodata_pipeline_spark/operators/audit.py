@@ -129,6 +129,39 @@ def minhash_candidate_pairs_md5(
     )
 
 
+def _per_threshold_recall(
+    spark, hits: DataFrame, score_col: str, thresholds: Sequence[float]
+) -> DataFrame:
+    """Shared audit tail: ``hits`` has one row per TRUE pair with the
+    pair's exact score and a 0/1 ``found`` flag; emit per-threshold
+    (threshold, n_true_pairs, n_found, n_missed, recall)."""
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    agg = (
+        hits.join(F.broadcast(th), F.col(score_col) >= th.threshold)
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.sum("found").alias("n_found"),
+        )
+    )
+    return th.join(agg, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        (
+            F.coalesce("n_true_pairs", F.lit(0))
+            - F.coalesce("n_found", F.lit(0))
+        ).alias("n_missed"),
+        F.when(F.coalesce("n_true_pairs", F.lit(0)) == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.col("n_found") / F.col("n_true_pairs").cast("double"), 4)
+        )
+        .alias("recall"),
+    )
+
+
 def minhash_recall_audit(
     df: DataFrame,
     thresholds: Sequence[float] = (0.5, 0.7, 0.8, 0.9),
@@ -162,35 +195,9 @@ def minhash_recall_audit(
         .select("jaccard", F.coalesce("found", F.lit(0)).alias("found"))
         .persist()
     )
-    th = spark.createDataFrame([(float(t),) for t in thresholds], "threshold double")
     # tiny-side broadcast theta-join: |thresholds| rows against the
     # (already small) exact-pair table
-    agg = (
-        hits.join(F.broadcast(th), hits.jaccard >= th.threshold)
-        .groupBy("threshold")
-        .agg(
-            F.count("*").alias("n_true_pairs"),
-            F.sum("found").alias("n_found"),
-        )
-    )
-    return (
-        th.join(agg, "threshold", "left")
-        .select(
-            "threshold",
-            F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
-            F.coalesce("n_found", F.lit(0)).alias("n_found"),
-            (F.coalesce("n_true_pairs", F.lit(0)) - F.coalesce("n_found", F.lit(0))).alias(
-                "n_missed"
-            ),
-            F.when(F.coalesce("n_true_pairs", F.lit(0)) == 0, F.lit(1.0))
-            .otherwise(
-                F.round(
-                    F.col("n_found") / F.col("n_true_pairs").cast("double"), 4
-                )
-            )
-            .alias("recall"),
-        )
-    )
+    return _per_threshold_recall(spark, hits, "jaccard", thresholds)
 
 
 def simhash60_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -307,6 +314,95 @@ def simhash_recall_audit(
 # AUDIT_MAX_DOC: a deterministic quantizer's recall on a representative
 # slice transfers; a 100 TB brute-force scan does not exist).
 AUDIT_MAX_VEC = 20_000
+# The pair-recall audit's exact side is all-pairs (quadratic), so its
+# slice is smaller still.
+PAIR_AUDIT_MAX_VEC = 500
+
+
+def _sign_band_keys(vec_col: str, sign_dims: int, n_bands: int) -> list[F.Column]:
+    """Band keys from axis-aligned sign bits: band b packs bits
+    [b*r, (b+1)*r) of (emb[j] > 0) — all literal shifts, pure codegen."""
+    r = sign_dims // n_bands
+    return [
+        sum(
+            F.when(
+                F.element_at(F.col(vec_col), b * r + j + 1) > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(r)
+        ).cast("long")
+        for b in range(n_bands)
+    ]
+
+
+def lsh_pair_recall_audit(
+    emb: DataFrame,
+    thresholds: Sequence[float] = (0.25, 0.5, 0.75),
+    sign_dims: int = 16,
+    n_bands: int = 4,
+    max_vec: int = PAIR_AUDIT_MAX_VEC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-threshold pair recall of sign-bit banded LSH vs exact cosine.
+
+    The deterministic twin of ``lsh_similarity_join``'s random-hyperplane
+    banding (`operators/similarity.py`): same band-join shape (4 bands x
+    4 bits), but axis-aligned hyperplanes so the bucket assignment — and
+    therefore recall against the exact cosine pair set — is reproducible
+    in ANSI SQL. Ground truth is the bounded all-pairs cosine join (the
+    already-hash-verified q25 machinery shape). Output: one row per
+    threshold — (threshold, n_true_pairs, n_found, n_missed, recall).
+    """
+    if sign_dims % n_bands:
+        raise ValueError("sign_dims must divide evenly into n_bands")
+    base = register_cached(
+        emb.filter(F.col(id_col) < max_vec)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            *[
+                k.alias(f"bk{b}")
+                for b, k in enumerate(
+                    _sign_band_keys(vec_col, sign_dims, n_bands)
+                )
+            ],
+        )
+        .persist()
+    )
+    banded = base.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias(
+            "band", "key"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .withColumn("found", F.lit(1))
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 9))
+        .filter(F.col("sim") >= min(thresholds))
+        .select("id_a", "id_b", "sim")
+    )
+    hits = register_cached(
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .select("sim", F.coalesce("found", F.lit(0)).alias("found"))
+        .persist()
+    )
+    return _per_threshold_recall(emb.sparkSession, hits, "sim", thresholds)
 
 
 def ann_bucket_recall_audit(

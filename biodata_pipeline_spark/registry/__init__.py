@@ -84,6 +84,7 @@ _DRIVER_WINDOW = [
     "q_bm25_topk",
     "q_hybrid_rrf",
     "q_dup_source_matrix",
+    "q_lsh_pair_recall_audit",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -106,7 +107,8 @@ _DRIVER_WINDOW = [
     # (q21b_salted_pricing yields its slot likewise)
     "q21c_percentiles",
     "q22_length_bucket_group",
-    "q26b_retrieval_rank_summary",
+    # (q26b_retrieval_rank_summary yields its slot likewise — the
+    # flagship detail variant is fresh r04-green and stays in block 3)
     "q28_lag_prev_event",
     "q29_sliding_frame_avg",
     "q31b_collect_ordered",

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from biodata_pipeline_spark.operators.audit import (
     AUDIT_MAX_DOC,
     AUDIT_MAX_VEC,
+    PAIR_AUDIT_MAX_VEC,
     ann_bucket_recall_audit,
+    lsh_pair_recall_audit,
     minhash_recall_audit,
     simhash_recall_audit,
 )
@@ -148,6 +150,14 @@ def q_ann_bucket_recall(spark, sf_dir):
     )
 
 
+def q_lsh_pair_recall_audit(spark, sf_dir):
+    """Pair recall of sign-bit banded LSH (the deterministic twin of
+    q_lsh_similarity_join's 4-band hyperplane geometry) vs exact cosine
+    pairs — per-threshold found/missed/recall counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_pair_recall_audit(emb)
+
+
 SPARK = {
     "q_lsh_recall_audit": q_lsh_recall_audit,
     "q_simhash_recall_audit": q_simhash_recall_audit,
@@ -155,6 +165,7 @@ SPARK = {
     "q_dedup_survivors_best": q_dedup_survivors_best,
     "q_dup_source_matrix": q_dup_source_matrix,
     "q_ann_bucket_recall": q_ann_bucket_recall,
+    "q_lsh_pair_recall_audit": q_lsh_pair_recall_audit,
 }
 
 
@@ -210,6 +221,13 @@ _ANN_BUCKET = " + ".join(
     f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END"
     for j in range(ANN_SIGN_DIMS)
 )
+
+
+def _sign_band_key_sql(b: int, rows: int = 4) -> str:
+    return "CAST(" + " + ".join(
+        f"CASE WHEN embedding[{b * rows + j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(rows)
+    ) + " AS BIGINT)"
 
 ORACLE = {
     "q_lsh_recall_audit": f"""
@@ -323,6 +341,57 @@ ORACLE = {
         JOIN documents sa ON sa.doc_id = j.id_a
         JOIN documents sb ON sb.doc_id = j.id_b
         GROUP BY 1, 2
+    """,
+    "q_lsh_pair_recall_audit": f"""
+        WITH base AS (
+            SELECT vec_id AS id, embedding,
+                   sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm,
+                   {_sign_band_key_sql(0)} AS bk0,
+                   {_sign_band_key_sql(1)} AS bk1,
+                   {_sign_band_key_sql(2)} AS bk2,
+                   {_sign_band_key_sql(3)} AS bk3
+            FROM embeddings WHERE vec_id < {PAIR_AUDIT_MAX_VEC}
+        ),
+        banded AS (
+            SELECT id, 0 AS band, bk0 AS key FROM base
+            UNION ALL SELECT id, 1, bk1 FROM base
+            UNION ALL SELECT id, 2, bk2 FROM base
+            UNION ALL SELECT id, 3, bk3 FROM base
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        exact AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round({_DOT.format(a="a.embedding", b="b.embedding")}
+                         / (a.nrm * b.nrm), 9) AS sim
+            FROM base a JOIN base b ON a.id < b.id
+            WHERE round({_DOT.format(a="a.embedding", b="b.embedding")}
+                        / (a.nrm * b.nrm), 9) >= 0.25
+        ),
+        th AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS threshold),
+        hits AS (
+            SELECT e.sim,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+            FROM exact e LEFT JOIN cand c
+              ON c.id_a = e.id_a AND c.id_b = e.id_b
+        ),
+        agg AS (
+            SELECT t.threshold,
+                   count(h.sim) AS n_true,
+                   CAST(coalesce(sum(h.found), 0) AS BIGINT) AS n_found
+            FROM th t LEFT JOIN hits h ON h.sim >= t.threshold
+            GROUP BY 1
+        )
+        SELECT threshold,
+               n_true AS n_true_pairs,
+               n_found,
+               n_true - n_found AS n_missed,
+               CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(n_found / CAST(n_true AS DOUBLE), 4) END AS recall
+        FROM agg
     """,
     "q_dedup_survivors_best": f"""
         WITH RECURSIVE {_SHINGLES},
