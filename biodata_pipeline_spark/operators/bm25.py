@@ -45,8 +45,15 @@ def bm25_scores(
     Output: ``(doc_id, bm25)`` for every document matching at least one
     query term; ``bm25`` rounded to 9dp (the ranking-key convention).
     """
+    from biodata_pipeline_spark.operators.caching import register_cached
+
     ids = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    dl = ids.select("id", token_count("text").cast("long").alias("dl"))
+    # narrow (id, dl) persisted: BOTH the corpus-stats aggregate and the
+    # per-doc join consume it, and each would otherwise re-tokenize the
+    # whole corpus (token_count is a regex pass over every document)
+    dl = register_cached(
+        ids.select("id", token_count("text").cast("long").alias("dl")).persist()
+    )
     consts = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("tot")
     ).withColumn("avgdl", F.col("tot").cast("double") / F.col("n_docs"))
