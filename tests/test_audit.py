@@ -145,6 +145,19 @@ def test_md5_int60_range_property(spark):
     check()
 
 
+def test_lsh_pair_recall_audit_counts_consistent(spark):
+    from biodata_pipeline_spark.operators.audit import lsh_pair_recall_audit
+
+    emb = load_table(spark, SF001, "embeddings")
+    rows = {r.threshold: r for r in lsh_pair_recall_audit(emb).collect()}
+    assert set(rows) == {0.25, 0.5, 0.75}
+    for r in rows.values():
+        assert r.n_found + r.n_missed == r.n_true_pairs
+        assert 0.0 <= r.recall <= 1.0
+    # monotone: higher-threshold true sets are subsets
+    assert rows[0.75].n_true_pairs <= rows[0.5].n_true_pairs <= rows[0.25].n_true_pairs
+
+
 def test_ann_bucket_audit_shape(spark):
     emb = load_table(spark, SF001, "embeddings")
     out = ann_bucket_recall_audit(emb, n_queries=20).collect()
