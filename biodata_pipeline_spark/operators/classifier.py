@@ -132,3 +132,53 @@ def hashed_linear_score(
     from biodata_pipeline_spark.operators.dedup import per_content
 
     return per_content(df, score_frame, id_col, text_col)
+
+
+def quality_percentile_gate(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    keep_num: int = 3,
+    keep_den: int = 10,
+) -> DataFrame:
+    """Per-group percentile gate: keep the top ``keep_num/keep_den`` of
+    rows by score within each group (the FineWeb-style curation step —
+    score with a classifier, keep the best slice per language).
+
+    Scale shape — NO per-group global sort/ntile (one task per language
+    would serialize a 100 TB corpus through its dominant language).
+    A row's rank in the (score DESC, id ASC) order is split exactly like
+    the flagship's ranking: ``#rows in strictly-higher score buckets``
+    (an aggregate-sized per-(group, score) cumulative sum — scores are
+    rounded at 6dp upstream, so bucket count is bounded) plus
+    ``row_number within its own (group, score) bucket`` (small
+    partitions by construction). The keep budget is integer arithmetic —
+    ``(keep_num*n + keep_den-1) div keep_den`` = ceil(keep_num*n/
+    keep_den) — so both engines agree exactly.
+
+    Output: kept rows ``(id_col, group_col, score_col, qrank)``.
+    """
+    from pyspark.sql import Window
+
+    counts = scored.groupBy(group_col, score_col).agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    above = counts.withColumn(
+        "__above", F.sum("__c").over(w_cum) - F.col("__c")
+    ).drop("__c")
+    sizes = scored.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w_in = Window.partitionBy(group_col, score_col).orderBy(F.asc(id_col))
+    return (
+        scored.join(above, [group_col, score_col])
+        .join(F.broadcast(sizes), group_col)
+        .withColumn("qrank", F.col("__above") + F.row_number().over(w_in))
+        .filter(
+            F.col("qrank")
+            <= F.expr(f"div({keep_num} * __n + {keep_den - 1}, {keep_den})")
+        )
+        .select(id_col, group_col, score_col, "qrank")
+    )

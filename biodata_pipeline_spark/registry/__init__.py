@@ -85,6 +85,7 @@ _DRIVER_WINDOW = [
     "q_hybrid_rrf",
     "q_dup_source_matrix",
     "q_lsh_pair_recall_audit",
+    "q_quality_percentile_filter",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -111,7 +112,7 @@ _DRIVER_WINDOW = [
     # flagship detail variant is fresh r04-green and stays in block 3)
     "q28_lag_prev_event",
     "q29_sliding_frame_avg",
-    "q31b_collect_ordered",
+    # (q31b_collect_ordered yields its slot likewise)
     "q32_union_all",
     "q33_except_difference",
     "q34_intersect",

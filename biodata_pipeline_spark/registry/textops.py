@@ -754,6 +754,24 @@ def q_winnow_fingerprints(spark, sf_dir):
 PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
+def q_quality_percentile_filter(spark, sf_dir):
+    """FineWeb-style curation gate: keep the top 30% of documents per
+    language by classifier score (operators/classifier.py
+    quality_percentile_gate). Ranking uses the flagship's count-above
+    decomposition — per-(lang, score) cumulative counts + within-bucket
+    row_number — so no language ever sorts through one task."""
+    from biodata_pipeline_spark.operators.classifier import (
+        hashed_linear_score,
+        quality_percentile_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return quality_percentile_gate(scored.select("doc_id", "lang", "score"))
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-column intake profile of the documents table (row/null/exact-
     distinct counts, min/max as strings) — the governance summary a
@@ -835,6 +853,7 @@ SPARK = {
     "q_weighted_sample": q_weighted_sample,
     "q_passage_dedup": q_passage_dedup,
     "q_quality_classifier": q_quality_classifier,
+    "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_corpus_profile": q_corpus_profile,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_group_weighted_sample": q_group_weighted_sample,
@@ -1401,6 +1420,53 @@ ORACLE = {
                CAST(n_dup AS BIGINT) AS n_dup_windows,
                round(n_dup / greatest(n_windows, 1), 6) AS dup_frac
         FROM per_doc
+    """,
+    "q_quality_percentile_filter": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+            FROM documents
+        ),
+        weighted AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('w:', CAST(
+                       CAST(concat('0x', substr(md5(concat('feat:', word)), 1, 8))
+                            AS BIGINT) % 512 AS VARCHAR))), 1, 8)) AS BIGINT)
+                       / 4294967296.0 - 0.5 AS w
+            FROM words
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens, sum(w) AS sw
+            FROM weighted GROUP BY doc_id
+        ),
+        cls AS (
+            SELECT d.doc_id, d.lang,
+                   round(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                        THEN 1.0 / (1.0 + exp(-(8.0 * p.sw / p.n_tokens)))
+                        ELSE 0.5 END, 6) AS score
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ),
+        counts AS (SELECT lang, score, count(*) AS c FROM cls GROUP BY 1, 2),
+        above AS (
+            SELECT lang, score,
+                   sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+                                ROWS UNBOUNDED PRECEDING) - c AS abv
+            FROM counts
+        ),
+        lsizes AS (SELECT lang, count(*) AS n FROM cls GROUP BY 1),
+        ranked AS (
+            SELECT s.doc_id, s.lang, s.score,
+                   CAST(a.abv + row_number() OVER (
+                        PARTITION BY s.lang, s.score ORDER BY s.doc_id)
+                        AS BIGINT) AS qrank,
+                   z.n
+            FROM cls s
+            JOIN above a ON a.lang = s.lang AND a.score = s.score
+            JOIN lsizes z ON z.lang = s.lang
+        )
+        SELECT doc_id, lang, score, qrank
+        FROM ranked WHERE qrank <= (3 * n + 9) // 10
     """,
     "q_quality_classifier": """
         WITH words AS (

@@ -247,3 +247,35 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
         for r in weighted_sample_per_group(df, 10, "grp", "id", "w").collect()
     }
     assert ids == {1, 4}
+
+
+def test_quality_percentile_gate_keeps_top_fraction(spark):
+    from biodata_pipeline_spark.operators.classifier import (
+        quality_percentile_gate,
+    )
+
+    rows = [(i, "en" if i < 40 else "fr", round(1.0 - i * 0.01, 6)) for i in range(60)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = quality_percentile_gate(scored).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    # ceil(0.3*40)=12 en, ceil(0.3*20)=6 fr
+    assert len(by_lang["en"]) == 12 and len(by_lang["fr"]) == 6
+    # kept docs are exactly the highest-scoring per lang (scores strictly
+    # decreasing with doc_id here)
+    assert sorted(r.doc_id for r in by_lang["en"]) == list(range(12))
+    assert sorted(r.doc_id for r in by_lang["fr"]) == list(range(40, 46))
+    assert all(r.qrank <= 12 for r in by_lang["en"])
+
+
+def test_quality_percentile_gate_tie_break_is_id(spark):
+    scored = spark.createDataFrame(
+        [(i, "en", 0.5) for i in range(10)], "doc_id long, lang string, score double"
+    )
+    from biodata_pipeline_spark.operators.classifier import (
+        quality_percentile_gate,
+    )
+
+    got = sorted(r.doc_id for r in quality_percentile_gate(scored).collect())
+    assert got == [0, 1, 2]  # ceil(3) lowest ids win the all-tied bucket
