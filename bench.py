@@ -64,6 +64,7 @@ HEADLINE = [
     "q_bm25_topk",                # sparse keyword ranker (2 hash aggs)
     "q_hybrid_rrf",               # BM25 x cosine reciprocal-rank fusion
     "q_corpus_diff",              # fingerprint-narrow full-outer snapshot diff
+    "q_quality_percentile_filter",  # count-above percentile gate per lang
 ]
 
 
