@@ -255,11 +255,20 @@ def ngram_jaccard_dup_pairs(
     ``shingles``: optionally a precomputed (persisted) ``_exploded_shingles``
     frame, so a caller that needs the shingle table twice (e.g. the
     MinHash recall audit: exact side + signature side) tokenizes once.
+    When not supplied, the internally-derived frame is persisted
+    (cache_scope-registered): it feeds THREE consumers below — the size
+    table and both sides of the intersection self-join — and the
+    tokenize→shingle→explode chain is the dominant cost of the whole
+    operator, so recomputing it per consumer tripled the work.
     """
+    from biodata_pipeline_spark.operators.caching import register_cached
+
     sh = (
         shingles
         if shingles is not None
-        else _exploded_shingles(df, id_col, text_col, n)
+        else register_cached(
+            _exploded_shingles(df, id_col, text_col, n).persist()
+        )
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
