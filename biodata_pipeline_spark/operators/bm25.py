@@ -103,6 +103,77 @@ def bm25_scores(
     )
 
 
+def bm25_scores_multi(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch BM25: score every document against a SET of keyword queries
+    — the sparse analog of the dense flagship's query-set ranking
+    (retrieval_rank_metrics scores all chunks against all test queries
+    at once; rag_evaluation/RAG-eval-test_model.py:119-128 loops the
+    query TSV).
+
+    ``query_terms``: ``(query_id, term)`` rows — broadcast (query sets
+    are tens of rows by the same contract as the flagship's). Term
+    statistics (df, avgdl, N) are query-independent, computed once over
+    the corpus; each (query_id, doc) score folds that query's term
+    contributions in sorted term order (cross-engine bit-identical, as
+    in ``bm25_scores``). Output: ``(query_id, doc_id, bm25)`` for every
+    document matching >= 1 term of the query.
+    """
+    from biodata_pipeline_spark.operators.caching import register_cached
+
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    ids = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    dl = register_cached(
+        ids.select("id", token_count("text").cast("long").alias("dl")).persist()
+    )
+    consts = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot")
+    ).withColumn("avgdl", F.col("tot").cast("double") / F.col("n_docs"))
+    terms = query_terms.select("term").distinct()
+    tf = (
+        ids.select("id", F.explode(tokens(F.col("text"))).alias("term"))
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * k1p1)
+            / (F.col("tf") + k1 * (one_minus_b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    per_query = contrib.join(F.broadcast(query_terms), "term")
+    folded = per_query.groupBy("query_id", "id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("contrib")))
+                ),
+                lambda x: x["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score")
+    )
+    return folded.select(
+        "query_id", F.col("id").alias(id_col), F.round("score", 9).alias("bm25")
+    )
+
+
 def rrf_fuse(
     sparse: DataFrame,
     dense: DataFrame,

@@ -86,6 +86,7 @@ _DRIVER_WINDOW = [
     "q_dup_source_matrix",
     "q_lsh_pair_recall_audit",
     "q_quality_percentile_filter",
+    "q_bm25_multi_topk",
     # -- block 2: stale since r02 ----------------------------------------
     "q01_text_scan_blank_filter",
     "q02_delimited_comment_filter",
@@ -116,7 +117,7 @@ _DRIVER_WINDOW = [
     "q32_union_all",
     "q33_except_difference",
     "q34_intersect",
-    "q35b_cascade_hourly",
+    # (q35b_cascade_hourly yields its slot likewise)
     "q36_sliding_window",
     "q_embed_cosine_dedup",
     "q_embedding_stats",

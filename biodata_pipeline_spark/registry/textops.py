@@ -188,6 +188,38 @@ def q_bm25_topk(spark, sf_dir):
     return ranked_top_n(bm25_scores(docs, BM25_TERMS), "bm25", BM25_TOPK)
 
 
+BM25_QUERY_SETS = {
+    "kq0": ("hash", "join"),
+    "kq1": ("vector", "scan"),
+    "kq2": ("merge", "customer", "slow"),
+}
+BM25_MULTI_TOPK = 5
+
+
+def q_bm25_multi_topk(spark, sf_dir):
+    """Batch sparse retrieval: BM25 top-5 per query for a 3-query keyword
+    set (operators/bm25.py bm25_scores_multi) — the sparse analog of the
+    flagship's query-set ranking. Term stats computed once; the per-query
+    top-k window partitions by query_id (bounded by the query set, the
+    same shape as q31's per-group top-k)."""
+    from pyspark.sql import Window
+
+    from biodata_pipeline_spark.operators.bm25 import bm25_scores_multi
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in BM25_QUERY_SETS.items() for t in ts],
+        "query_id string, term string",
+    )
+    scored = bm25_scores_multi(docs, qt)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_MULTI_TOPK)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
     keyword ranking and the dense cosine ranking against query vector 0.
@@ -836,6 +868,7 @@ SPARK = {
     "q_word_freq_topk": q_word_freq_topk,
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
     "q_bm25_topk": q_bm25_topk,
+    "q_bm25_multi_topk": q_bm25_multi_topk,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_corpus_diff": q_corpus_diff,
     "q_pack_sequences": q_pack_sequences,
@@ -897,6 +930,13 @@ _BM25_CTES = f"""
         FROM contrib GROUP BY 1
     )
 """
+
+_BM25_MULTI_IN = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BM25_QUERY_SETS.values() for t in ts})
+)
+_BM25_QT_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, ts in BM25_QUERY_SETS.items() for t in ts
+)
 
 ORACLE = {
     "q_chunk_documents": """
@@ -1037,6 +1077,46 @@ ORACLE = {
         FROM bscores
         ORDER BY bm25 DESC, doc_id
         LIMIT {BM25_TOPK}
+    """,
+    "q_bm25_multi_topk": f"""
+        WITH dl AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+        ),
+        consts AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl
+        ),
+        words AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tfq AS (
+            SELECT doc_id, term, count(*) AS tf FROM words
+            WHERE term IN ({_BM25_MULTI_IN}) GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        contrib AS (
+            SELECT t.doc_id, t.term,
+                   ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) AS contrib
+            FROM tfq t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+            CROSS JOIN consts c
+        ),
+        qt(query_id, term) AS (VALUES {_BM25_QT_VALUES}),
+        folded AS (
+            SELECT q.query_id, c.doc_id,
+                   round(list_sum(list(c.contrib ORDER BY c.term)), 9) AS bm25
+            FROM contrib c JOIN qt q USING (term)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, bm25,
+                   CAST(row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+            FROM folded
+        )
+        SELECT query_id, doc_id, bm25, rank
+        FROM ranked WHERE rank <= {BM25_MULTI_TOPK}
     """,
     "q_hybrid_rrf": f"""
         WITH {_BM25_CTES},

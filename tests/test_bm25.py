@@ -67,3 +67,35 @@ def test_rrf_fuse_full_outer_and_missing_side(spark):
 def test_bm25_no_matching_terms_is_empty(spark):
     docs = _docs(spark, [(1, "scan filter")])
     assert bm25_scores(docs, ("hash",)).count() == 0
+
+
+def test_bm25_multi_matches_single_query(spark):
+    """A 1-query multi batch must equal bm25_scores for the same terms."""
+    from biodata_pipeline_spark.operators.bm25 import bm25_scores_multi
+
+    docs = _docs(
+        spark,
+        [(1, "hash join hash"), (2, "merge sort hash"), (3, "scan filter")],
+    )
+    qt = spark.createDataFrame(
+        [("q0", "hash"), ("q0", "merge")], "query_id string, term string"
+    )
+    multi = {
+        r.doc_id: r.bm25 for r in bm25_scores_multi(docs, qt).collect()
+    }
+    single = {
+        r.doc_id: r.bm25 for r in bm25_scores(docs, ("hash", "merge")).collect()
+    }
+    assert multi == single
+
+
+def test_bm25_multi_scopes_terms_per_query(spark):
+    """A doc matching only query A's terms must not appear under query B."""
+    from biodata_pipeline_spark.operators.bm25 import bm25_scores_multi
+
+    docs = _docs(spark, [(1, "hash only"), (2, "merge only")])
+    qt = spark.createDataFrame(
+        [("qa", "hash"), ("qb", "merge")], "query_id string, term string"
+    )
+    got = {(r.query_id, r.doc_id) for r in bm25_scores_multi(docs, qt).collect()}
+    assert got == {("qa", 1), ("qb", 2)}
