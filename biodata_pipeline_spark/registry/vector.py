@@ -355,6 +355,32 @@ _NORMS = f"""
 """
 
 
+def _centroid_values() -> str:
+    """The IVF centroids as DuckDB ``VALUES`` rows ``(cell, cv)``.
+
+    ivf_ann's centroids are pure functions of (seed, index) — normalized
+    here exactly as ``operators/similarity.py::ivf_ann`` normalizes them,
+    then exported via repr (exact float64 round-trip; exponent suffix
+    forces DOUBLE). This is what promotes q_ivf_ann from rows-only to
+    hash-checked: nothing in the operator depends on JVM-only hashing,
+    so the full probe/rank pipeline is reproducible in ANSI SQL.
+    """
+    import math
+
+    from biodata_pipeline_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for c in range(16):
+        raw = _hyperplane(64, 1000 + c)
+        nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        vals = []
+        for x in raw:
+            s = repr(float(x / nrm))
+            vals.append(s if ("e" in s or "E" in s) else s + "e0")
+        rows.append(f"({c}, [{','.join(vals)}])")
+    return ", ".join(rows)
+
+
 def _seed_vector_literal() -> str:
     """The PCA seed vector as a DuckDB DOUBLE list literal. An exponent
     suffix forces DOUBLE parsing (a bare decimal literal is DECIMAL in
@@ -675,5 +701,60 @@ ORACLE = {
                    AS q_l1,
                CAST(list_max(qv) AS INTEGER) AS q_max
         FROM q
+    """,
+    # Promoted from rows-only in round 5: the centroids are pure
+    # functions (see _centroid_values), so the whole IVF probe/rank
+    # pipeline is SQL-reproducible. Tiebreaks mirror the Spark side
+    # exactly: cell assignment = reverse(array_sort(struct(s, cell)))
+    # == ORDER BY s DESC, cell DESC; final rank = sim DESC, vec_id ASC.
+    "q_ivf_ann": f"""
+        WITH cents(cell, cv) AS (VALUES {_centroid_values()}),
+        corpus AS (
+            SELECT vec_id, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        cassign AS (
+            SELECT c.vec_id, ct.cell,
+                   round(list_sum(list_transform(range(1, 65),
+                         i -> CAST(c.embedding[i] AS DOUBLE) * ct.cv[i])), 9)
+                       AS s
+            FROM corpus c CROSS JOIN cents ct
+        ),
+        ccell AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell DESC) AS rn
+                FROM cassign
+            ) WHERE rn = 1
+        ),
+        qcell AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell DESC) AS rn
+                FROM cassign WHERE vec_id < 5
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT q.query_id, cc.vec_id,
+                   round(list_sum(list_transform(range(1, 65),
+                             i -> CAST(qv.embedding[i] AS DOUBLE)
+                                  * CAST(cv2.embedding[i] AS DOUBLE)))
+                         / (qv.nrm * cv2.nrm), 9) AS sim
+            FROM qcell q
+            JOIN ccell cc ON cc.cell = q.cell
+            JOIN corpus qv ON qv.vec_id = q.query_id
+            JOIN corpus cv2 ON cv2.vec_id = cc.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
+        FROM ranked WHERE rank <= 10
     """,
 }
