@@ -355,6 +355,22 @@ _NORMS = f"""
 """
 
 
+def _plane_values() -> str:
+    """lsh_similarity_join's 16 hyperplanes as ``VALUES (p_idx, pv)``
+    rows — pure sin() functions of (seed, index), exported exactly like
+    the IVF centroids."""
+    from biodata_pipeline_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for s in range(16):
+        vals = []
+        for x in _hyperplane(64, s):
+            r = repr(float(x))
+            vals.append(r if ("e" in r or "E" in r) else r + "e0")
+        rows.append(f"({s}, [{','.join(vals)}])")
+    return ", ".join(rows)
+
+
 def _centroid_values() -> str:
     """The IVF centroids as DuckDB ``VALUES`` rows ``(cell, cv)``.
 
@@ -756,5 +772,63 @@ ORACLE = {
         )
         SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
         FROM ranked WHERE rank <= 10
+    """,
+    # Promoted from rows-only in round 5. The hyperplanes are pure
+    # functions (VALUES literals below); band-bucket equality in the
+    # Spark path is xxhash64 over a band's 4-bit slice — only 16
+    # possible inputs per band, so bucket equality IS bit-tuple
+    # equality, reproduced here by packing the bits directly. The
+    # exact-duplicate collapse groups by embedding value (Spark groups
+    # by xxhash64(embedding); identical sets absent 64-bit collisions,
+    # impossible to hit at audit scale). Verification parity: the Arrow
+    # kernel folds dimensions in ascending order == list_sum order, and
+    # the final predicate is round(sim, 9) >= threshold in both.
+    "q_lsh_similarity_join": f"""
+        WITH planes(p_idx, pv) AS (VALUES {_plane_values()}),
+        grp AS (
+            SELECT embedding, min(vec_id) AS rep, count(*) AS cnt
+            FROM embeddings GROUP BY embedding
+        ),
+        dup_edges AS (
+            SELECT g.rep AS id_a, e.vec_id AS id_b, CAST(1.0 AS DOUBLE) AS sim
+            FROM embeddings e JOIN grp g USING (embedding)
+            WHERE e.vec_id <> g.rep
+        ),
+        base AS (
+            SELECT g.rep AS id, g.embedding,
+                   sqrt({_dot_sql('g.embedding', 'g.embedding')}) AS nrm
+            FROM grp g
+        ),
+        bits AS (
+            SELECT b.id, p.p_idx,
+                   CASE WHEN list_sum(list_transform(range(1, 65),
+                             i -> CAST(b.embedding[i] AS DOUBLE) * p.pv[i]))
+                             >= 0 THEN 1 ELSE 0 END AS bit
+            FROM base b CROSS JOIN planes p
+        ),
+        bands AS (
+            SELECT id, p_idx // 4 AS band,
+                   CAST(sum(bit * (1 << CAST(p_idx % 4 AS INTEGER)))
+                        AS BIGINT) AS key
+            FROM bits GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        near AS (
+            SELECT c.id_a, c.id_b,
+                   round(list_sum(list_transform(range(1, 65),
+                             i -> CAST(ea.embedding[i] AS DOUBLE)
+                                  * CAST(eb.embedding[i] AS DOUBLE)))
+                         / (ea.nrm * eb.nrm), 9) AS sim
+            FROM cand c
+            JOIN base ea ON ea.id = c.id_a
+            JOIN base eb ON eb.id = c.id_b
+        )
+        SELECT id_a, id_b, sim FROM near WHERE sim >= 0.25
+        UNION ALL
+        SELECT id_a, id_b, sim FROM dup_edges
     """,
 }

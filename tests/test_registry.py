@@ -52,16 +52,18 @@ def test_rows_only_set_is_exactly_the_documented_one():
     """Only genuinely non-SQL-expressible operators may skip the oracle
     (approximate estimators, hash-seeded candidates, iterative CC)."""
     rows_only = set(SPARK_QUERIES) - set(ORACLE_SQL)
-    # q_ivf_ann left this set in round 5: its centroids are pure
-    # functions, exported to the oracle as DOUBLE literals. The rest are
-    # genuinely irreproducible outside the JVM (xxhash64-seeded
-    # candidates, HLL/CMS register layouts) — but each FAMILY now has a
-    # hash-checked recall-audit twin in registry/audits.py.
+    # q_ivf_ann and q_lsh_similarity_join left this set in round 5:
+    # their hyperplanes/centroids are pure functions exported to the
+    # oracle as DOUBLE literals (and LSH band buckets over 4-bit slices
+    # equal bit-tuple equality). The remaining five are genuinely
+    # irreproducible outside the JVM — xxhash64 over unbounded domains
+    # (shingles, token hashes) where the HASH VALUES matter, and HLL/CMS
+    # register layouts — but each FAMILY has a hash-checked recall-audit
+    # twin in registry/audits.py.
     assert rows_only == {
         "q_minhash_lsh_dedup",
         "q_simhash_dedup",
         "q_dedup_clusters",
-        "q_lsh_similarity_join",
         "q_approx_count_distinct",
         "q_cms_heavy_hitters",
     }, rows_only
