@@ -165,3 +165,16 @@ def test_ann_bucket_audit_shape(spark):
     assert all(r.top1_id != r.query_id for r in out)
     assert all(r.same_bucket in (0, 1) for r in out)
     assert all(-1.0 <= r.sim <= 1.0 for r in out)
+
+
+def test_audit_arg_validation(spark, docs):
+    import pytest
+
+    from biodata_pipeline_spark.operators.audit import lsh_pair_recall_audit
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_recall_audit(docs, max_hamming=5, n_bands=4)
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_recall_audit(docs, thresholds=())
+    with pytest.raises(ValueError, match="divide"):
+        lsh_pair_recall_audit(docs, sign_dims=10, n_bands=4)

@@ -48,3 +48,28 @@ def test_diff_join_is_fingerprint_narrow(spark):
     # above the join (the text BEFORE it in the plan string) no raw text
     # column may appear — only ids, fingerprints, lengths
     assert "text#" not in plan[:join_idx]
+
+
+def test_snapshot_diff_is_antisymmetric(spark):
+    """diff(old, new) and diff(new, old) must mirror: added <-> removed,
+    changed <-> changed (hypothesis-generated corpora)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.text(alphabet="abc ", max_size=8),
+        max_size=10,
+    )
+
+    @given(texts, texts)
+    @settings(max_examples=8, deadline=None)
+    def check(old_rows, new_rows):
+        old = _corpus(spark, list(old_rows.items()) or [(999, "x")])
+        new = _corpus(spark, list(new_rows.items()) or [(999, "x")])
+        fwd = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+        rev = {r.doc_id: r.status for r in snapshot_diff(new, old).collect()}
+        flip = {"added": "removed", "removed": "added", "changed": "changed"}
+        assert rev == {k: flip[v] for k, v in fwd.items()}
+
+    check()
