@@ -72,3 +72,72 @@ def compact_parquet(
         df = df.coalesce(n_out)
     df.write.mode(mode).parquet(dst)
     return {"files_in": files_in, "bytes_in": bytes_in, "files_out": n_out}
+
+
+def z_value(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two bucketed non-negative int columns
+    (each < 2**bits): bit i of ``a`` lands at position 2i, of ``b`` at
+    2i+1. Pure literal shifts — whole-stage codegen, no UDF."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    a, b = a.cast("long"), b.cast("long")
+    return sum(
+        (
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        for i in range(bits)
+    ).cast("long")
+
+
+def z_order_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    num_partitions: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order clustering on two numeric columns — the multi-column
+    completion of ``compact_parquet``'s single-axis sort.
+
+    A single-column sort makes parquet min/max stats selective for ONE
+    predicate column and useless for the other; interleaving the two
+    columns' bits puts rows that are close in BOTH dimensions into the
+    same row groups, so scans filtering on either (or both) columns
+    prune row groups (the Delta/Iceberg OPTIMIZE ZORDER layout, built
+    from plain Spark ops). Columns are min/max-scaled to ``bits``-bit
+    buckets with one tiny aggregate (broadcast back — no second pass),
+    then range-partitioned + sorted by the interleaved key. Rows are
+    unchanged; only placement moves.
+    """
+    spark = df.sparkSession
+    stats = df.agg(
+        F.min(col_a).alias("__amin"),
+        F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"),
+        F.max(col_b).alias("__bmax"),
+    )
+    top = (1 << bits) - 1
+
+    def bucket(col, lo, hi):
+        # guard degenerate ranges (constant column) to bucket 0
+        span = F.when(F.col(hi) > F.col(lo), F.col(hi) - F.col(lo)).otherwise(
+            F.lit(1)
+        )
+        return F.floor(
+            (F.col(col) - F.col(lo)).cast("double") / span * top
+        ).cast("long")
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z",
+        z_value(
+            bucket(col_a, "__amin", "__amax"),
+            bucket(col_b, "__bmin", "__bmax"),
+            bits,
+        ),
+    )
+    return (
+        keyed.repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__amin", "__amax", "__bmin", "__bmax", "__z")
+    )

@@ -222,3 +222,42 @@ def test_compact_parquet_consolidates_fragments(spark, tmp_path):
         r.id for r in spark.read.parquet(dst2).limit(10).collect()
     ]
     assert first_rows == sorted(first_rows)
+
+
+def test_z_value_interleaves_bits(spark):
+    from biodata_pipeline_spark.operators.layout import z_value
+
+    rows = spark.createDataFrame(
+        [(0b101, 0b011)], "a long, b long"
+    ).select(z_value("a", "b", bits=3).alias("z"))
+    # a bits -> positions 0,2,4 ; b bits -> 1,3,5:
+    # a=101 -> 1<<0 | 0<<2 | 1<<4 = 17 ; b=011 -> 1<<1 | 1<<3 | 0<<5 = 10
+    assert rows.first().z == 27
+
+
+def test_z_order_layout_clusters_both_dims(spark):
+    """Rows in the same partition must be close in BOTH dimensions more
+    often than a single-axis sort achieves for the off-axis column."""
+    from biodata_pipeline_spark.operators.layout import z_order_layout
+
+    import itertools
+
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(32), range(32))],
+        "x long, y long",
+    )
+    parts = (
+        z_order_layout(grid, "x", "y", num_partitions=16, bits=5)
+        .rdd.glom()
+        .collect()
+    )
+    parts = [p for p in parts if p]
+    assert sum(len(p) for p in parts) == 1024
+    # per-partition bounding boxes must cover far less than the full
+    # [0,31]x[0,31] square in BOTH dims (single-axis sort gives span 31
+    # on the unsorted dim)
+    for p in parts:
+        xs = [r.x for r in p]
+        ys = [r.y for r in p]
+        assert (max(xs) - min(xs)) <= 16
+        assert (max(ys) - min(ys)) <= 16
