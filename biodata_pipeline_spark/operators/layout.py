@@ -33,6 +33,7 @@ def compact_parquet(
     target_file_bytes: int = 128 << 20,
     sort_cols: list[str] | None = None,
     mode: str = "error",
+    zorder: bool = False,
 ) -> dict:
     """Small-file compaction: rewrite a parquet directory into
     ~``target_file_bytes`` files.
@@ -62,7 +63,14 @@ def compact_parquet(
     bytes_in, files_in = summary.getLength(), summary.getFileCount()
     n_out = max(1, math.ceil(bytes_in / target_file_bytes))
     df = spark.read.parquet(src)
-    if sort_cols:
+    if zorder:
+        if not sort_cols or len(sort_cols) != 2:
+            raise ValueError(
+                "compact_parquet(zorder=True) needs exactly two numeric "
+                "sort_cols (the Morton interleave is pairwise)"
+            )
+        df = z_order_layout(df, sort_cols[0], sort_cols[1], n_out)
+    elif sort_cols:
         df = df.repartitionByRange(
             n_out, *[F.col(c) for c in sort_cols]
         ).sortWithinPartitions(*sort_cols)

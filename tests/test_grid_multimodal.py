@@ -261,3 +261,25 @@ def test_z_order_layout_clusters_both_dims(spark):
         ys = [r.y for r in p]
         assert (max(xs) - min(xs)) <= 16
         assert (max(ys) - min(ys)) <= 16
+
+
+def test_compact_parquet_zorder_path(spark, tmp_path):
+    from biodata_pipeline_spark.operators.layout import compact_parquet
+
+    import itertools
+    import pytest
+
+    src, dst = str(tmp_path / "zf"), str(tmp_path / "zc")
+    spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(20), range(20))],
+        "x long, y long",
+    ).repartition(20).write.parquet(src)
+    stats = compact_parquet(
+        spark, src, dst, target_file_bytes=1 << 30,
+        sort_cols=["x", "y"], zorder=True,
+    )
+    assert stats["files_out"] == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 400 and set(got.columns) == {"x", "y"}
+    with pytest.raises(ValueError, match="exactly two"):
+        compact_parquet(spark, src, str(tmp_path / "zz"), zorder=True)
