@@ -1,9 +1,15 @@
 """Headline-query benchmark.
 
 Runs the engine's representative queries at ``$SPARK_GRAFT_SF_DIR``
-(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
-one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output protocol (VERDICT r5 #1): the driver records only the LAST
+~2000 bytes of stdout, and the round-4 per-run detail grew the payload
+past that window, so BENCH_r05.json failed to parse. We now print TWO
+JSON lines: first the fat payload (per-run timings, totals — for humans
+and SCALING.md), then a compact final line — min-only ``queries`` plus
+totals, guaranteed under ~1.8 KB — as the LAST stdout line, which is
+what the driver parses.
 
 Each query is materialized via a cheap count-style action (``foreach`` of
 nothing would skip result production; ``count`` on the final frame forces
@@ -22,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from biodata_pipeline_spark import get_spark  # noqa: E402
+from biodata_pipeline_spark.operators.caching import cache_scope  # noqa: E402
 from biodata_pipeline_spark.registry import SPARK_QUERIES  # noqa: E402
 
 HEADLINE = [
@@ -65,14 +72,30 @@ HEADLINE = [
     "q_hybrid_rrf",               # BM25 x cosine reciprocal-rank fusion
     "q_corpus_diff",              # fingerprint-narrow full-outer snapshot diff
     "q_quality_percentile_filter",  # count-above percentile gate per lang
+    # round 6 additions (VERDICT r5 #3): every declared query whose sf0.1
+    # min-of-2 exceeds ~1 s is in the headline — a constant-cost audit can
+    # still regress, so the most expensive queries get regression coverage
+    # by construction:
+    "q_lsh_recall_audit",         # 6.0 s — most expensive declared query
+    "q_dedup_cc_audit",           # 3.5 s — CC vs reachability oracle
+    "q_dedup_clusters",           # 3.1 s — production CC clustering
+    "q_lsh_pair_recall_audit",    # 2.8 s — LSH pair recall vs exact
+    "q_simhash_recall_audit",     # 1.5 s — SimHash pigeonhole recall
+    "q_bm25_multi_topk",          # 1.3 s — batched BM25 ranking
 ]
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
-    t0 = time.time()
-    df = SPARK_QUERIES[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    # cache_scope (VERDICT r5 #8): release operator-internal persists the
+    # way a library user sharing the session would — scoped unpersist of
+    # exactly the frames this query registered, instead of the blanket
+    # spark.catalog.clearCache() a co-tenant workload cannot safely call.
+    with cache_scope():
+        t0 = time.time()
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
+    return elapsed
 
 
 def prev_bench() -> tuple[int, dict[str, float]] | None:
@@ -114,19 +137,15 @@ def main() -> None:
             run_one(spark, name, sf_dir)
         except Exception:
             pass
-    spark.catalog.clearCache()
-    # Steady-state timing: min of two timed runs per query (cache cleared
-    # between runs, so both rebuild their persisted frames — the min
-    # discards transient GC pauses / host-contention outliers, which were
-    # observed to inflate single runs up to 4× late in the sequence, not
-    # any cached state).
+    # Steady-state timing: min of two timed runs per query (run_one's
+    # cache_scope unpersists each query's internal frames on exit, so both
+    # runs rebuild them — the min discards transient GC pauses /
+    # host-contention outliers, which were observed to inflate single runs
+    # up to 4× late in the sequence, not any cached state).
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        runs[name] = []
-        for _ in range(2):
-            runs[name].append(round(run_one(spark, name, sf_dir), 3))
-            spark.catalog.clearCache()
+        runs[name] = [round(run_one(spark, name, sf_dir), 3) for _ in range(2)]
         timings[name] = min(runs[name])
     total = round(sum(timings.values()), 3)
     payload = {
@@ -151,7 +170,31 @@ def main() -> None:
             "this_total": round(sum(timings[k] for k in shared), 3),
             "prev_total": round(sum(prev_queries[k] for k in shared), 3),
         }
+    # Fat payload first (per-run detail for humans / SCALING.md) ...
     print(json.dumps(payload))
+    # ... then the compact headline line LAST, sized to fit entirely in
+    # the driver's 2000-byte stdout tail capture (VERDICT r5 #1): drop
+    # "runs", round per-query values to 2dp, and shed the comparison
+    # block if the query list ever grows past the budget.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": payload["sf"],
+    }
+    if "shared_with_prev" in payload:
+        compact["shared_with_prev"] = payload["shared_with_prev"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        compact.pop("shared_with_prev", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # last resort: keep only the 20 slowest queries
+        top = dict(sorted(compact["queries"].items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = top
+        compact["queries_truncated_to_slowest"] = 20
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -61,11 +61,12 @@ def _is_star_forest(canon: DataFrame) -> bool:
 SMALL_GRAPH_EDGES = 100_000
 
 
-def _union_find_components(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    """Driver-side union-find with min-label roots (path-halving)."""
-    parent: dict[int, int] = {}
+def _union_find_components(pairs):
+    """Driver-side union-find with min-label roots (path-halving).
+    Ids may be any orderable type (int, string, ...)."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
@@ -122,12 +123,26 @@ def connected_components(
         .localCheckpoint()
     )
     if canon.count() <= small_graph_edges:
+        from pyspark.sql.types import StructField, StructType
+
         spark = edges.sparkSession
         labels = _union_find_components(
             [(r.hi, r.lo) for r in canon.collect()]
         )
+        # Schema derived from the canonical edges so the shortcut matches
+        # the distributed path for ANY orderable id type (string ids used
+        # to crash here, int32 ids silently widened to long — and which
+        # behavior fired depended on the edge count crossing
+        # small_graph_edges).
+        id_type = canon.schema["hi"].dataType
+        uf_schema = StructType(
+            [
+                StructField("id", id_type, True),
+                StructField("component", id_type, True),
+            ]
+        )
         comp_uf = spark.createDataFrame(
-            labels or [(None, None)], "id long, component long"
+            labels or [(None, None)], uf_schema
         ).filter(F.col("id").isNotNull())
         vertices = (
             e.select(F.col("a").alias("id"))

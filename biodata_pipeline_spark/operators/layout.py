@@ -76,10 +76,22 @@ def compact_parquet(
         ).sortWithinPartitions(*sort_cols)
     else:
         # coalesce when shrinking (no shuffle — the whole point of
-        # compaction is cheap consolidation); repartition only to grow
-        df = df.coalesce(n_out)
+        # compaction is cheap consolidation); repartition (shuffle) only
+        # when the scan yields fewer partitions than n_out, since
+        # coalesce can only reduce partition count
+        n_read = df.rdd.getNumPartitions()
+        df = df.coalesce(n_out) if n_read >= n_out else df.repartition(n_out)
     df.write.mode(mode).parquet(dst)
-    return {"files_in": files_in, "bytes_in": bytes_in, "files_out": n_out}
+    # report the file count actually written, not the requested one
+    # (empty partitions, or a coalesce floor, can make them differ)
+    dpath = jvm.org.apache.hadoop.fs.Path(dst)
+    dfs = dpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files_out = sum(
+        1
+        for st in dfs.listStatus(dpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    return {"files_in": files_in, "bytes_in": bytes_in, "files_out": files_out}
 
 
 def z_value(a, b, bits: int = 16):

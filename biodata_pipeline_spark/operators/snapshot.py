@@ -26,6 +26,7 @@ def snapshot_diff(
     new: DataFrame,
     id_col: str = "doc_id",
     fingerprint: Column | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Row-level diff of two corpus snapshots.
 
@@ -35,23 +36,25 @@ def snapshot_diff(
     (present in both, fingerprint differs). ``chars_*`` are null on the
     side where the document does not exist.
 
-    ``fingerprint`` defaults to ``md5(text)`` — engine-portable, so the
-    diff itself is oracle-checkable.
+    ``fingerprint`` defaults to ``md5(text_col)`` — engine-portable, so
+    the diff itself is oracle-checkable. ``text_col`` names the payload
+    column used for both the default fingerprint and the char counts, so
+    tables without a ``text`` column work by passing their own column.
 
     Precondition: ``id_col`` is unique within each snapshot (the corpus
     primary key). Duplicate ids would fan out in the full outer join —
     run ``exact_dedup`` first if the snapshot may contain key dupes.
     """
-    fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
+    fp = fingerprint if fingerprint is not None else F.md5(F.col(text_col))
     o = old.select(
         F.col(id_col).alias("id"),
         fp.alias("fp_old"),
-        F.length("text").cast("long").alias("chars_old"),
+        F.length(text_col).cast("long").alias("chars_old"),
     )
     n = new.select(
         F.col(id_col).alias("id"),
         fp.alias("fp_new"),
-        F.length("text").cast("long").alias("chars_new"),
+        F.length(text_col).cast("long").alias("chars_new"),
     )
     joined = o.join(n, "id", "full_outer")
     return (
@@ -74,13 +77,14 @@ def incremental_work_set(
     new: DataFrame,
     id_col: str = "doc_id",
     fingerprint: Column | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """The rows of ``new`` that must re-enter the expensive stages:
     documents whose content is new or changed since ``old``. The
     table-level generalization of the reference's skip-if-output-exists
     check — a semi-join of ``new`` against the diff's added/changed ids,
     so payload columns never enter the diff shuffle."""
-    work_ids = snapshot_diff(old, new, id_col, fingerprint).filter(
+    work_ids = snapshot_diff(old, new, id_col, fingerprint, text_col).filter(
         F.col("status").isin("added", "changed")
     )
     return new.join(

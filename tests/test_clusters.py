@@ -110,3 +110,26 @@ def test_dedup_survivors_end_to_end(spark, sf_dir):
     }
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert reps <= kept_ids
+
+
+def test_components_preserve_id_type_across_strategy_switch(spark):
+    """ADVICE r5: the union-find shortcut must not hardcode long ids —
+    string ids work, and both strategy paths emit the SAME schema."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    small = connected_components(edges)  # union-find path
+    big = connected_components(edges, small_graph_edges=0)  # star path
+    assert small.schema == big.schema
+    got_small = {r.id: r.component for r in small.collect()}
+    got_big = {r.id: r.component for r in big.collect()}
+    assert got_small == got_big == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_components_int_ids_keep_int_type_on_shortcut(spark):
+    edges = spark.createDataFrame(
+        [(1, 2)], "id_a int, id_b int"
+    )
+    out = connected_components(edges)
+    assert out.schema["id"].dataType.simpleString() == "int"
+    assert out.schema["component"].dataType.simpleString() == "int"

@@ -283,3 +283,27 @@ def test_compact_parquet_zorder_path(spark, tmp_path):
     assert got.count() == 400 and set(got.columns) == {"x", "y"}
     with pytest.raises(ValueError, match="exactly two"):
         compact_parquet(spark, src, str(tmp_path / "zz"), zorder=True)
+
+
+def test_compact_parquet_reports_actual_files_and_grows(spark, tmp_path):
+    """ADVICE r5: the no-sort path must repartition (not coalesce) when
+    asked for MORE files than the scan yields, and files_out must be the
+    count actually written."""
+    from biodata_pipeline_spark.operators.layout import compact_parquet
+
+    import glob
+
+    src, dst = str(tmp_path / "one"), str(tmp_path / "grown")
+    spark.range(20000).coalesce(1).write.parquet(src)
+    one_file_bytes = sum(
+        __import__("os").path.getsize(p)
+        for p in glob.glob(f"{src}/part-*.parquet")
+    )
+    # target a quarter of the input size -> n_out >= 4 > 1 read partition
+    stats = compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, one_file_bytes // 4)
+    )
+    written = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert stats["files_out"] == written
+    assert written >= 2  # coalesce alone could never grow past 1
+    assert spark.read.parquet(dst).count() == 20000

@@ -73,3 +73,15 @@ def test_snapshot_diff_is_antisymmetric(spark):
         assert rev == {k: flip[v] for k, v in fwd.items()}
 
     check()
+
+
+def test_snapshot_diff_custom_text_col(spark):
+    """ADVICE r5: tables without a 'text' column work via text_col."""
+    old = spark.createDataFrame([(1, "aaa"), (2, "bb")], "doc_id long, body string")
+    new = spark.createDataFrame([(1, "aaa"), (2, "bbbb")], "doc_id long, body string")
+    got = {r.doc_id: r for r in snapshot_diff(old, new, text_col="body").collect()}
+    assert set(got) == {2}
+    assert got[2].status == "changed"
+    assert (got[2].chars_old, got[2].chars_new) == (2, 4)
+    work = incremental_work_set(old, new, text_col="body")
+    assert [r.doc_id for r in work.collect()] == [2]
