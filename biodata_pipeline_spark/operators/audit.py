@@ -200,6 +200,92 @@ def minhash_recall_audit(
     return _per_threshold_recall(spark, hits, "jaccard", thresholds)
 
 
+def minhash_precision_audit(
+    df: DataFrame,
+    thresholds: Sequence[float] = (0.5, 0.7, 0.8, 0.9),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_lanes: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Per-threshold PRECISION of MinHash-LSH candidates — the
+    false-positive half of the LSH quality contract (``minhash_recall_
+    audit`` measures the found/missed half).
+
+    Every candidate pair the banding emits gets its exact shingle-set
+    Jaccard computed (a left join against the co-occurrence counts — a
+    candidate sharing no shingle scores 0); per audit threshold t the
+    output reports how many candidates verify (jaccard >= t) and how
+    many are false positives that the verify stage must discard. High
+    FP rates mean wasted verification compute at 100 TB — this is the
+    query that watches that budget. Output: one row per threshold —
+    (threshold, n_candidates, n_verified, n_false_pos, prec).
+    """
+    if not thresholds:
+        raise ValueError("minhash_precision_audit: need at least one threshold")
+    spark = df.sparkSession
+    sh = register_cached(_exploded_shingles(df, id_col, text_col, n).persist())
+    cand = minhash_candidate_pairs_md5(
+        df, id_col, text_col, n, num_lanes, rows_per_band, shingles=sh
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    scored = register_cached(
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+        .select(
+            F.round(
+                F.coalesce("i", F.lit(0))
+                / (F.col("sa") + F.col("sb") - F.coalesce("i", F.lit(0))).cast(
+                    "double"
+                ),
+                9,
+            ).alias("jaccard")
+        )
+        .persist()
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    # left join on TRUE (not crossJoin) so an empty candidate set still
+    # yields one all-zero row per threshold, mirroring the recall tail
+    agg = (
+        th.join(scored, F.lit(True), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("jaccard").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_verified"),
+        )
+    )
+    return agg.select(
+        "threshold",
+        "n_candidates",
+        F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+        (F.col("n_candidates") - F.coalesce("n_verified", F.lit(0))).alias(
+            "n_false_pos"
+        ),
+        F.when(F.col("n_candidates") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.coalesce("n_verified", F.lit(0))
+                / F.col("n_candidates").cast("double"),
+                4,
+            )
+        )
+        .alias("prec"),
+    )
+
+
 def simhash60_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash fingerprints from md5 token hashes.
 

@@ -59,82 +59,85 @@ _ALL_ORACLE = {
     **audits.ORACLE,
 }
 
-# The driver's 50-entry hash-check window, in order. Round-5 policy
-# change (VERDICT r4 "What's wrong" #3): besides new queries, the window
-# now cycles STALE queries — those whose most recent driver row predates
-# the current code — back through, instead of relying on the judge's
-# local re-run. Three blocks:
-#   1-4:  round-5 additions (recall audits — never driver-checked);
-#   5-46: the 42 queries whose last driver row is r02/r03 (every one of
-#         them re-verified locally by tools/check_oracle.py, but a fresh
-#         driver row beats a stale one), ordered stalest-first;
-#  47-50: fresh r04-green representatives kept for round-over-round
-#         regression signal (flagship + one per major family).
-# The other 42 r04-window queries are driver-green on CURRENT code as of
-# r04 and stay covered by the identical local gate.
+# The driver's 50-entry hash-check window, in order, rotated each round
+# so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
+# #2). Round-6 blocks (sizes pinned by tests/test_registry.py):
+#   1-3:   round-6 additions (never driver-checked): the LSH precision
+#          audit, the percentile accuracy audit, and the rows-only
+#          approx-percentile declaration it pins;
+#   4-5:   the two r02-stale variants that yielded their slots in r5
+#          (q26b, q35b — last driver rows predate rounds 3-5 code);
+#   6-50:  45 of the 49 queries whose last driver row is r04, in
+#          registry-family order (relational/temporal, then textops /
+#          vector / analytic / media).
+# Eight queries stay outside the window this round, all locally
+# re-verified by tools/check_oracle.py on current code:
+#   - q09b/q14b/q21b/q31b: hash-checked variants of families whose
+#     primary query is IN this window (q09, q21) or fresh r05-green
+#     (q14, q31);
+#   - q_approx_count_distinct / q_cms_heavy_hitters /
+#     q_minhash_lsh_dedup / q_simhash_dedup: rows-only by nature, each
+#     with a fresh r05 hash-checked audit twin (q_corpus_profile's exact
+#     counts, the CMS pytest bound, q_lsh_recall_audit,
+#     q_simhash_recall_audit) — a rows-only driver row refreshes the
+#     least information, so they cede slots to hash-checked rows.
 _DRIVER_WINDOW = [
-    # -- block 1: round-5 additions (no prior CORRECTNESS row) -----------
-    "q_lsh_recall_audit",
-    "q_simhash_recall_audit",
-    "q_dedup_cc_audit",
-    "q_dedup_survivors_best",
-    "q_ann_bucket_recall",
-    "q_bpe_merge_pairs",
-    "q_corpus_diff",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_dup_source_matrix",
-    "q_lsh_pair_recall_audit",
-    "q_quality_percentile_filter",
-    "q_bm25_multi_topk",
+    # -- block 1: round-6 additions (no prior CORRECTNESS row) -----------
+    "q_lsh_precision_audit",
+    "q_percentile_accuracy_audit",
+    "q21d_approx_percentiles",
     # -- block 2: stale since r02 ----------------------------------------
-    "q01_text_scan_blank_filter",
-    "q02_delimited_comment_filter",
-    "q03_prompt_template_projection",
-    "q04_alpaca_projection",
-    "q05_suffix_marker_predicate",
-    "q06_regex_suffix_strip",
-    "q07_word_boundary_match",
-    "q08_comment_prefix_filter",
-    # (q09b_exact_dedup_text and q14b_sweep_grid_literal — redundant
-    # variants of driver-green families — yield their slots to the
-    # round-5 retrieval queries; local gate still covers them)
-    "q10_broadcast_dim_join",
-    "q12_semi_join",
-    "q14_cross_join_grid",
-    "q17_left_outer_sentinel",
-    "q18_global_avg",
-    "q19_avg_of_group_min",
-    "q20_grouped_count_distinct",
-    # (q21b_salted_pricing yields its slot likewise)
-    "q21c_percentiles",
-    "q22_length_bucket_group",
-    # (q26b_retrieval_rank_summary yields its slot likewise — the
-    # flagship detail variant is fresh r04-green and stays in block 3)
-    "q28_lag_prev_event",
-    "q29_sliding_frame_avg",
-    # (q31b_collect_ordered yields its slot likewise)
-    "q32_union_all",
-    "q33_except_difference",
-    "q34_intersect",
-    # (q35b_cascade_hourly yields its slot likewise)
-    "q36_sliding_window",
-    "q_embed_cosine_dedup",
-    "q_embedding_stats",
-    "q_lsh_similarity_join",
-    "q_salted_join_parity",
-    "q_sql_region_revenue",
-    "q_upsert_latest",
-    # -- stale since r03 --------------------------------------------------
-    "q13_anti_join_manifest",
-    "q15_range_join_price_bands",
-    "q23_rollup_revenue",
-    "q27_row_number_rank",
-    "q30_orderby_limit_topk",
-    "q31_per_group_topk",
-    "q35_tumbling_window",
-    # -- block 3: fresh r04-green regression representative ---------------
-    "q26_retrieval_rank_detail",
+    "q26b_retrieval_rank_summary",
+    "q35b_cascade_hourly",
+    # -- block 3: stale since r04 — relational/temporal/vector core ------
+    "q09_exact_dedup",
+    "q11_multiway_join_revenue",
+    "q16_asof_join",
+    "q21_pricing_summary",
+    "q24_cosine_topk",
+    "q25_similarity_join",
+    "q37_session_window",
+    # -- stale since r04 — textops ---------------------------------------
+    "q_bpe_token_count",
+    "q_chunk_documents",
+    "q_contamination_check",
+    "q_corpus_profile",
+    "q_dedup_clusters",
+    "q_fingerprint",
+    "q_hash_sample",
+    "q_lang_guess",
+    "q_ngram_jaccard_dedup",
+    "q_pack_sequences",
+    "q_passage_dedup",
+    "q_pii_scrub",
+    "q_quality_classifier",
+    "q_quality_score",
+    "q_repetition_stats",
+    "q_tfidf_top_terms",
+    "q_token_entropy",
+    "q_token_stats",
+    "q_unigram_logprob",
+    "q_vocab_oov_rate",
+    "q_winnow_fingerprints",
+    "q_word_freq_topk",
+    # -- stale since r04 — vector / sampling -----------------------------
+    "q_embed_quantize",
+    "q_ivf_ann",
+    "q_kmeans_clusters",
+    "q_pca_projection",
+    "q_semantic_dedup",
+    "q_group_weighted_sample",
+    "q_mixture_allocation",
+    "q_stratified_split",
+    "q_weighted_sample",
+    # -- stale since r04 — analytic / media ------------------------------
+    "q_cube_pricing",
+    "q_grouping_sets_revenue",
+    "q_ntile_distribution",
+    "q_pivot_priority_matrix",
+    "q_stats_corr",
+    "q_media_frame_sample",
+    "q_media_inventory",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -39,6 +39,7 @@ from biodata_pipeline_spark.operators.audit import (
     PAIR_AUDIT_MAX_VEC,
     ann_bucket_recall_audit,
     lsh_pair_recall_audit,
+    minhash_precision_audit,
     minhash_recall_audit,
     simhash_recall_audit,
 )
@@ -62,6 +63,15 @@ def q_lsh_recall_audit(spark, sf_dir):
     x 4 rows — the production geometry) against exact shingle-Jaccard
     ground truth."""
     return minhash_recall_audit(_audit_docs(spark, sf_dir))
+
+
+def q_lsh_precision_audit(spark, sf_dir):
+    """Per-threshold precision of md5-family MinHash-LSH candidates —
+    the false-positive twin of q_lsh_recall_audit (VERDICT r5 #5): of
+    the pairs the banding emits, how many survive exact-Jaccard
+    verification at each threshold. The number that prices the verify
+    stage's wasted compute at 100 TB."""
+    return minhash_precision_audit(_audit_docs(spark, sf_dir))
 
 
 def q_simhash_recall_audit(spark, sf_dir):
@@ -160,6 +170,7 @@ def q_lsh_pair_recall_audit(spark, sf_dir):
 
 SPARK = {
     "q_lsh_recall_audit": q_lsh_recall_audit,
+    "q_lsh_precision_audit": q_lsh_precision_audit,
     "q_simhash_recall_audit": q_simhash_recall_audit,
     "q_dedup_cc_audit": q_dedup_cc_audit,
     "q_dedup_survivors_best": q_dedup_survivors_best,
@@ -229,28 +240,36 @@ def _sign_band_key_sql(b: int, rows: int = 4) -> str:
         for j in range(rows)
     ) + " AS BIGINT)"
 
+# md5-family MinHash banding (32 lanes / 8 bands x 4 rows — the
+# production geometry) as a reusable CTE chain ending in cand(id_a, id_b);
+# shared by the recall audit, the precision audit, and the promoted
+# q_dedup_clusters oracle.
+_MINHASH_CAND = f"""
+    lanes AS (
+        SELECT doc_id, lane,
+               min({_MD5_60.format(x="CAST(lane AS VARCHAR) || ':' || s")}) AS m
+        FROM sh, generate_series(0, 31) AS l(lane)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, lane // 4 AS band,
+               string_agg(
+                   lpad(CAST(lane AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR),
+                   ',' ORDER BY lane) AS key
+        FROM lanes GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+"""
+
 ORACLE = {
     "q_lsh_recall_audit": f"""
         WITH {_SHINGLES},
         {_JACCARD.format(threshold=0.5)},
-        lanes AS (
-            SELECT doc_id, lane,
-                   min({_MD5_60.format(x="CAST(lane AS VARCHAR) || ':' || s")}) AS m
-            FROM sh, generate_series(0, 31) AS l(lane)
-            GROUP BY 1, 2
-        ),
-        bands AS (
-            SELECT doc_id, lane // 4 AS band,
-                   string_agg(
-                       lpad(CAST(lane AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR),
-                       ',' ORDER BY lane) AS key
-            FROM lanes GROUP BY 1, 2
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ),
+        {_MINHASH_CAND},
         th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
         hits AS (
             SELECT j.jaccard,
@@ -271,6 +290,37 @@ ORACLE = {
                n_true - n_found AS n_missed,
                CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
                     ELSE round(n_found / CAST(n_true AS DOUBLE), 4) END AS recall
+        FROM agg
+    """,
+    "q_lsh_precision_audit": f"""
+        WITH {_SHINGLES},
+        {_JACCARD.format(threshold=0.0)},
+        {_MINHASH_CAND},
+        scored AS (
+            SELECT round(coalesce(i.i, 0)
+                         / CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS DOUBLE),
+                         9) AS jaccard
+            FROM cand c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        ),
+        th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+        agg AS (
+            SELECT t.threshold,
+                   count(s.jaccard) AS n_cand,
+                   CAST(coalesce(sum(CASE WHEN s.jaccard >= t.threshold
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_ver
+            FROM th t LEFT JOIN scored s ON TRUE
+            GROUP BY 1
+        )
+        SELECT threshold,
+               n_cand AS n_candidates,
+               n_ver AS n_verified,
+               n_cand - n_ver AS n_false_pos,
+               CASE WHEN n_cand = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(n_ver / CAST(n_cand AS DOUBLE), 4) END AS prec
         FROM agg
     """,
     "q_simhash_recall_audit": f"""

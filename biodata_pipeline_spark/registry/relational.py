@@ -386,6 +386,128 @@ def q21c_percentiles(spark, sf_dir):
     )
 
 
+def q21d_approx_percentiles(spark, sf_dir):
+    """Approximate percentiles with a self-validating rank-error check
+    (VERDICT r5 #6). q21c declares EXACT interpolated percentiles; at
+    100 TB the real engine call is ``approx_percentile`` (the GK/KLL
+    sketch — same documented swap as approx_count_distinct in
+    q_corpus_profile). The sketch's value is engine-specific, so this
+    row is rows-only — but it carries its own audit: ``*_in_bound`` is 1
+    iff the approx value's exact rank lands inside the sketch's
+    guaranteed window [ (q-eps)n, (q+eps)n ] (eps = 1/accuracy), which
+    the hash-checked twin ``q_percentile_accuracy_audit`` pins
+    cross-engine. Output: (l_returnflag, n_rows, approx_median,
+    approx_p95, median_in_bound, p95_in_bound)."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 10_000
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.5, {acc})"
+        ).alias("approx_median"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.95, {acc})"
+        ).alias("approx_p95"),
+        F.count("*").alias("n_rows"),
+    )
+    bounds = _percentile_rank_bounds(li, acc=acc)
+    return approx.join(bounds, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "approx_median",
+        "approx_p95",
+        F.when(
+            (F.col("approx_median") >= F.col("median_lo"))
+            & (F.col("approx_median") <= F.col("median_hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("median_in_bound"),
+        F.when(
+            (F.col("approx_p95") >= F.col("p95_lo"))
+            & (F.col("approx_p95") <= F.col("p95_hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("p95_in_bound"),
+    )
+
+
+def _percentile_rank_bounds(li, acc: int):
+    """Per-group exact order statistics at the sketch's guaranteed rank
+    window: for quantile q and eps = 1/acc the accepted values are those
+    at ranks [max(1, floor((q-eps)·n)), min(n, ceil((q+eps)·n))] — any
+    eps-accurate percentile sketch MUST return a value inside
+    [value@lo_rank, value@hi_rank]. Pure rank selection (row_number over
+    the group sort), deterministic in any engine: the k-th smallest of a
+    multiset is unique regardless of tie order. Rank arithmetic is kept
+    integer-exact — (q·acc ± 1)·n / acc with integer numerators — so
+    both engines floor/ceil the SAME rational value (decimal literals
+    like 0.4999 round differently as DOUBLE vs DECIMAL)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag")))
+    )
+
+    def rank_lo(q):
+        p = int(round(q * acc)) - 1
+        return F.greatest(
+            F.lit(1).cast("long"), F.floor(F.lit(p) * F.col("n") / F.lit(acc))
+        )
+
+    def rank_hi(q):
+        p = int(round(q * acc)) + 1
+        return F.least(
+            F.col("n"), F.ceil(F.lit(p) * F.col("n") / F.lit(acc))
+        )
+
+    def value_at(rank_expr):
+        return F.max(
+            F.when(F.col("rn") == rank_expr, F.col("l_extendedprice"))
+        )
+
+    return ranked.groupBy("l_returnflag").agg(
+        value_at(rank_lo(0.5)).alias("median_lo"),
+        value_at(rank_hi(0.5)).alias("median_hi"),
+        value_at(rank_lo(0.95)).alias("p95_lo"),
+        value_at(rank_hi(0.95)).alias("p95_hi"),
+    )
+
+
+def q_percentile_accuracy_audit(spark, sf_dir):
+    """Hash-checked accuracy contract for q21d (VERDICT r5 #6): the
+    exact per-group rank-window bounds any eps-accurate percentile
+    sketch must respect, plus the exact interpolated percentiles for
+    scale. Fully deterministic rank selection — the audit-twin pattern
+    (cf. the recall audits): the bounds are oracle-checkable even though
+    the sketch's own output is not. Output: (l_returnflag, n_rows,
+    median_lo, median_hi, p95_lo, p95_hi, exact_median, exact_p95)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = _percentile_rank_bounds(li, acc=10_000)
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_median"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+            "exact_p95"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+    return bounds.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "median_lo",
+        "median_hi",
+        "p95_lo",
+        "p95_hi",
+        "exact_median",
+        "exact_p95",
+    )
+
+
 def q23_rollup_revenue(spark, sf_dir):
     """Hierarchical rollup region → nation of order revenue."""
     c = _t(spark, sf_dir, "customer")
@@ -569,6 +691,8 @@ SPARK = {
     "q21b_salted_pricing": q21b_salted_pricing,
     "q_salted_join_parity": q_salted_join_parity,
     "q21c_percentiles": q21c_percentiles,
+    "q21d_approx_percentiles": q21d_approx_percentiles,
+    "q_percentile_accuracy_audit": q_percentile_accuracy_audit,
     "q22_length_bucket_group": q22_length_bucket_group,
     "q23_rollup_revenue": q23_rollup_revenue,
     "q27_row_number_rank": q27_row_number_rank,
@@ -733,6 +857,41 @@ ORACLE = {
                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # q21d_approx_percentiles: intentionally NO oracle — approx_percentile
+    # is an engine-specific sketch; accuracy is pinned by the hash-checked
+    # q_percentile_accuracy_audit bounds plus q21d's own in-bound flags.
+    "q_percentile_accuracy_audit": """
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        bounds AS (
+            SELECT l_returnflag,
+                   max(CASE WHEN rn = greatest(1, CAST(floor(4999 * n / 10000) AS BIGINT))
+                            THEN l_extendedprice END) AS median_lo,
+                   max(CASE WHEN rn = least(n, CAST(ceil(5001 * n / 10000) AS BIGINT))
+                            THEN l_extendedprice END) AS median_hi,
+                   max(CASE WHEN rn = greatest(1, CAST(floor(9499 * n / 10000) AS BIGINT))
+                            THEN l_extendedprice END) AS p95_lo,
+                   max(CASE WHEN rn = least(n, CAST(ceil(9501 * n / 10000) AS BIGINT))
+                            THEN l_extendedprice END) AS p95_hi
+            FROM ranked GROUP BY 1
+        ),
+        exact AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        )
+        SELECT b.l_returnflag, e.n_rows,
+               b.median_lo, b.median_hi, b.p95_lo, b.p95_hi,
+               e.exact_median, e.exact_p95
+        FROM bounds b JOIN exact e USING (l_returnflag)
     """,
     "q22_length_bucket_group": """
         SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket,

@@ -838,14 +838,30 @@ def q_hash_sample(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: MinHash pair edges → connected components
-    (iterative label propagation — the non-SQL-expressible category;
-    deterministic rows, union-find-verified in tests)."""
+    """Near-dup clusters: MinHash-LSH candidate edges → connected
+    components — the production dedup shape (banding feeds CC), now
+    hash-checked end to end (VERDICT r5 #7). Edges come from the
+    md5-family MinHash banding (same 32-lane / 8-band x 4-row geometry
+    as the xxhash64 production path, audit-bounded corpus) so the edge
+    set is reproducible in ANSI SQL; the oracle re-derives components
+    via recursive reachability + min label. The xxhash64 path
+    (``minhash_lsh_dup_pairs``) stays the 100 TB scale default — its
+    banding geometry is recall-audited by q_lsh_recall_audit and its
+    full-corpus variant keeps pytest + union-find coverage
+    (tests/test_clusters.py::test_dedup_survivors_end_to_end)."""
+    from biodata_pipeline_spark.operators.audit import (
+        AUDIT_MAX_DOC,
+        minhash_candidate_pairs_md5,
+    )
     from biodata_pipeline_spark.operators.clusters import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dup_pairs(docs, threshold=0.5)
-    return connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AUDIT_MAX_DOC
+    )
+    pairs = minhash_candidate_pairs_md5(docs)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
 
 
 def q_simhash_dedup(spark, sf_dir):
@@ -1581,3 +1597,31 @@ ORACLE = {
         FROM scored
     """,
 }
+
+
+# q_dedup_clusters oracle (promoted from rows-only, VERDICT r5 #7):
+# the md5-family MinHash banding CTEs are shared with the recall audit
+# (registry.audits) so both oracles pin the SAME candidate edge set;
+# components are re-derived by recursive reachability + min label —
+# assigned post-definition because the fragments live in audits.
+from biodata_pipeline_spark.registry.audits import (  # noqa: E402
+    _MINHASH_CAND,
+    _SHINGLES,
+)
+
+ORACLE["q_dedup_clusters"] = f"""
+    WITH RECURSIVE {_SHINGLES},
+    {_MINHASH_CAND},
+    e AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b, id_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT a FROM e),
+    reach(a, b) AS (
+        SELECT a, a FROM nodes
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    )
+    SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+"""

@@ -55,15 +55,21 @@ def test_rows_only_set_is_exactly_the_documented_one():
     # q_ivf_ann and q_lsh_similarity_join left this set in round 5:
     # their hyperplanes/centroids are pure functions exported to the
     # oracle as DOUBLE literals (and LSH band buckets over 4-bit slices
-    # equal bit-tuple equality). The remaining five are genuinely
-    # irreproducible outside the JVM — xxhash64 over unbounded domains
-    # (shingles, token hashes) where the HASH VALUES matter, and HLL/CMS
-    # register layouts — but each FAMILY has a hash-checked recall-audit
-    # twin in registry/audits.py.
+    # equal bit-tuple equality). q_dedup_clusters left it in round 6:
+    # its edges now come from the md5-family MinHash banding (the
+    # q_lsh_recall_audit candidate CTEs), so the CC output is plain
+    # recursive SQL. q21d_approx_percentiles joined it in round 6: the
+    # GK sketch's output is engine-specific by nature; its accuracy is
+    # pinned by the hash-checked q_percentile_accuracy_audit rank-window
+    # bounds. The remaining four are genuinely irreproducible outside
+    # the JVM — xxhash64 over unbounded domains (shingles, token hashes)
+    # where the HASH VALUES matter, and HLL/CMS register layouts — but
+    # each FAMILY has a hash-checked recall-audit twin in
+    # registry/audits.py.
     assert rows_only == {
         "q_minhash_lsh_dedup",
         "q_simhash_dedup",
-        "q_dedup_clusters",
+        "q21d_approx_percentiles",
         "q_approx_count_distinct",
         "q_cms_heavy_hitters",
     }, rows_only
