@@ -307,3 +307,40 @@ def test_compact_parquet_reports_actual_files_and_grows(spark, tmp_path):
     assert stats["files_out"] == written
     assert written >= 2  # coalesce alone could never grow past 1
     assert spark.read.parquet(dst).count() == 20000
+
+
+def test_zorder_layout_content_invariant(spark, tmp_path):
+    """VERDICT r5 #4: the z-ordered rewrite must carry EXACTLY the source
+    rows — same multiset, any placement — including under a two-column
+    box predicate (the read path the layout exists to accelerate).
+    Measured pruning numbers live in SCALING.md (tools/probe_zorder.py)."""
+    from biodata_pipeline_spark.operators.layout import compact_parquet
+
+    import pyspark.sql.functions as F
+
+    src, dst = str(tmp_path / "zsrc"), str(tmp_path / "zdst")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(8).write.parquet(src)
+    compact_parquet(
+        spark, src, dst, target_file_bytes=64 << 10,
+        sort_cols=["doc_id", "n_chars"], zorder=True,
+    )
+
+    def content_hash(df):
+        return df.select(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "doc_id", "text", "lang",
+                                          "source", "n_chars")), 1, 15),
+                    16, 10,
+                ).cast("decimal(20)")
+            ).alias("h"),
+            F.count("*").alias("c"),
+        ).first()
+
+    assert content_hash(spark.read.parquet(dst)) == content_hash(docs)
+    box = "doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 100 AND 400"
+    assert content_hash(
+        spark.read.parquet(dst).where(box)
+    ) == content_hash(docs.where(box))
