@@ -17,7 +17,7 @@ pipeline needs and rand() lacks:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 8  # fraction resolution: 1/16^8 ≈ 2.3e-10
@@ -185,3 +185,66 @@ def approx_stratum_buckets(
     return with_bounds.withColumn(
         "bucket", (F.lit(n_buckets) - n_below).cast("int")
     ).drop("__bounds")
+
+
+VTIME_SCALE = 10**12  # virtual-time resolution (integer-exact in BIGINT)
+
+
+def interleave_schedule(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "interleave",
+) -> DataFrame:
+    """First ``k`` positions of the deterministic sqrt-temperature
+    training schedule: each group (source/domain) emits its docs in
+    shuffle-hash order at rate ∝ √(group size), interleaved by virtual
+    time — the streaming realization of the √-weighted mixture that
+    ``q_mixture_allocation`` only *rates* (multinomial temperature
+    sampling with α = 0.5, made reproducible).
+
+    The r-th doc of a group of n is emitted at virtual time r/√n;
+    comparing r₁/√n₁ < r₂/√n₂ ⟺ r₁²·n₂ < r₂²·n₁, so the sort key is the
+    integer ``r² · VTIME_SCALE div n`` — EXACT integer division on both
+    engines (Spark ``div`` ≡ DuckDB ``//``; no float pow, no double
+    rounding: r²·VTIME_SCALE exceeds double's 53-bit exact range long
+    before it exceeds BIGINT's). Since the schedule's first k positions
+    can use at most k docs of any group, ranks are filtered to ≤ k
+    BEFORE the key is built: the per-group window is scale-safe
+    (partitioned by group), the survivor set is ≤ k·|groups| rows, and
+    the final sort is tiny. r ≤ k keeps r²·VTIME_SCALE < 2⁶³ for any
+    k ≤ 3 000 (grow k by shrinking VTIME_SCALE in step).
+
+    Output: position (1..k), group, rank_in_group, vtime, key column.
+    """
+    from biodata_pipeline_spark.operators.sharding import shuffle_hash
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if k > 3000:
+        raise ValueError("k > 3000 overflows the BIGINT vtime key")
+    key = F.col(key_col)
+    w_rank = Window.partitionBy(group_col).orderBy(
+        shuffle_hash(key_col, salt), key
+    )
+    w_size = Window.partitionBy(group_col)
+    ranked = (
+        df.select(key_col, group_col)
+        .withColumn("rank_in_group", F.row_number().over(w_rank))
+        .withColumn("__n", F.count("*").over(w_size))
+        .filter(F.col("rank_in_group") <= k)
+    )
+    vtime = F.expr(
+        f"CAST(rank_in_group AS BIGINT) * rank_in_group * {VTIME_SCALE}"
+        " div __n"
+    ).cast("long")
+    sched = (
+        ranked.withColumn("vtime", vtime)
+        .orderBy("vtime", group_col, "rank_in_group")
+        .limit(k)
+    )
+    w_pos = Window.orderBy("vtime", group_col, "rank_in_group")
+    return sched.withColumn(
+        "position", F.row_number().over(w_pos)
+    ).select("position", key_col, group_col, "rank_in_group", "vtime")

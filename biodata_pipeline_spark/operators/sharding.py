@@ -1,0 +1,145 @@
+"""Training-export layout: deterministic corpus shuffle, global prefix
+sums, and token-budgeted shard planning.
+
+The reference materializes its working set as one directory of
+per-genome text files consumed in directory order
+(data_generation/generate_narratives_from_data.py:63-72) — fine for 4k
+files, but a 100 TB corpus must be (a) SHUFFLED so a training reader
+sees i.i.d.-ish data without a seek per document, and (b) cut into
+shards whose TOKEN counts (not file counts) match the budget a loader
+maps to one worker. Both must be deterministic: re-running the export
+on the same corpus must produce byte-identical shard assignments
+(resumable exports, cross-run diffability, oracle checks).
+
+Three pieces, all engine-checkable:
+
+* ``shuffle_hash`` — the order key: md5 of (salt ‖ key). A seeded,
+  engine-portable stand-in for rand() (same contract as
+  operators/sampling.py, which SURVEY §2.3's rows-only assumption
+  underestimated).
+* ``ordered_prefix_sum`` — EXACT global running totals over a total
+  order, distributed: range-partition by the order key, pin the
+  partitioning (persist), collect one per-partition total per
+  partition (aggregate-sized by construction: one row per partition),
+  broadcast the exclusive partition offsets back, and finish with a
+  per-partition window. No global single-partition window anywhere —
+  the classic two-phase scan/prefix pattern, so the same plan holds at
+  any corpus size. (`operators/packing.py::pack_sequences` documents
+  the per-group-window limitation this lifts.)
+* ``shard_plan`` — cut the shuffled order into contiguous shards at
+  multiples of a token budget: ``shard_id = (running_total_before_row)
+  // budget``. A document straddling a boundary belongs to the shard
+  where it starts (loader convention); shards are therefore within one
+  document of the budget, never split a document, and are stable under
+  reprocessing of the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# one collect per prefix-sum: exactly num_partitions rows (named bound)
+PREFIX_SUM_MAX_PARTS = 4096
+
+
+def shuffle_hash(key, salt: str = "shuffle") -> Column:
+    """Deterministic shuffle-order key: 32-hex md5 of (salt ‖ key).
+    Different salts draw independent permutations of the same corpus."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+
+def assign_shards_mod(key, n_shards: int, salt: str = "shard") -> Column:
+    """Count-balanced shard id: the first 8 hex digits of the salted md5
+    mod ``n_shards`` — a pure map expression (no shuffle), uniform over
+    shards for any n_shards ≪ 16⁸."""
+    key = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(bucket, F.lit(n_shards)).cast("long")
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``value_col`` over the total order
+    given by ``order_cols`` (which MUST be a total order — include a
+    unique tie-break column), without a global single-partition window.
+
+    Output = input + ``out_col`` (sum of values strictly before this row
+    in the global order). The value is invariant to where the range
+    partitioner happens to cut: offsets are computed from the SAME
+    pinned partitioning the window runs on (the persist is what makes
+    the two jobs see identical assignments — range boundaries are
+    resampled per job otherwise).
+    """
+    from biodata_pipeline_spark.operators.caching import register_cached
+
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    if parts > PREFIX_SUM_MAX_PARTS:
+        raise ValueError(
+            f"num_partitions={parts} exceeds PREFIX_SUM_MAX_PARTS="
+            f"{PREFIX_SUM_MAX_PARTS} (the offsets collect is one row per "
+            "partition; raise the bound deliberately, not by accident)"
+        )
+    order = [F.col(c) for c in order_cols]
+    keyed = register_cached(
+        df.repartitionByRange(parts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = keyed.groupBy("__pid").agg(
+        F.sum(F.col(value_col)).cast("long").alias("__t")
+    ).collect()  # ≤ PREFIX_SUM_MAX_PARTS rows
+    running = 0
+    offsets = []
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], running))
+        running += row["__t"] or 0
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(F.col(value_col)).over(w), F.lit(0))
+    return (
+        keyed.join(F.broadcast(off), "__pid")
+        .withColumn(out_col, (F.col("__off") + within).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
+def shard_plan(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budgeted contiguous shards over the deterministic shuffle
+    order: adds ``__ord`` (the shuffle key), ``token_offset`` (exclusive
+    running total) and ``shard_id`` (offset // budget)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    ordered = df.withColumn("__ord", shuffle_hash(key_col, salt))
+    summed = ordered_prefix_sum(
+        ordered,
+        ["__ord", key_col],
+        weight_col,
+        out_col="token_offset",
+        num_partitions=num_partitions,
+    )
+    return summed.withColumn(
+        "shard_id", F.floor(F.col("token_offset") / budget).cast("long")
+    )

@@ -190,3 +190,45 @@ def build_training_corpus(
     if sink_dir:
         corpus.write.mode("overwrite").partitionBy("lang").parquet(sink_dir)
     return corpus
+
+
+def export_training_shards(
+    corpus: DataFrame,
+    sink_dir: str,
+    text_col: str = "training_text",
+    key_col: str = "doc_id",
+    token_budget: int = 1 << 22,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Export step after ``build_training_corpus``: deterministic corpus
+    shuffle → token-budgeted shard assignment (distributed prefix sum,
+    operators/sharding.py) → shard-partitioned parquet, rows inside each
+    shard laid out in shuffle order (``sortWithinPartitions`` on the
+    order key, so a reader streaming one shard file sees the shuffled
+    sequence without any further sort). Returns the shard manifest
+    (shard_id, n_docs, shard_tokens) — the loader's worker map.
+
+    Replaces the reference's directory-order consumption
+    (train_adapters/RAG-eval-create_model.py:96-117) with a layout that
+    is reproducible (md5 order), token-balanced (budget cuts), and
+    restart-safe (re-running the export reproduces identical shards).
+    """
+    from biodata_pipeline_spark.functions import textfn
+    from biodata_pipeline_spark.operators.sharding import shard_plan
+    from biodata_pipeline_spark.sources.sinks import write_partitioned
+
+    weighted = corpus.withColumn(
+        "__n_tok", textfn.token_count(text_col).cast("long")
+    )
+    plan = shard_plan(weighted, key_col, "__n_tok", token_budget, salt=salt)
+    write_partitioned(
+        plan.repartition(F.col("shard_id"))
+        .sortWithinPartitions("__ord", key_col)
+        .drop("__n_tok"),
+        sink_dir,
+        ["shard_id"],
+    )
+    return plan.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n_tok").cast("long").alias("shard_tokens"),
+    )

@@ -32,6 +32,7 @@ from __future__ import annotations
 from biodata_pipeline_spark.registry import (
     analytic,
     audits,
+    export,
     media,
     relational,
     temporal,
@@ -47,6 +48,7 @@ _ALL_SPARK = {
     **analytic.SPARK,
     **media.SPARK,
     **audits.SPARK,
+    **export.SPARK,
 }
 
 _ALL_ORACLE = {
@@ -57,20 +59,23 @@ _ALL_ORACLE = {
     **analytic.ORACLE,
     **media.ORACLE,
     **audits.ORACLE,
+    **export.ORACLE,
 }
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
 # #2). Round-6 blocks (sizes pinned by tests/test_registry.py):
-#   1-3:   round-6 additions (never driver-checked): the LSH precision
-#          audit, the percentile accuracy audit, and the rows-only
-#          approx-percentile declaration it pins;
-#   4-5:   the two r02-stale variants that yielded their slots in r5
+#   1-6:   round-6 additions (never driver-checked): the LSH precision
+#          audit, the percentile accuracy audit, the rows-only
+#          approx-percentile declaration it pins, and the training-
+#          export family (corpus shuffle, shard manifest, mixture
+#          schedule — registry/export.py);
+#   7-8:   the two r02-stale variants that yielded their slots in r5
 #          (q26b, q35b — last driver rows predate rounds 3-5 code);
-#   6-50:  45 of the 49 queries whose last driver row is r04, in
+#   9-50:  42 of the 49 queries whose last driver row is r04, in
 #          registry-family order (relational/temporal, then textops /
 #          vector / analytic / media).
-# Eight queries stay outside the window this round, all locally
+# Eleven queries stay outside the window this round, all locally
 # re-verified by tools/check_oracle.py on current code:
 #   - q09b/q14b/q21b/q31b: hash-checked variants of families whose
 #     primary query is IN this window (q09, q21) or fresh r05-green
@@ -80,12 +85,20 @@ _ALL_ORACLE = {
 #     with a fresh r05 hash-checked audit twin (q_corpus_profile's exact
 #     counts, the CMS pytest bound, q_lsh_recall_audit,
 #     q_simhash_recall_audit) — a rows-only driver row refreshes the
-#     least information, so they cede slots to hash-checked rows.
+#     least information, so they cede slots to hash-checked rows;
+#   - q_hash_sample / q_embed_quantize / q_ntile_distribution: ceded
+#     their refresh slots to the never-checked export family — the
+#     three simplest plans in the r04-stale block (pure map predicate /
+#     zero-shuffle map / one window), each pytest-covered, so a driver
+#     refresh adds the least new information.
 _DRIVER_WINDOW = [
     # -- block 1: round-6 additions (no prior CORRECTNESS row) -----------
     "q_lsh_precision_audit",
     "q_percentile_accuracy_audit",
     "q21d_approx_percentiles",
+    "q_corpus_shuffle",
+    "q_shard_manifest",
+    "q_mixture_schedule",
     # -- block 2: stale since r02 ----------------------------------------
     "q26b_retrieval_rank_summary",
     "q35b_cascade_hourly",
@@ -104,7 +117,6 @@ _DRIVER_WINDOW = [
     "q_corpus_profile",
     "q_dedup_clusters",
     "q_fingerprint",
-    "q_hash_sample",
     "q_lang_guess",
     "q_ngram_jaccard_dedup",
     "q_pack_sequences",
@@ -121,7 +133,6 @@ _DRIVER_WINDOW = [
     "q_winnow_fingerprints",
     "q_word_freq_topk",
     # -- stale since r04 — vector / sampling -----------------------------
-    "q_embed_quantize",
     "q_ivf_ann",
     "q_kmeans_clusters",
     "q_pca_projection",
@@ -133,7 +144,6 @@ _DRIVER_WINDOW = [
     # -- stale since r04 — analytic / media ------------------------------
     "q_cube_pricing",
     "q_grouping_sets_revenue",
-    "q_ntile_distribution",
     "q_pivot_priority_matrix",
     "q_stats_corr",
     "q_media_frame_sample",

@@ -213,3 +213,48 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         back.select(normalized(FF.col("training_text")).alias("t")).distinct().count()
         == n
     )
+
+
+def test_export_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
+    """The export writes shard directories whose contents are in shuffle
+    order, the manifest reconciles with what was written, and a re-run
+    reproduces identical assignments (restart safety)."""
+    from biodata_pipeline_spark.pipelines import export_training_shards
+    from biodata_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", FF.col("text").alias("training_text")
+    )
+    sink = str(tmp_path / "shards")
+    manifest = export_training_shards(docs, sink, token_budget=2000)
+    man = {r.shard_id: (r.n_docs, r.shard_tokens) for r in manifest.collect()}
+    assert sum(n for n, _ in man.values()) == docs.count()
+
+    back = spark.read.parquet(sink)
+    got = {
+        r.shard_id: r.n
+        for r in back.groupBy("shard_id").agg(FF.count("*").alias("n")).collect()
+    }
+    assert got == {s: n for s, (n, _) in man.items()}
+
+    # within a shard, token offsets increase in the stored order key
+    one = sorted(
+        back.filter(FF.col("shard_id") == min(man)).select("__ord", "token_offset").collect(),
+        key=lambda r: r["__ord"],
+    )
+    offs = [r.token_offset for r in one]
+    assert offs == sorted(offs)
+
+    # re-run determinism
+    sink2 = str(tmp_path / "shards2")
+    export_training_shards(docs, sink2, token_budget=2000)
+    a = sorted(
+        (r.doc_id, r.shard_id, r.token_offset)
+        for r in spark.read.parquet(sink).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard_id, r.token_offset)
+        for r in spark.read.parquet(sink2).collect()
+    )
+    assert a == b
