@@ -82,6 +82,8 @@ HEADLINE = [
     "q_lsh_pair_recall_audit",    # 2.8 s — LSH pair recall vs exact
     "q_simhash_recall_audit",     # 1.5 s — SimHash pigeonhole recall
     "q_bm25_multi_topk",          # 1.3 s — batched BM25 ranking
+    # round 6 additions (new operators over the ~1 s line):
+    "q_shard_manifest",           # 1.3 s — distributed prefix-sum sharding
 ]
 
 

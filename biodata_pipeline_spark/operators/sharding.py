@@ -69,17 +69,34 @@ def ordered_prefix_sum(
     value_col: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    bucket_of=None,
 ) -> DataFrame:
     """Exclusive global prefix sum of ``value_col`` over the total order
     given by ``order_cols`` (which MUST be a total order — include a
     unique tie-break column), without a global single-partition window.
 
     Output = input + ``out_col`` (sum of values strictly before this row
-    in the global order). The value is invariant to where the range
-    partitioner happens to cut: offsets are computed from the SAME
-    pinned partitioning the window runs on (the persist is what makes
-    the two jobs see identical assignments — range boundaries are
-    resampled per job otherwise).
+    in the global order). Two bucketing strategies:
+
+    * ``bucket_of`` given — a Column mapping each row to a bucket id in
+      [0, num_partitions) that is MONOTONE in the order (x ≤ y ⇒
+      bucket(x) ≤ bucket(y)). Buckets come from the data, so no range
+      sampling pass, no pinned physical partitioning, and the expensive
+      upstream projection is computed in exactly two cheap jobs (bucket
+      totals aggregate + per-bucket window). This is the path
+      ``shard_plan`` uses: its order key is a uniform md5 hex string,
+      so the integer value of a hex prefix is both monotone and
+      balanced.
+    * otherwise — ``repartitionByRange`` + ``spark_partition_id``. The
+      result is invariant to where the range partitioner cuts, but the
+      partitioning must be PINNED (persisted) so the offsets job and
+      the window job see identical assignments (range boundaries are
+      resampled per job otherwise), and the range sampler costs an
+      extra pass over the input.
+
+    Either way the input's narrow projection is persisted (scoped via
+    ``register_cached``) so an expensive upstream — e.g. tokenizing
+    every document for its weight — runs once, not once per job.
     """
     from biodata_pipeline_spark.operators.caching import register_cached
 
@@ -92,11 +109,16 @@ def ordered_prefix_sum(
             "partition; raise the bound deliberately, not by accident)"
         )
     order = [F.col(c) for c in order_cols]
-    keyed = register_cached(
-        df.repartitionByRange(parts, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    if bucket_of is not None:
+        keyed = register_cached(
+            df.withColumn("__pid", bucket_of.cast("int")).persist()
+        )
+    else:
+        keyed = register_cached(
+            df.repartitionByRange(parts, *order)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
     totals = keyed.groupBy("__pid").agg(
         F.sum(F.col(value_col)).cast("long").alias("__t")
     ).collect()  # ≤ PREFIX_SUM_MAX_PARTS rows
@@ -119,6 +141,21 @@ def ordered_prefix_sum(
     )
 
 
+def hex_prefix_bucket(col, num_buckets: int) -> Column:
+    """Monotone, balanced bucket id for a lowercase-hex order key: the
+    first 4 hex digits as an integer, scaled to [0, num_buckets).
+    Lexicographic order of lowercase hex equals numeric order of the
+    prefix, so bucket boundaries respect the sort order — the
+    ``bucket_of`` contract of ``ordered_prefix_sum`` — and an md5 key
+    makes the buckets uniform."""
+    if not 1 <= num_buckets <= 65536:
+        raise ValueError("num_buckets must be in [1, 65536]")
+    col = F.col(col) if isinstance(col, str) else col
+    v = F.conv(F.substring(col, 1, 4), 16, 10).cast("long")
+    # v·B ≤ 65535·65536 < 2⁵³ — the double product is exact, floor is safe
+    return F.floor(v * num_buckets / F.lit(65536)).cast("int")
+
+
 def shard_plan(
     df: DataFrame,
     key_col: str,
@@ -132,13 +169,18 @@ def shard_plan(
     running total) and ``shard_id`` (offset // budget)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
     ordered = df.withColumn("__ord", shuffle_hash(key_col, salt))
     summed = ordered_prefix_sum(
         ordered,
         ["__ord", key_col],
         weight_col,
         out_col="token_offset",
-        num_partitions=num_partitions,
+        num_partitions=parts,
+        # md5 hex key ⇒ the hex-prefix bucket is monotone and balanced:
+        # no range-sampling pass, buckets derived from the data
+        bucket_of=hex_prefix_bucket("__ord", parts),
     )
     return summed.withColumn(
         "shard_id", F.floor(F.col("token_offset") / budget).cast("long")
