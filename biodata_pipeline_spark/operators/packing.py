@@ -34,6 +34,8 @@ def pack_sequences(
     The window is partitioned by ``group_cols`` — at scale, include a
     sharding column so no group exceeds one task's scan budget; packing
     quality is unaffected because sequences never cross groups anyway.
+    For an exact GLOBAL layout with no group column at all, use
+    ``pack_sequences_global`` (distributed prefix sum).
     """
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     w = (
@@ -43,5 +45,35 @@ def pack_sequences(
     )
     offset = F.coalesce(F.sum(tok).over(w), F.lit(0)).cast("long")
     return df.withColumn("token_offset", offset).withColumn(
+        "seq_id", F.floor(F.col("token_offset") / budget).cast("long")
+    )
+
+
+def pack_sequences_global(
+    df: DataFrame,
+    token_col: Column | str,
+    budget: int,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``pack_sequences`` without the per-group window: EXACT global
+    ``token_offset`` / ``seq_id`` over the ``order_col`` order via the
+    two-phase distributed prefix sum (operators/sharding.py) — the
+    corpus-scale path the per-group window's docstring promises. One
+    range shuffle + per-partition windows; no partition ever holds more
+    than its slice of rows, at any corpus size."""
+    from biodata_pipeline_spark.operators.sharding import ordered_prefix_sum
+
+    tok = token_col if isinstance(token_col, str) else None
+    if tok is None:
+        raise ValueError("pack_sequences_global needs a column NAME")
+    out = ordered_prefix_sum(
+        df,
+        [order_col],
+        tok,
+        out_col="token_offset",
+        num_partitions=num_partitions,
+    )
+    return out.withColumn(
         "seq_id", F.floor(F.col("token_offset") / budget).cast("long")
     )

@@ -136,3 +136,27 @@ def test_shuffle_hash_salt_independence(spark):
     a = [r[0] for r in df.select(shuffle_hash("id", "a")).collect()]
     b = [r[0] for r in df.select(shuffle_hash("id", "b")).collect()]
     assert a != b and len(set(a)) == 100
+
+
+def test_pack_sequences_global_matches_windowed(spark):
+    """The distributed global packer must agree row-for-row with the
+    single-group window packer (the semantics it scales out)."""
+    from biodata_pipeline_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    df = spark.read.parquet(DOCS).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tokens")
+    )
+    ref = {
+        r.doc_id: (r.token_offset, r.seq_id)
+        for r in pack_sequences(df, "n_tokens", budget=700).collect()
+    }
+    got = {
+        r.doc_id: (r.token_offset, r.seq_id)
+        for r in pack_sequences_global(
+            df, "n_tokens", budget=700, num_partitions=5
+        ).collect()
+    }
+    assert got == ref
