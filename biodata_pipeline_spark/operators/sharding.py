@@ -18,14 +18,15 @@ Three pieces, all engine-checkable:
   operators/sampling.py, which SURVEY §2.3's rows-only assumption
   underestimated).
 * ``ordered_prefix_sum`` — EXACT global running totals over a total
-  order, distributed: range-partition by the order key, pin the
-  partitioning (persist), collect one per-partition total per
-  partition (aggregate-sized by construction: one row per partition),
-  broadcast the exclusive partition offsets back, and finish with a
-  per-partition window. No global single-partition window anywhere —
-  the classic two-phase scan/prefix pattern, so the same plan holds at
-  any corpus size. (`operators/packing.py::pack_sequences` documents
-  the per-group-window limitation this lifts.)
+  order, distributed: split the order into buckets (derived from the
+  data via ``hex_prefix_bucket`` when the key is uniform hex, else by
+  range partitioning with pinned assignment), collect one total per
+  bucket (aggregate-sized by construction), broadcast the exclusive
+  bucket offsets back, and finish with a per-bucket window. No global
+  single-partition window anywhere — the classic two-phase scan/prefix
+  pattern, so the same plan holds at any corpus size.
+  (`operators/packing.py::pack_sequences` documents the
+  per-group-window limitation this lifts.)
 * ``shard_plan`` — cut the shuffled order into contiguous shards at
   multiples of a token budget: ``shard_id = (running_total_before_row)
   // budget``. A document straddling a boundary belongs to the shard
@@ -183,5 +184,59 @@ def shard_plan(
         bucket_of=hex_prefix_bucket("__ord", parts),
     )
     return summed.withColumn(
+        "shard_id", F.floor(F.col("token_offset") / budget).cast("long")
+    )
+
+
+def incremental_shard_plan(
+    new_docs: DataFrame,
+    manifest: DataFrame | None,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append-only shard planning: assign ONLY the new documents to
+    shards, continuing after the tokens already exported.
+
+    A full re-export reshuffles everything — old shard files change and
+    every downstream consumer (loader state, caches, resume points)
+    invalidates. The incremental contract instead mirrors
+    ``sources/manifest.py``'s skip-if-done semantics at the shard level:
+    previously exported shards are IMMUTABLE; new docs are shuffled
+    among themselves (same md5 order) and packed starting at the global
+    token offset the manifest already accounts for. The price is that
+    the combined corpus is shuffled per-batch, not globally — each
+    batch's interleave is still reproducible, and a training run that
+    consumes shards in id order sees batch-append order (the streaming
+    ingest reality at 100 TB; a one-shot global shuffle of history +
+    novelty would be a full rewrite by definition).
+
+    ``manifest``: the frame ``export_training_shards`` /
+    ``q_shard_manifest`` returns (needs ``shard_tokens``), or None for
+    the first batch. The continuation offset is the manifest's TOTAL
+    token sum — offsets are global cumulative token positions, so new
+    docs begin in the last shard's budget window exactly iff the
+    exported total hasn't crossed its boundary (a per-shard
+    ``shard_id·budget + shard_tokens`` reconstruction would undercount
+    whenever a document overhangs its window).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    base = 0
+    if manifest is not None:
+        row = manifest.agg(
+            F.sum("shard_tokens").cast("long").alias("__t")
+        ).collect()  # 1 row
+        base = row[0]["__t"] or 0
+    plan = shard_plan(
+        new_docs, key_col, weight_col, budget, salt=salt,
+        num_partitions=num_partitions,
+    )
+    # shift every offset by the already-exported total, then re-cut
+    return plan.withColumn(
+        "token_offset", (F.col("token_offset") + F.lit(base)).cast("long")
+    ).withColumn(
         "shard_id", F.floor(F.col("token_offset") / budget).cast("long")
     )

@@ -160,3 +160,90 @@ def test_pack_sequences_global_matches_windowed(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_incremental_shard_plan_continues_after_manifest(spark):
+    """Batch-append semantics: old shards untouched, new docs begin in
+    the last shard's budget window iff it has room, combined token
+    accounting reconciles, and batch 1's plan equals the standalone
+    plan of its docs."""
+    from biodata_pipeline_spark.operators.sharding import incremental_shard_plan
+
+    budget = 1000
+    b1 = spark.createDataFrame(
+        [(i, 300) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, 300) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    p1 = incremental_shard_plan(b1, None, "doc_id", "n_tokens", budget)
+    assert {r.doc_id: r.shard_id for r in p1.collect()} == {
+        r.doc_id: r.shard_id
+        for r in shard_plan(b1, "doc_id", "n_tokens", budget).collect()
+    }
+    man1 = p1.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+    p2 = incremental_shard_plan(b2, man1, "doc_id", "n_tokens", budget)
+    rows1 = sorted(p1.collect(), key=lambda r: r.token_offset)
+    rows2 = sorted(p2.collect(), key=lambda r: r.token_offset)
+    total1 = sum(r.n_tokens for r in rows1)
+    # batch 2 offsets continue exactly where batch 1 ended
+    assert rows2[0].token_offset == total1
+    offs = total1
+    for r in rows2:
+        assert r.token_offset == offs
+        assert r.shard_id == r.token_offset // budget
+        offs += r.n_tokens
+    # first new shard id >= last old shard id (reuse iff room)
+    assert rows2[0].shard_id >= rows1[-1].shard_id
+
+
+def test_incremental_shard_plan_empty_manifest_frame(spark):
+    from biodata_pipeline_spark.operators.sharding import incremental_shard_plan
+
+    docs = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    empty_man = spark.createDataFrame(
+        [], "shard_id long, n_docs long, shard_tokens long"
+    )
+    got = incremental_shard_plan(docs, empty_man, "doc_id", "n_tokens", 100)
+    assert got.first().token_offset == 0
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_prefix_sum_property_random_weights(spark, data):
+    """Property: for random non-negative weights (zeros included) and a
+    random partition count, the distributed prefix sum equals the serial
+    cumsum — on both bucketing strategies."""
+    from biodata_pipeline_spark.operators.sharding import hex_prefix_bucket
+
+    n = data.draw(st.integers(1, 40))
+    weights = [data.draw(st.integers(0, 1000)) for _ in range(n)]
+    parts = data.draw(st.sampled_from([1, 2, 7]))
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").withColumn(
+        "h", shuffle_hash("doc_id", "prop")
+    )
+    # serial truth over the md5-hash order
+    hashed = sorted(
+        df.select("doc_id", "h", "w").collect(), key=lambda r: (r.h, r.doc_id)
+    )
+    expect, run = {}, 0
+    for r in hashed:
+        expect[r.doc_id] = run
+        run += r.w
+    for bucket in (None, hex_prefix_bucket("h", parts)):
+        got = {
+            r.doc_id: r.running_total
+            for r in ordered_prefix_sum(
+                df, ["h", "doc_id"], "w",
+                num_partitions=parts, bucket_of=bucket,
+            ).collect()
+        }
+        assert got == expect
