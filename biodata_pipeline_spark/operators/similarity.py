@@ -366,6 +366,12 @@ def similarity_join_vectorized(
             f"pass on_overflow='lsh' to switch automatically)."
         )
     rows = df.select(id_col, emb_col).collect()
+    if not rows:
+        # empty corpus slice (a real partition/day at scale): empty
+        # result with the contract schema, not an unpack crash
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     n, d = mat.shape

@@ -604,15 +604,18 @@ def q_upsert_latest(spark, sf_dir):
     generate_narratives_from_data.py:63-72, made relational): split events
     into a base and an updates stream on event-id parity, upsert, and keep
     the winning row per user — highest ts, then highest event_id."""
-    from biodata_pipeline_spark.functions.timefn import ntz_epoch_ms
     from biodata_pipeline_spark.operators.upsert import upsert
 
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     base = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
     updates = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
     merged = upsert(base, updates, ["user_id"], "ts", "event_id")
+    # events.ts is an absolute TIMESTAMP after the loader's tz-free NTZ
+    # conversion — unix_millis is epoch-based (no tz math); ntz_epoch_ms
+    # here would coerce back through NTZ in the session zone and shift
+    # on non-UTC sessions (caught by the round-6 tz probe)
     return merged.select(
-        "user_id", "event_id", ntz_epoch_ms(F.col("ts")).alias("ts_ms"), "value"
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "value"
     )
 
 

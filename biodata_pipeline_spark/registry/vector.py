@@ -33,6 +33,21 @@ from biodata_pipeline_spark.operators.similarity import (
 from biodata_pipeline_spark.functions.vector import l2_norm
 from biodata_pipeline_spark.sources.tables import load_table
 
+
+def _empty_fallback(spark, build, schema: str):
+    """Iterative fits (k-means seeding, the PCA mean) are eager and
+    cannot run on an empty corpus slice — but the QUERY contract is
+    row-per-vector, so an empty slice (a real partition/day at 100 TB)
+    must yield an empty frame with the production schema, not a crash.
+    Only the operators' own empty-input ValueErrors are translated;
+    anything else (over-bound collects, bad args) still raises."""
+    try:
+        return build()
+    except ValueError as e:
+        if "empty input" in str(e) or "need >=" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
 FLAGSHIP_TERMS = ["spark", "join", "window", "merge", "zzznomatch"]
 SIM_THRESHOLD = 0.25
 # The exact pairwise join is O(n²) by design — declared on a bounded vector
@@ -222,8 +237,12 @@ def q_kmeans_clusters(spark, sf_dir):
     from biodata_pipeline_spark.operators.kmeans import assign_clusters, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(emb)
-    return assign_clusters(emb, cents).select("vec_id", "cluster", "dist2")
+
+    def build():
+        cents = kmeans_fit(emb)
+        return assign_clusters(emb, cents).select("vec_id", "cluster", "dist2")
+
+    return _empty_fallback(spark, build, "vec_id long, cluster int, dist2 double")
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -246,7 +265,11 @@ def q_semantic_dedup(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(EMB_COPY_BASE)
     )
     corpus = emb.unionByName(copies)
-    return semantic_dedup_survivors(corpus, EMB_DEDUP_THRESHOLD)
+    return _empty_fallback(
+        spark,
+        lambda: semantic_dedup_survivors(corpus, EMB_DEDUP_THRESHOLD),
+        "vec_id long, cluster int",
+    )
 
 
 def q_pca_projection(spark, sf_dir):
@@ -264,8 +287,12 @@ def q_pca_projection(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mu, v = power_iteration_fit(emb)
-    return project_pc1(emb, mu, v)
+
+    def build():
+        mu, v = power_iteration_fit(emb)
+        return project_pc1(emb, mu, v)
+
+    return _empty_fallback(spark, build, "vec_id long, pc1 double")
 
 
 # --- approximate scale paths: no SQL oracle (rows-only + pytest) -------------

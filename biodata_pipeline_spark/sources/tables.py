@@ -60,10 +60,23 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = raw.schema["ts"].dataType
-        # Type-driven: ns-as-long gets truncated to µs; µs-precision data
-        # (rewritten copies of the table) is already a timestamp.
+        # Type-driven: ns-as-long gets truncated to µs; Spark 4.1 reads
+        # TIMESTAMP(NANOS) as TIMESTAMP_NTZ (µs-truncated) even with
+        # nanosAsLong set, and a plain NTZ→TIMESTAMP cast interprets the
+        # wall clock in the SESSION timezone — every downstream epoch-ms
+        # value would shift on a non-UTC driver session. The parquet
+        # wall clock is UTC by contract (DuckDB's epoch_ms reads it that
+        # way), so convert via tz-free NTZ arithmetic: micros since the
+        # NTZ epoch literal → timestamp_micros (an absolute instant).
         if isinstance(ts_type, T.LongType):
             return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            micros = F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col("ts"),
+            )
+            return raw.withColumn("ts", F.timestamp_micros(micros))
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
