@@ -170,3 +170,74 @@ def test_rate_limited_backlog_drains_in_bounded_batches(spark, tmp_path):
     # parquet writes may emit >1 file per append; the cap still bounds
     # rows per batch below the full backlog
     assert max(b["numInputRows"] for b in batches) < total
+
+
+def test_incremental_shard_export_stream(spark, tmp_path):
+    """Streaming shard export: multi-batch drain packs contiguously
+    across batches, manifest deltas reconcile with the sink, and a
+    re-drive with the same checkpoint adds nothing."""
+    from biodata_pipeline_spark.streaming.export import (
+        read_shard_manifest,
+        run_incremental_shard_export,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+    # two source files -> two microbatches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "shards")
+    man = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+    budget = 3000
+    run_incremental_shard_export(
+        stream, ckpt, sink, man, token_budget=budget
+    )
+
+    out = spark.read.parquet(sink)
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    assert out.select("batch_id").distinct().count() == 2
+
+    # offsets are globally contiguous across batches (exclusive cumsum)
+    rows = sorted(out.collect(), key=lambda r: r.token_offset)
+    total = 0
+    for r in rows:
+        assert r.token_offset == total
+        assert r.shard_id == r.token_offset // budget
+        total += len(r.text.split()) if r.text.strip() else 0
+
+    # manifest reconciles with the sink
+    got = {
+        (r.shard_id): (r.n_docs, r.shard_tokens)
+        for r in read_shard_manifest(spark, man).collect()
+    }
+    sunk = {
+        r.shard_id: r.n
+        for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {s: n for s, (n, _) in got.items()} == sunk
+    assert sum(t for _, t in got.values()) == total
+
+    # re-drive with the same checkpoint: nothing new
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_incremental_shard_export(stream2, ckpt, sink, man, token_budget=budget)
+    assert spark.read.parquet(sink).count() == n_docs
+    assert read_shard_manifest(spark, man).agg(
+        F.sum("n_docs")
+    ).first()[0] == n_docs
