@@ -1,0 +1,154 @@
+"""BPE tokenizer induction on the corpus — the full merge loop.
+
+``q_bpe_merge_pairs`` declares the FIRST merge's statistic; this
+operator runs the whole greedy loop (Sennrich et al. 2016): repeatedly
+count adjacent symbol pairs over the corpus and merge the most frequent
+one, producing the ordered merge list a BPE tokenizer is.
+
+Scale shape — the reason this is corpus-feasible at all: merges are a
+function of the WORD FREQUENCY TABLE, not the corpus. One scan
+aggregates (word, count) — vocabulary-sized, bounded by language, not
+data; every one of the k iterations then runs on that table alone:
+
+  * pair counts: explode each word's adjacent symbol pairs weighted by
+    the word count, aggregate — map-side combine bounds the shuffle by
+    the live pair vocabulary;
+  * argmax: TakeOrdered(1) with a total-order tie-break
+    (count desc, pair lexicographic) — deterministic on any engine;
+  * apply: a left-to-right fold over each word's symbol array
+    (``F.aggregate`` HOF — JVM-side, no UDF), merging non-overlapping
+    occurrences greedily exactly like the reference algorithm.
+
+Lineage is truncated with ``localCheckpoint`` every few iterations (an
+iterative plan otherwise grows by one fold per merge and analysis cost
+compounds). The driver holds only the merge list (k pairs) and the
+per-iteration argmax row — never the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions import textfn
+
+CHECKPOINT_EVERY = 6
+END_OF_WORD = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the whitespace tokenization — the corpus's only
+    full scan in the training loop."""
+    return (
+        df.select(F.explode(textfn.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into single characters + the end-of-word marker
+    (the marker lets merges learn suffixes without crossing words)."""
+    return words.select(
+        F.concat(
+            F.split(F.col("w"), "(?!$)"),  # each char; (?!$) avoids a trailing ""
+            F.array(F.lit(END_OF_WORD)),
+        ).alias("syms"),
+        "n",
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    # guard fully-merged single-symbol words: sequence(1, 0) counts DOWN
+    # ([1, 0]), so an unguarded transform indexes past the array under
+    # ANSI mode instead of emitting nothing
+    pair = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+        " ELSE array() END"
+    )
+    return (
+        syms.select(F.explode(pair).alias("p"), "n")
+        .groupBy("p")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
+    """Left-to-right greedy merge of adjacent (a, b) → a||b inside each
+    symbol array — one JVM-side fold, no Python."""
+    merged = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return syms.select(merged.alias("syms"), "n")
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns them in
+    application order. Stops early when no pair reaches
+    ``min_pair_count`` (merging singletons only memorizes words)."""
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    syms = _initial_symbols(word_counts(df, text_col)).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )  # 1 row: the argmax pair
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        syms = _apply_merge(syms, a, b)
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            syms = syms.localCheckpoint()
+    return merges
+
+
+def bpe_encode(col, merges: list[tuple[str, str]]):
+    """Column expression applying a learned merge list to one word —
+    chars + end marker, then each merge as the same greedy fold used in
+    training (so encode(train corpus) reproduces the training symbols).
+    Intended for bounded merge lists (each merge adds one fold layer)."""
+    def merge_fold(a: str, b: str):
+        # factory, not default-arg capture: a 2-param lambda is the
+        # aggregate merge signature, and extra defaulted params trip
+        # PySpark's HOF arity inspection (the (element, index) trap)
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    syms = F.concat(
+        F.split(col, "(?!$)"), F.array(F.lit(END_OF_WORD))
+    )
+    for a, b in merges:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), merge_fold(a, b)
+        )
+    return syms

@@ -1,0 +1,98 @@
+"""BPE tokenizer induction: the distributed merge loop must reproduce
+the reference algorithm (Sennrich et al. 2016) merge-for-merge."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.tokenizer import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_train,
+)
+
+
+def reference_bpe(word_freqs: dict[str, int], n_merges: int, min_count: int = 2):
+    """Serial textbook BPE with the operator's tie-break (count desc,
+    pair lexicographic) and left-to-right greedy application."""
+    vocab = {
+        tuple(list(w) + [END_OF_WORD]): n for w, n in word_freqs.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower widest widest widest",
+    "newest newest newest newest newest newest",
+    "the quick brown fox jumps over the lazy dog",
+    "the the the newest lowest widest",
+]
+
+
+def _freqs():
+    c = collections.Counter()
+    for line in CORPUS:
+        c.update(line.split())
+    return dict(c)
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe_train(df, n_merges=12)
+    want = reference_bpe(_freqs(), 12)
+    assert got == want
+    assert len(got) >= 8  # the corpus supports a real merge sequence
+
+
+def test_bpe_train_early_stop_and_validation(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    # all pairs are singletons below min_pair_count=2 -> no merges
+    assert bpe_train(df, n_merges=5) == []
+    with pytest.raises(ValueError, match="positive"):
+        bpe_train(df, 0)
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe_train(df, n_merges=10)
+    # encode every corpus word with the learned merges and re-count
+    # pairs: no merged pair may remain adjacent (greedy fixpoint for
+    # the merges applied in order)
+    words = df.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    enc = words.select("w", bpe_encode(F.col("w"), merges).alias("syms"))
+    for row in enc.collect():
+        syms = row.syms
+        assert "".join(syms) == row.w + END_OF_WORD  # lossless
+    # the most frequent training word becomes a single token
+    top_word = max(_freqs().items(), key=lambda kv: (kv[1], kv[0]))[0]
+    top_syms = {r.w: r.syms for r in enc.collect()}[top_word]
+    assert len(top_syms) <= 2  # word (+ possibly split marker) fused
