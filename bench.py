@@ -84,6 +84,7 @@ HEADLINE = [
     "q_bm25_multi_topk",          # 1.3 s — batched BM25 ranking
     # round 6 additions (new operators over the ~1 s line):
     "q_shard_manifest",           # 1.3 s — distributed prefix-sum sharding
+    "q_bpe_train_merges",         # 3.7 s — full BPE merge loop (20 iters)
 ]
 
 

@@ -170,6 +170,28 @@ def q_bpe_merge_pairs(spark, sf_dir):
     )
 
 
+BPE_TRAIN_MERGES = 20
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """The FULL BPE training loop (operators/tokenizer.py) declared:
+    the ordered 20-merge list learned from the corpus, one row per
+    merge. Rows-only by nature — the greedy argmax-then-fold iteration
+    is not one SQL query — with its audit twin in pytest:
+    tests/test_tokenizer.py pins the operator merge-for-merge against a
+    serial textbook implementation (Sennrich et al. 2016) with the same
+    deterministic tie-break. q_bpe_merge_pairs stays the hash-checked
+    declaration of the loop's per-iteration statistic."""
+    from biodata_pipeline_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "step int, left string, right string, merged string",
+    )
+
+
 BM25_TERMS = ("hash", "merge", "vector")
 BM25_TOPK = 20
 RRF_TOPN = 50
@@ -883,6 +905,7 @@ SPARK = {
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
+    "q_bpe_train_merges": q_bpe_train_merges,
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_multi_topk": q_bm25_multi_topk,
     "q_hybrid_rrf": q_hybrid_rrf,

@@ -65,8 +65,13 @@ def test_rows_only_set_is_exactly_the_documented_one():
     # the JVM — xxhash64 over unbounded domains (shingles, token hashes)
     # where the HASH VALUES matter, and HLL/CMS register layouts — but
     # each FAMILY has a hash-checked recall-audit twin in
-    # registry/audits.py.
+    # registry/audits.py. q_bpe_train_merges (round 6) is rows-only
+    # because the greedy argmax+fold iteration is not one SQL query;
+    # its audit twin is tests/test_tokenizer.py's merge-for-merge
+    # comparison against the serial textbook algorithm, and
+    # q_bpe_merge_pairs hash-checks the per-iteration statistic.
     assert rows_only == {
+        "q_bpe_train_merges",
         "q_minhash_lsh_dedup",
         "q_simhash_dedup",
         "q21d_approx_percentiles",
