@@ -294,6 +294,102 @@ def ngram_jaccard_dup_pairs(
     )
 
 
+def cross_split_leakage(
+    df: DataFrame,
+    threshold: float,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    salt: str = "split",
+) -> DataFrame:
+    """Dedup-aware train/test leakage guard: training documents that are
+    near-duplicates of any held-out document.
+
+    A hash split keeps exact duplicates apart only by luck — a train doc
+    that shares most of its shingles with a held-out doc inflates eval
+    scores without tripping exact dedup. This operator finds those docs:
+    split by the deterministic md5 predicate (``sample_predicate`` —
+    same decision as q_stratified_split, so the guard audits the split
+    the pipeline actually uses), then compute exact n-token-shingle
+    Jaccard between every train/held-out pair sharing a shingle, and
+    report, per leaked train doc, its best-matching held-out doc —
+    ``(train_id, test_id, jaccard)``, tie-broken (jaccard desc, test_id
+    asc). Dropping the returned train_ids from the training set is the
+    decontamination step.
+
+    Plan shape: the split is a pure map predicate (no shuffle); the
+    bipartite intersection is the same shingle equi-join as
+    ``ngram_jaccard_dup_pairs`` but with the split flags replacing the
+    ``id_a < id_b`` triangle filter, so candidates are co-partitioned on
+    the shingle and nothing is all-pairs. The held-out side is
+    ``test_fraction`` of the corpus, so the join's build side shrinks
+    with the split, not the corpus. At 100 TB the exact verify keeps the
+    same duplication gate story as the Jaccard deduper; the candidate
+    stage swaps to MinHash banding (``minhash_lsh_dup_pairs`` geometry)
+    with this operator as its bounded-slice audit — the established
+    audit-twin pattern.
+
+    Reference anchor: the reference evaluates retrieval by substring
+    containment against held-out expected answers
+    (rag_evaluation/RAG-eval-test_model.py:233-248) with no guard that
+    eval text is absent from the index — this operator is that guard.
+    """
+    from pyspark.sql import Window
+
+    from biodata_pipeline_spark.operators.sampling import sample_predicate
+
+    flagged = df.withColumn(
+        "__is_test", sample_predicate(id_col, test_fraction, salt)
+    )
+    sh = register_cached(
+        flagged.select(
+            F.col(id_col).alias("id"),
+            F.col("__is_test"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("sh"),
+        ).persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.filter(~F.col("__is_test"))
+        .alias("a")
+        .join(sh.filter(F.col("__is_test")).alias("b"), "sh")
+        .groupBy(
+            F.col("a.id").alias("train_id"), F.col("b.id").alias("test_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "train_id", "sz": "sz_a"}),
+            "train_id",
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "test_id", "sz": "sz_b"}),
+            "test_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("jaccard"), F.asc("test_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("train_id", "test_id", "jaccard")
+    )
+
+
 def duplicated_passages(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from biodata_pipeline_spark.functions import textfn
 from biodata_pipeline_spark.operators.chunking import chunk_documents
 from biodata_pipeline_spark.operators.dedup import (
+    cross_split_leakage,
     minhash_lsh_dup_pairs,
     ngram_jaccard_dup_pairs,
     simhash_dup_pairs,
@@ -92,6 +93,31 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
         F.col("doc_id") < JACCARD_MAX_DOC
     )
     return ngram_jaccard_dup_pairs(docs, JACCARD_THRESHOLD)
+
+
+LEAKAGE_MAX_DOC = 500  # bounded-slice audit of the split guard
+# 0.02 (not the dedup family's 0.05): the guard's job is catching
+# partial contamination — shared boilerplate / quoted passages — that
+# full-document dedup thresholds ignore; at 0.05 the sf0.01 slice leaks
+# 2 docs, at 0.02 it leaks 43, and the 43 are what an eval-honest
+# pipeline wants reviewed.
+LEAKAGE_THRESHOLD = 0.02
+
+
+def q_split_leakage(spark, sf_dir):
+    """Dedup-aware split guard: train docs that are near-duplicates
+    (exact 3-token-shingle Jaccard) of any held-out doc under the SAME
+    md5 split decision as q_stratified_split — one row per leaked train
+    doc with its best-matching held-out doc. Dropping these train_ids is
+    the decontamination step a leaderboard-honest pipeline runs before
+    training. Exact verify on a bounded slice; the 100 TB candidate
+    stage is MinHash banding with this query as its audit twin."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < LEAKAGE_MAX_DOC
+    )
+    return cross_split_leakage(
+        docs, LEAKAGE_THRESHOLD, test_fraction=SPLIT_VAL_FRACTION
+    )
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -901,6 +927,7 @@ SPARK = {
     "q_lang_guess": q_lang_guess,
     "q_fingerprint": q_fingerprint,
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "q_split_leakage": q_split_leakage,
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
@@ -1337,6 +1364,43 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) >= {JACCARD_THRESHOLD}
+    """,
+    "q_split_leakage": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   md5('split' || CAST(doc_id AS VARCHAR))
+                       < '19999999000000000000000000000000' AS is_test,
+                   {_TOKS} AS t
+            FROM documents WHERE doc_id < {LEAKAGE_MAX_DOC}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, is_test, array_to_string(t[i:i+2], ' ') AS s
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= 3 AND i <= len(t) - 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND NOT a.is_test AND b.is_test
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT train_id, test_id,
+                   round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = train_id
+            JOIN sizes sb ON sb.doc_id = test_id
+            WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9)
+                  >= {LEAKAGE_THRESHOLD}
+        )
+        SELECT train_id, test_id, jaccard
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY train_id ORDER BY jaccard DESC, test_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
     """,
     "q_unigram_logprob": f"""
         WITH words AS (

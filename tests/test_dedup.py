@@ -398,3 +398,39 @@ def test_cache_scope_releases_operator_internal_persists(spark):
         assert tracked, "collapse_identical should have registered its persist"
         assert any(df.storageLevel.useMemory for df in tracked)
     assert all(not df.storageLevel.useMemory for df in tracked)
+
+
+def test_cross_split_leakage_flags_only_cross_split_near_dups(spark):
+    """A train doc near-duplicating a held-out doc is flagged with its
+    best match; near-dup pairs living in the SAME split are not. Split
+    membership under the md5 predicate (salt 'split', fraction 0.1) for
+    ids 0..99: {29, 33, 44, 48, 59, 75, 77, 80, 90, 97} are held out —
+    computed with hashlib, pinned here so the planted docs land on the
+    intended sides."""
+    from biodata_pipeline_spark.operators.dedup import cross_split_leakage
+
+    held_out = 29  # test side
+    leaky_train = 2  # train side, near-dup of held_out
+    train_pair_a, train_pair_b = 3, 5  # near-dups of each other, both train
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    other = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 5
+    docs = spark.createDataFrame(
+        [
+            (held_out, base),
+            (leaky_train, base + " tiny suffix"),
+            (train_pair_a, other),
+            (train_pair_b, other + " different ending"),
+            (7, "unrelated content entirely " + " ".join(f"w{i}" for i in range(60))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.train_id: (r.test_id, r.jaccard)
+        for r in cross_split_leakage(docs, threshold=0.3).collect()
+    }
+    assert set(got) == {leaky_train}, got
+    test_id, j = got[leaky_train]
+    assert test_id == held_out
+    assert j == pytest.approx(
+        python_jaccard(base, base + " tiny suffix"), abs=1e-9
+    )
