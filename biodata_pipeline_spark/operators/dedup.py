@@ -390,6 +390,96 @@ def cross_split_leakage(
     )
 
 
+def scrub_frequent_lines(
+    df: DataFrame,
+    min_count: int = 3,
+    line_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency line dedup: remove lines that repeat across the
+    corpus, keep the rest of each document intact.
+
+    The C4/RefinedWeb curation step that document-level dedup cannot do:
+    navigation bars, cookie banners, and license boilerplate repeat
+    across *different* documents, so no whole-document signal catches
+    them — but the offending LINE appears nearly verbatim in many docs.
+    This operator splits each document into lines (here: fixed
+    ``line_tokens``-token windows, since the synthetic corpus has no
+    newlines — a real corpus passes its own splitter upstream and feeds
+    (id, pos, line) rows), counts each case-normalized line corpus-wide,
+    drops every occurrence of lines seen ``min_count``+ times, and
+    reassembles the survivors in original order.
+
+    Output: ``(id_col, n_lines, n_removed, clean_text)`` — one row per
+    non-empty input document; a doc whose every line is boilerplate
+    comes back with ``clean_text = ''`` (the quality gate downstream
+    drops it), so removal is observable, never silent.
+
+    Plan shape at scale: line explode is map work (~len/line_tokens×
+    rows, narrow); the frequency count is ONE hash aggregation whose
+    key space is the distinct-line set (map-side partial combine
+    collapses repeats before the shuffle — the boilerplate being
+    removed is exactly what compresses best); the count join is
+    broadcast when the frequent-line table is small (it is: lines with
+    count >= min_count) — we join counts only for flagging, so the
+    production variant semi-joins against the FILTERED frequent-line
+    table instead of carrying all counts; reassembly is one groupBy(id)
+    with array_sort(collect_list(struct(pos, …))) — per-doc state
+    bounded by document length. Cross-engine hash-checkable because the
+    line key is the raw normalized string; at 100 TB swap the join key
+    for xxhash64(line) to keep the shuffle narrow (same plan shape).
+    """
+    if min_count < 2:
+        raise ValueError("min_count < 2 would scrub every line")
+    toks = tokens(F.col(text_col))
+    n_lines = (F.floor((F.size(toks) - 1) / line_tokens) + 1).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    lines = df.filter(F.size(toks) > 0).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(line_arr).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy(F.lower(F.col("line")).alias("key"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("key")
+    )
+    flagged = lines.join(
+        F.broadcast(frequent),
+        F.lower(F.col("line")) == F.col("key"),
+        "left",
+    ).select(
+        "id",
+        "pos",
+        "line",
+        F.when(F.col("key").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("rm"),
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("rm")))
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum("rm").cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(kept_struct, lambda x: x["rm"] == 0),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("id").alias(id_col), "n_lines", "n_removed", "clean_text")
+    )
+
+
 def duplicated_passages(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -18,6 +18,7 @@ from biodata_pipeline_spark.operators.dedup import (
     cross_split_leakage,
     minhash_lsh_dup_pairs,
     ngram_jaccard_dup_pairs,
+    scrub_frequent_lines,
     simhash_dup_pairs,
 )
 from biodata_pipeline_spark.sources.tables import load_table
@@ -117,6 +118,22 @@ def q_split_leakage(spark, sf_dir):
     )
     return cross_split_leakage(
         docs, LEAKAGE_THRESHOLD, test_fraction=SPLIT_VAL_FRACTION
+    )
+
+
+LINE_SCRUB_MIN = 3  # a line in 3+ places corpus-wide is boilerplate
+LINE_TOKENS = 8
+
+
+def q_line_dedup_scrub(spark, sf_dir):
+    """C4/RefinedWeb-style line dedup: corpus-frequent lines (8-token
+    windows standing in for newline-split lines — the synthetic corpus
+    has none) are removed from every document, survivors reassembled in
+    order. One row per non-empty doc: n_lines, n_removed, clean_text —
+    the boilerplate-scrub pass document-level dedup cannot perform."""
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_frequent_lines(
+        docs, min_count=LINE_SCRUB_MIN, line_tokens=LINE_TOKENS
     )
 
 
@@ -928,6 +945,7 @@ SPARK = {
     "q_fingerprint": q_fingerprint,
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "q_split_leakage": q_split_leakage,
+    "q_line_dedup_scrub": q_line_dedup_scrub,
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
@@ -1401,6 +1419,33 @@ ORACLE = {
             FROM scored
         )
         WHERE rn = 1
+    """,
+    "q_line_dedup_scrub": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        lines AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(
+                       t[i*{LINE_TOKENS}+1 : i*{LINE_TOKENS}+{LINE_TOKENS}],
+                       ' ') AS line
+            FROM toks, generate_series(0, 1023) AS g(i)
+            WHERE len(t) > 0 AND i <= (len(t) - 1) // {LINE_TOKENS}
+        ),
+        freq AS (
+            SELECT lower(line) AS key FROM lines
+            GROUP BY 1 HAVING count(*) >= {LINE_SCRUB_MIN}
+        ),
+        flagged AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   CASE WHEN f.key IS NULL THEN 0 ELSE 1 END AS rm
+            FROM lines l LEFT JOIN freq f ON lower(l.line) = f.key
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_lines,
+               CAST(sum(rm) AS INTEGER) AS n_removed,
+               coalesce(
+                   string_agg(CASE WHEN rm = 0 THEN line END, ' ' ORDER BY pos),
+                   '') AS clean_text
+        FROM flagged GROUP BY doc_id
     """,
     "q_unigram_logprob": f"""
         WITH words AS (

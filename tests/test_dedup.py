@@ -434,3 +434,40 @@ def test_cross_split_leakage_flags_only_cross_split_near_dups(spark):
     assert j == pytest.approx(
         python_jaccard(base, base + " tiny suffix"), abs=1e-9
     )
+
+
+def test_scrub_frequent_lines_removes_boilerplate_keeps_order(spark):
+    """Lines repeated across min_count+ docs are removed everywhere;
+    unique lines survive in original order; a doc of pure boilerplate
+    comes back empty rather than vanishing."""
+    from biodata_pipeline_spark.operators.dedup import scrub_frequent_lines
+
+    boiler = "subscribe to our newsletter for updates now ok"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} unique alpha words here for doc one x"),
+            (2, f"{boiler} different beta content in doc two here y"),
+            (3, f"{boiler} third gamma body text of doc three z"),
+            (4, boiler),  # pure boilerplate
+            (5, "entirely novel document with no repeated window lines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_frequent_lines(docs, min_count=3, line_tokens=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_removed == 1
+    assert out[1].clean_text == "unique alpha words here for doc one x"
+    assert out[4].n_removed == 1 and out[4].clean_text == ""
+    assert out[5].n_removed == 0
+    assert out[5].clean_text == "entirely novel document with no repeated window lines"
+
+
+def test_scrub_frequent_lines_rejects_degenerate_min_count(spark):
+    from biodata_pipeline_spark.operators.dedup import scrub_frequent_lines
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_count"):
+        scrub_frequent_lines(docs, min_count=1)
