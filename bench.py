@@ -85,6 +85,8 @@ HEADLINE = [
     # round 6 additions (new operators over the ~1 s line):
     "q_shard_manifest",           # 1.3 s — distributed prefix-sum sharding
     "q_bpe_train_merges",         # 3.7 s — full BPE merge loop (20 iters)
+    "q_split_leakage",            # 1.4 s — cross-split near-dup guard
+    "q_line_dedup_scrub",         # 1.2 s — corpus-frequency line scrub
 ]
 
 

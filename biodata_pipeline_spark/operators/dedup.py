@@ -432,17 +432,36 @@ def scrub_frequent_lines(
     """
     if min_count < 2:
         raise ValueError("min_count < 2 would scrub every line")
-    toks = tokens(F.col(text_col))
-    n_lines = (F.floor((F.size(toks) - 1) / line_tokens) + 1).cast("int")
-    line_arr = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * line_tokens + 1, line_tokens), " "
-        ),
-    )
-    lines = df.filter(F.size(toks) > 0).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(line_arr).alias("pos", "line"),
+
+    # Let-bind the token array through a 1-element transform (the
+    # token_shingles pattern): referencing tokens() directly inside the
+    # per-line lambda makes CollapseProject inline the regex split per
+    # line index — measured 9× on the duplicate-heavy 100× replica
+    # (110 s → 12 s for the full scrub).
+    def _body(toks):
+        n_lines = (F.floor((F.size(toks) - 1) / line_tokens) + 1).cast("int")
+        return F.when(
+            F.size(toks) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * line_tokens + 1, line_tokens), " "
+                ),
+            )
+        )
+
+    line_arr = F.get(F.transform(F.array(tokens(F.col(text_col))), _body), 0)
+    # posexplode drops empty arrays, so whitespace-only docs produce no
+    # output row — the documented "one row per non-empty doc" contract.
+    # Persisted (cache_scope-registered): the exploded frame feeds both
+    # the corpus-wide frequency count and the flag join — unpersisted,
+    # the scan+tokenize+explode chain (the dominant cost) runs twice.
+    lines = register_cached(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(line_arr).alias("pos", "line"),
+        ).persist()
     )
     frequent = (
         lines.groupBy(F.lower(F.col("line")).alias("key"))
