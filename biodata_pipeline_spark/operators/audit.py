@@ -457,8 +457,13 @@ def lsh_pair_recall_audit(
     """
     if sign_dims % n_bands:
         raise ValueError("sign_dims must divide evenly into n_bands")
+    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     base = register_cached(
         emb.filter(F.col(id_col) < max_vec)
+        # same single-partition pathology as _audit_shingles: the
+        # bounded slice scans as one partition, serializing the norm /
+        # band-key build and the exact all-pairs side on one core
+        .repartition(nparts, id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
@@ -540,7 +545,14 @@ def ann_bucket_recall_audit(
     # pair than a self-contained cosine, and the exact shape of the
     # oracle's norms-CTE formulation (sqrt of the same in-order fold,
     # divided after rounding boundary: bit-identical).
-    base = emb.filter(F.col(id_col) < AUDIT_MAX_VEC).select(
+    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # repartition before the projection: the bounded slice scans as ONE
+    # partition (same pathology as _audit_shingles), which would
+    # serialize both the norm build and the O(queries x corpus)
+    # broadcast-join stream side on a single core
+    base = emb.filter(F.col(id_col) < AUDIT_MAX_VEC).repartition(
+        nparts, id_col
+    ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         bucket.alias("bucket"),
