@@ -87,6 +87,7 @@ HEADLINE = [
     "q_bpe_train_merges",         # 3.7 s — full BPE merge loop (20 iters)
     "q_split_leakage",            # 1.4 s — cross-split near-dup guard
     "q_line_dedup_scrub",         # 1.2 s — corpus-frequency line scrub
+    "q_bpe_encode_corpus",        # 3.1 s — train 10 merges + encode vocab
 ]
 
 

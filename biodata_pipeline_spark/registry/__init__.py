@@ -65,20 +65,21 @@ _ALL_ORACLE = {
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
 # #2). Round-6 blocks (sizes pinned by tests/test_registry.py):
-#   1-9:   round-6 additions (never driver-checked): the LSH precision
+#   1-10:  round-6 additions (never driver-checked): the LSH precision
 #          audit, the percentile accuracy audit, the rows-only
 #          approx-percentile declaration it pins, the training-export
 #          family (corpus shuffle, shard manifest, mixture schedule —
 #          registry/export.py), the rows-only BPE training loop
 #          (pytest-audited against the textbook algorithm), the
-#          train/test split leakage guard (q_split_leakage), and the
-#          corpus-frequency line scrub (q_line_dedup_scrub);
-#   10-11: the two r02-stale variants that yielded their slots in r5
+#          train/test split leakage guard (q_split_leakage), the
+#          corpus-frequency line scrub (q_line_dedup_scrub), and the
+#          rows-only BPE corpus encode (q_bpe_encode_corpus);
+#   11-12: the two r02-stale variants that yielded their slots in r5
 #          (q26b, q35b — last driver rows predate rounds 3-5 code);
-#   12-50: 39 of the 49 queries whose last driver row is r04, in
+#   13-50: 38 of the 49 queries whose last driver row is r04, in
 #          registry-family order (relational/temporal, then textops /
 #          vector / analytic / media).
-# Fourteen queries stay outside the window this round, all locally
+# Fifteen queries stay outside the window this round, all locally
 # re-verified by tools/check_oracle.py on current code:
 #   - q09b/q14b/q21b/q31b: hash-checked variants of families whose
 #     primary query is IN this window (q09, q21) or fresh r05-green
@@ -90,13 +91,14 @@ _ALL_ORACLE = {
 #     q_simhash_recall_audit) — a rows-only driver row refreshes the
 #     least information, so they cede slots to hash-checked rows;
 #   - q_hash_sample / q_embed_quantize / q_ntile_distribution /
-#     q_group_weighted_sample / q_fingerprint / q_pii_scrub: ceded
-#     their refresh slots to the never-checked round-6 additions — the
-#     simplest plans in the r04-stale block (pure map predicate /
-#     zero-shuffle map / one window / the A-ES family twin of
-#     in-window q_weighted_sample / one md5 + group-size join /
-#     zero-shuffle regexp scrub), each pytest-covered, so a driver
-#     refresh adds the least new information.
+#     q_group_weighted_sample / q_fingerprint / q_pii_scrub /
+#     q_lang_guess: ceded their refresh slots to the never-checked
+#     round-6 additions — the simplest plans in the r04-stale block
+#     (pure map predicate / zero-shuffle map / one window / the A-ES
+#     family twin of in-window q_weighted_sample / one md5 +
+#     group-size join / zero-shuffle regexp scrub / zero-shuffle CASE
+#     scoring), each pytest-covered, so a driver refresh adds the
+#     least new information.
 _DRIVER_WINDOW = [
     # -- block 1: round-6 additions (no prior CORRECTNESS row) -----------
     "q_lsh_precision_audit",
@@ -108,6 +110,7 @@ _DRIVER_WINDOW = [
     "q_bpe_train_merges",
     "q_split_leakage",
     "q_line_dedup_scrub",
+    "q_bpe_encode_corpus",
     # -- block 2: stale since r02 ----------------------------------------
     "q26b_retrieval_rank_summary",
     "q35b_cascade_hourly",
@@ -125,7 +128,6 @@ _DRIVER_WINDOW = [
     "q_contamination_check",
     "q_corpus_profile",
     "q_dedup_clusters",
-    "q_lang_guess",
     "q_ngram_jaccard_dedup",
     "q_pack_sequences",
     "q_passage_dedup",

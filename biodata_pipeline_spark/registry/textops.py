@@ -235,6 +235,39 @@ def q_bpe_train_merges(spark, sf_dir):
     )
 
 
+BPE_ENCODE_MERGES = 10
+BPE_VOCAB_TOPK = 50
+
+
+def q_bpe_encode_corpus(spark, sf_dir):
+    """The tokenizer lifecycle's second half, declared: train
+    ``BPE_ENCODE_MERGES`` merges (q_bpe_train_merges is the 20-merge
+    declaration of the loop itself), ENCODE the corpus with them, and
+    emit the top-50 subword vocabulary histogram by corpus frequency —
+    the sanity check a pipeline runs before committing a tokenizer.
+    Encode cost is vocabulary-sized, not corpus-sized: merges apply to
+    the distinct-word table and counts weight by term frequency.
+    Rows-only by nature (greedy iterative training); audit twin in
+    pytest — bpe_encode reproduces the training fold's segmentation
+    word-for-word (tests/test_tokenizer.py)."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, BPE_ENCODE_MERGES)
+    wc = word_counts(docs)
+    return (
+        wc.select(F.explode(bpe_encode(F.col("w"), merges)).alias("sym"), "n")
+        .groupBy("sym")
+        .agg(F.sum("n").alias("sym_count"))
+        .orderBy(F.desc("sym_count"), F.asc("sym"))
+        .limit(BPE_VOCAB_TOPK)
+    )
+
+
 BM25_TERMS = ("hash", "merge", "vector")
 BM25_TOPK = 20
 RRF_TOPN = 50
@@ -951,6 +984,7 @@ SPARK = {
     "q_word_freq_topk": q_word_freq_topk,
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
     "q_bpe_train_merges": q_bpe_train_merges,
+    "q_bpe_encode_corpus": q_bpe_encode_corpus,
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_multi_topk": q_bm25_multi_topk,
     "q_hybrid_rrf": q_hybrid_rrf,

@@ -70,8 +70,12 @@ def test_rows_only_set_is_exactly_the_documented_one():
     # its audit twin is tests/test_tokenizer.py's merge-for-merge
     # comparison against the serial textbook algorithm, and
     # q_bpe_merge_pairs hash-checks the per-iteration statistic.
+    # q_bpe_encode_corpus inherits the same nature (it trains before
+    # encoding); its audit twin is the encode-reproduces-training-
+    # segmentation test in tests/test_tokenizer.py.
     assert rows_only == {
         "q_bpe_train_merges",
+        "q_bpe_encode_corpus",
         "q_minhash_lsh_dedup",
         "q_simhash_dedup",
         "q21d_approx_percentiles",

@@ -96,3 +96,18 @@ def test_bpe_encode_reproduces_training_segmentation(spark):
     top_word = max(_freqs().items(), key=lambda kv: (kv[1], kv[0]))[0]
     top_syms = {r.w: r.syms for r in enc.collect()}[top_word]
     assert len(top_syms) <= 2  # word (+ possibly split marker) fused
+
+
+def test_bpe_encode_corpus_query_histogram(spark):
+    """The declared vocabulary-histogram query: 50 rows, counts
+    positive and non-increasing in rank order, and at least one learned
+    multi-char subword present (the merges actually applied)."""
+    from biodata_pipeline_spark.registry.textops import q_bpe_encode_corpus
+
+    out = q_bpe_encode_corpus(spark, "/root/testdata/sf0.001").collect()
+    # symbol vocabulary at sf0.001 is smaller than the top-k cap
+    assert 0 < len(out) <= 50
+    counts = [r.sym_count for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
+    assert any(len(r.sym.replace("</w>", "")) > 1 for r in out)
