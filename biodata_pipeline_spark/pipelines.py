@@ -161,28 +161,67 @@ def build_training_corpus(
     min_quality: float = 0.5,
     langs: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.7,
+    scrub_line_min_count: int | None = None,
+    holdout_fraction: float | None = None,
+    leakage_threshold: float = 0.2,
 ) -> DataFrame:
     """The end-to-end training-data pipeline the engine exists for:
 
-        quality filter → language filter → exact dedup → MinHash near-dup
-        clustering → keep one survivor per cluster → Alpaca formatting →
-        length-batched partitioned write
+        [line scrub] → quality filter → language filter → exact dedup →
+        MinHash near-dup clustering → keep one survivor per cluster →
+        [holdout + leakage guard] → Alpaca formatting → length-batched
+        partitioned write
 
     Every stage is one of the engine's operators; the whole thing is a
     single lazy plan except the iterative component step. Returns the
     formatted corpus frame (written to ``sink_dir`` when given).
+
+    ``scrub_line_min_count``: when set, corpus-frequent lines
+    (``scrub_frequent_lines``) are removed FIRST — boilerplate would
+    otherwise distort quality scores and shingle signatures downstream;
+    docs scrubbed to nothing are dropped. ``holdout_fraction``: when
+    set, the deterministic md5 holdout split is carved out and the
+    returned TRAINING corpus excludes both the held-out docs and any
+    train doc whose shingle Jaccard against a held-out doc reaches
+    ``leakage_threshold`` (``cross_split_leakage``) — the
+    decontamination step that keeps eval scores honest.
     """
     from biodata_pipeline_spark.functions.textfn import alpaca_format, quality_score
     from biodata_pipeline_spark.operators.clusters import dedup_survivors
-    from biodata_pipeline_spark.operators.dedup import exact_dedup, minhash_lsh_dup_pairs
+    from biodata_pipeline_spark.operators.dedup import (
+        cross_split_leakage,
+        exact_dedup,
+        minhash_lsh_dup_pairs,
+        scrub_frequent_lines,
+    )
     from biodata_pipeline_spark.operators.layout import length_batched
 
+    if scrub_line_min_count is not None:
+        scrubbed = scrub_frequent_lines(docs, min_count=scrub_line_min_count)
+        docs = (
+            docs.drop("text")
+            .join(
+                scrubbed.filter(F.length("clean_text") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+        )
     filtered = docs.filter(quality_score("text") >= min_quality)
     if langs:
         filtered = filtered.filter(F.col("lang").isin(*langs))
     distinct = exact_dedup(filtered)
     pairs = minhash_lsh_dup_pairs(distinct, threshold=near_dup_threshold)
     survivors = dedup_survivors(distinct, pairs)
+    if holdout_fraction is not None:
+        from biodata_pipeline_spark.operators.sampling import sample_predicate
+
+        leaked = cross_split_leakage(
+            survivors, leakage_threshold, test_fraction=holdout_fraction
+        ).select(F.col("train_id").alias("doc_id"))
+        survivors = survivors.filter(
+            ~sample_predicate("doc_id", holdout_fraction, "split")
+        ).join(leaked, "doc_id", "left_anti")
     corpus = survivors.select(
         "doc_id", "lang", alpaca_format(F.col("text")).alias("training_text")
     )

@@ -258,3 +258,51 @@ def test_export_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(sink2).collect()
     )
     assert a == b
+
+
+def test_build_training_corpus_with_guards(spark, sf_dir):
+    """The optional round-6 stages compose: line scrub runs first (docs
+    scrubbed to nothing drop out), the holdout split is excluded from
+    the returned training corpus, and no surviving train doc leaks a
+    near-duplicate of the holdout at the guard threshold."""
+    import hashlib
+
+    from pyspark.sql import functions as FF
+
+    from biodata_pipeline_spark.operators.dedup import cross_split_leakage
+    from biodata_pipeline_spark.pipelines import build_training_corpus
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = build_training_corpus(
+        docs,
+        min_quality=0.3,
+        scrub_line_min_count=4,
+        holdout_fraction=0.1,
+        leakage_threshold=0.1,
+    )
+    rows = corpus.select("doc_id").collect()
+    assert rows, "guarded pipeline should still produce a corpus"
+    ids = {r.doc_id for r in rows}
+    # the md5 holdout is excluded
+    thr = "19999999" + "0" * 24
+    held = {
+        i for i in ids
+        if hashlib.md5(f"split{i}".encode()).hexdigest() < thr
+    }
+    assert not held, f"held-out docs leaked into training corpus: {held}"
+    # no surviving train doc still near-duplicates the holdout: re-run
+    # the guard over the original docs and check flagged ids are absent
+    survivors_src = docs.join(
+        corpus.select("doc_id"), "doc_id", "left_semi"
+    )
+    # union survivors with the original holdout docs so the guard sees
+    # both sides under the same split decision
+    from biodata_pipeline_spark.operators.sampling import sample_predicate
+
+    holdout_src = docs.filter(sample_predicate("doc_id", 0.1, "split"))
+    recheck = cross_split_leakage(
+        survivors_src.unionByName(holdout_src), 0.1, test_fraction=0.1
+    )
+    leaked_now = {r.train_id for r in recheck.collect()} & ids
+    assert not leaked_now, f"leaked train docs survived: {leaked_now}"
