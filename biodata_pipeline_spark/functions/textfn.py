@@ -191,7 +191,13 @@ def lang_guess(col: Column | str) -> Column:
         pick = s >= best_score
         best = F.when(pick, F.lit(lang)).otherwise(best)
         best_score = F.when(pick, s).otherwise(best_score)
-    return F.when(col.rlike(CJK_RANGE), F.lit("zh")).otherwise(best)
+    # null-in → null-out, explicitly (null probe, round 6): without the
+    # guard the NULL marker scores fall through every >= comparison and
+    # the two engines disagree on which arbitrary label survives the
+    # fold (Spark kept the init 'en', SQL's CASE fell to its ELSE 'fr')
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(col.rlike(CJK_RANGE), F.lit("zh")).otherwise(best)
+    )
 
 
 def fingerprint(col: Column | str, length: int = 16) -> Column:

@@ -223,7 +223,14 @@ def token_shingles(text_col, n: int = 3) -> F.Column:
 
     def body(toks):
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        # isNull leg (null probe, round 6): for NULL text size(toks) is
+        # NULL, the `< n` guard three-values to NULL, and the otherwise
+        # branch emits [NULL] — one phantom shingle per null doc, whose
+        # concat_ws-skips-nulls lane hash then gave every null doc the
+        # SAME minhash signature (15 null docs = one fake dup cluster)
+        return F.when(
+            toks.isNull() | (F.size(toks) < n), F.array().cast("array<string>")
+        ).otherwise(
             F.array_distinct(
                 F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
             )
@@ -1123,6 +1130,10 @@ def embedding_dedup_survivors(
     pair join for the hyperplane-LSH candidate path (the 100 TB shape:
     only (band, bucket) equi-joins, no cross product).
     """
+    # null-embedding contract (null probe, round 6): geometry-less
+    # vectors can neither match nor survive similarity dedup — exclude
+    # them here too, not just in the pair join, or they'd all "survive"
+    df = df.filter(F.col(emb_col).isNotNull())
     pairs = embedding_dup_pairs(
         df, threshold, id_col=id_col, emb_col=emb_col, approximate=approximate
     )

@@ -76,7 +76,8 @@ def seed_centroids(
     """The k rows with the smallest (md5(id), id) — order-stable in any
     engine, no RNG, no wall clock. Cluster j is the j-th seed."""
     rows = (
-        df.select(id_col, emb_col)
+        df.filter(F.col(emb_col).isNotNull())  # null-embedding contract
+        .select(id_col, emb_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .collect()
@@ -97,6 +98,11 @@ def assign_clusters(
     shuffle: the k distance chains ride in ONE parsed expression (see
     ``_sqdist_sql``), let-bound through a 1-element transform so the k
     chains evaluate once per row, argmin/round reading the bound array."""
+    # Null-embedding contract (null probe, round 6): a NULL vector has
+    # NULL distance to every centroid — argmin NULL would then crash the
+    # centroid update's nxt[cluster] indexing. Geometry-less rows are
+    # excluded, mirroring the oracle's `WHERE embedding IS NOT NULL`.
+    df = df.filter(F.col(emb_col).isNotNull())
     dist_arr = "array(" + ",".join(
         f"({_sqdist_sql(emb_col, c)})" for c in centroids
     ) + ")"

@@ -151,19 +151,28 @@ def decode_image_meta(
         import hashlib
 
         for pdf in batches:
-            payloads = pdf["payload"].map(lambda b: b or b"")
-            geom = payloads.map(chosen.decode)
+            # null-in → null-out (null probe, round 6): a NULL payload is
+            # a missing asset — the row stays (downstream routes it to a
+            # dead-letter), its metadata is NULL. Coercing to b"" here
+            # minted a fake 1x1x1 zero-byte image with a real checksum.
+            geom = pdf["payload"].map(
+                lambda b: chosen.decode(b) if b is not None else (None,) * 3
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len),
-                    "checksum": payloads.map(
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "checksum": pdf["payload"].map(
                         lambda b: hashlib.md5(b).hexdigest()[:16]
+                        if b is not None
+                        else None
                     ),
-                    "width": geom.map(lambda g: g[0]).astype("int32"),
-                    "height": geom.map(lambda g: g[1]).astype("int32"),
-                    "n_frames": geom.map(lambda g: g[2]).astype("int32"),
+                    "width": geom.map(lambda g: g[0]).astype("Int32"),
+                    "height": geom.map(lambda g: g[1]).astype("Int32"),
+                    "n_frames": geom.map(lambda g: g[2]).astype("Int32"),
                 }
             )
 

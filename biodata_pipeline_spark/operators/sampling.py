@@ -239,12 +239,17 @@ def interleave_schedule(
         f"CAST(rank_in_group AS BIGINT) * rank_in_group * {VTIME_SCALE}"
         " div __n"
     ).cast("long")
+    # asc_nulls_first EXPLICITLY (null probe, round 6): a NULL group
+    # (missing source tag) is a legal stratum, and the two engines
+    # default its sort position differently (Spark NULLS FIRST, SQL
+    # NULLS LAST) — pin Spark's default so the tie-break is one thing
+    group_order = F.col(group_col).asc_nulls_first()
     sched = (
         ranked.withColumn("vtime", vtime)
-        .orderBy("vtime", group_col, "rank_in_group")
+        .orderBy("vtime", group_order, "rank_in_group")
         .limit(k)
     )
-    w_pos = Window.orderBy("vtime", group_col, "rank_in_group")
+    w_pos = Window.orderBy("vtime", group_order, "rank_in_group")
     return sched.withColumn(
         "position", F.row_number().over(w_pos)
     ).select("position", key_col, group_col, "rank_in_group", "vtime")

@@ -146,6 +146,11 @@ def lsh_similarity_join(
     # projection, so the embedding payload never shuffles on the hash.
     from biodata_pipeline_spark.operators.dedup import collapse_identical
 
+    # Null-embedding contract (null probe, round 6): xxhash64 maps every
+    # NULL to the same key, so unfiltered null vectors would collapse
+    # into one giant fake duplicate cluster (sim-1.0 edges between
+    # vectors that have no geometry at all)
+    df = df.filter(F.col(emb_col).isNotNull())
     distinct, dup_edges = collapse_identical(
         df, id_col, F.xxhash64(F.col(emb_col))
     )
@@ -353,6 +358,11 @@ def similarity_join_vectorized(
     import numpy as np
     import pandas as pd
 
+    # Null-embedding contract (null probe, round 6): vectors that failed
+    # to encode carry no geometry — exclude them here rather than crash
+    # in the ragged np.array build (and keep the oracle's
+    # `WHERE embedding IS NOT NULL` in lockstep).
+    df = df.filter(F.col(emb_col).isNotNull())
     n_vec = df.count()
     if n_vec > max_vectors:
         if on_overflow == "lsh":

@@ -165,10 +165,11 @@ ORACLE = {
         ),
         top AS (
             SELECT * FROM keyed
-            ORDER BY vtime, source, rank_in_group LIMIT {SCHEDULE_K}
+            ORDER BY vtime, source NULLS FIRST, rank_in_group
+            LIMIT {SCHEDULE_K}
         )
         SELECT row_number() OVER (
-                   ORDER BY vtime, source, rank_in_group
+                   ORDER BY vtime, source NULLS FIRST, rank_in_group
                ) AS position,
                doc_id, source, rank_in_group, vtime
         FROM top

@@ -81,8 +81,13 @@ def q_lang_guess(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """md5 fingerprint of normalized text + duplicate-group size."""
-    docs = load_table(spark, sf_dir, "documents")
+    """md5 fingerprint of normalized text + duplicate-group size. NULL
+    text has no fingerprint (null probe, round 6): the filter is
+    explicit in both engines — unfiltered, Spark's group join drops the
+    null key while the oracle's window partitions NULLs together."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     fp = docs.select("doc_id", textfn.fingerprint("text").alias("fingerprint"))
     sizes = fp.groupBy("fingerprint").agg(F.count("*").alias("group_size"))
     return fp.join(sizes, "fingerprint").select("doc_id", "fingerprint", "group_size")
@@ -1112,7 +1117,8 @@ ORACLE = {
             FROM documents
         )
         SELECT doc_id, lang,
-               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                     WHEN s_es >= s_fr THEN 'es'
@@ -1124,7 +1130,7 @@ ORACLE = {
             SELECT doc_id,
                    substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
                    AS fingerprint
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS group_size
         FROM fp
@@ -1132,8 +1138,10 @@ ORACLE = {
     "q_repetition_stats": f"""
         WITH toksed AS (
             -- bind the split ONCE; inlining it into the lambda re-splits
-            -- the text per element (measured 50x slower)
-            SELECT doc_id, {_TOKS} AS t FROM documents
+            -- the text per element (measured 50x slower). COALESCE: the
+            -- Spark side's size-guard scores NULL text as zero metrics
+            -- (same as too-short text); [] reproduces that here
+            SELECT doc_id, COALESCE({_TOKS}, []) AS t FROM documents
         ),
         bg AS (
             SELECT doc_id,

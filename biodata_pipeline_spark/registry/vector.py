@@ -655,10 +655,11 @@ ORACLE = {
     ),
     "q_embed_cosine_dedup": f"""
         WITH corpus AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SIM_MAX_VEC}
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {SIM_MAX_VEC} AND embedding IS NOT NULL
             UNION ALL
             SELECT vec_id + {EMB_COPY_BASE}, embedding FROM embeddings
-            WHERE vec_id < {EMB_COPY_N}
+            WHERE vec_id < {EMB_COPY_N} AND embedding IS NOT NULL
         ),
         cnorms AS (
             SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
@@ -677,7 +678,10 @@ ORACLE = {
         WHERE vec_id NOT IN (SELECT vec_id FROM dups)
     """,
     "q_kmeans_clusters": f"""
-        WITH {_kmeans_sql('embeddings')}
+        WITH vecs AS (
+            SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        {_kmeans_sql('vecs')}
         SELECT vec_id, cl AS cluster, round(dist, 6) AS dist2 FROM a2
     """,
     "q_pca_projection": f"""
@@ -690,10 +694,11 @@ ORACLE = {
     """,
     "q_semantic_dedup": f"""
         WITH corpus AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SIM_MAX_VEC}
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {SIM_MAX_VEC} AND embedding IS NOT NULL
             UNION ALL
             SELECT vec_id + {EMB_COPY_BASE}, embedding FROM embeddings
-            WHERE vec_id < {EMB_COPY_N}
+            WHERE vec_id < {EMB_COPY_N} AND embedding IS NOT NULL
         ),
         {_kmeans_sql('corpus')},
         cnorms AS (
@@ -814,7 +819,7 @@ ORACLE = {
         WITH planes(p_idx, pv) AS (VALUES {_plane_values()}),
         grp AS (
             SELECT embedding, min(vec_id) AS rep, count(*) AS cnt
-            FROM embeddings GROUP BY embedding
+            FROM embeddings WHERE embedding IS NOT NULL GROUP BY embedding
         ),
         dup_edges AS (
             SELECT g.rep AS id_a, e.vec_id AS id_b, CAST(1.0 AS DOUBLE) AS sim
