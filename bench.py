@@ -96,11 +96,20 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     # way a library user sharing the session would — scoped unpersist of
     # exactly the frames this query registered, instead of the blanket
     # spark.catalog.clearCache() a co-tenant workload cannot safely call.
+    import gc
+
     with cache_scope():
         t0 = time.time()
         df = SPARK_QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.time() - t0
+    # Outside the timed window: a ~140-query sequence in one JVM
+    # accumulates dead broadcast vars and localCheckpoint blocks whose
+    # release rides the driver's GC → ContextCleaner path; without a
+    # nudge the cleaner lags the sequence and late queries degrade
+    # 2-4x (observed run-to-run totals 52 → 73 s from this alone).
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     return elapsed
 
 
