@@ -63,3 +63,37 @@ def cosine(a: Column | str, b: Column | str) -> Column:
         ),
         0,
     )
+
+
+def embedding_defect(col: Column | str, dim: int) -> Column:
+    """Classify a vector into its ingest-gate defect class — the check a
+    pipeline runs BEFORE similarity/clustering ever see the column:
+
+      'null'       missing vector (failed encode)
+      'wrong_dim'  length != dim (model/schema drift mid-corpus)
+      'non_finite' any NaN/Inf element (overflow upstream)
+      'zero_norm'  all-zero vector (cosine undefined: 0/0)
+      'ok'         usable geometry
+
+    First matching class wins, in that order (a NULL has no length; a
+    truncated vector's elements aren't inspected). Pure Column logic —
+    evaluates in codegen, and the CASE order is reproducible in ANSI SQL
+    so the defect census is oracle-checkable."""
+    e = F.col(col) if isinstance(col, str) else col
+    inf = float("inf")
+    return (
+        F.when(e.isNull(), F.lit("null"))
+        .when(F.size(e) != dim, F.lit("wrong_dim"))
+        .when(
+            F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))),
+            F.lit("non_finite"),
+        )
+        .when(
+            F.aggregate(
+                e, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+            == 0.0,
+            F.lit("zero_norm"),
+        )
+        .otherwise(F.lit("ok"))
+    )

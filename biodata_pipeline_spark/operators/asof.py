@@ -72,8 +72,21 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), tie, F.col("__rrow").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-key contract (null probe, round 6): a window PARTITION BY
+    # groups NULL keys into one partition, so null-key left rows would
+    # silently "match" null-key right rows — but this operator has JOIN
+    # semantics, where NULL equals nothing (DuckDB's ASOF JOIN, pandas
+    # merge_asof, and every SQL equi-join agree). Mask the carry for
+    # null-key rows; they keep the no-match NULL payload.
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    rrow_type = r_tag.schema["__rrow"].dataType.simpleString()
     carried = tagged.withColumn(
-        "__carry", F.last("__rrow", ignorenulls=True).over(w)
+        "__carry",
+        F.when(null_key, F.lit(None).cast(rrow_type)).otherwise(
+            F.last("__rrow", ignorenulls=True).over(w)
+        ),
     ).filter(F.col("__is_left") == 1)
 
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]

@@ -342,7 +342,48 @@ def q_approx_count_distinct(spark, sf_dir):
     )
 
 
+EMB_DIM = 64
+
+
+def q_embedding_validate(spark, sf_dir):
+    """Embedding ingest gate census: classify every vector into its
+    defect class — null / wrong_dim / non_finite / zero_norm / ok — and
+    count per class with the first offending id. This is the check the
+    null-probe round proved necessary: similarity/clustering operators
+    EXCLUDE geometry-less vectors, and this query is where a pipeline
+    measures how many it is losing (and which model/shard drifted). The
+    pristine corpus has no defects, so the query plants one slice of
+    each class first (the q_pii_scrub planted-input pattern), with CASE
+    order deciding overlaps identically in both engines."""
+    from biodata_pipeline_spark.functions.vector import embedding_defect
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    vid = F.col("vec_id")
+    nan = F.lit(float("nan")).cast("float")
+    corrupted = (
+        F.when(vid % 97 == 7, F.lit(None).cast("array<float>"))
+        .when(vid % 89 == 5, F.slice(e, 1, 32))
+        .when(vid % 83 == 3, F.concat(F.array(nan), F.slice(e, 2, EMB_DIM - 1)))
+        .when(
+            vid % 79 == 2,
+            F.transform(e, lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(e)
+    )
+    return (
+        emb.select("vec_id", corrupted.alias("emb"))
+        .select("vec_id", embedding_defect("emb", EMB_DIM).alias("defect"))
+        .groupBy("defect")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("first_vec_id"),
+        )
+    )
+
+
 SPARK = {
+    "q_embedding_validate": q_embedding_validate,
     "q24_cosine_topk": q24_cosine_topk,
     "q25_similarity_join": q25_similarity_join,
     "q26_retrieval_rank_detail": q26_retrieval_rank_detail,
@@ -601,6 +642,33 @@ _FLAGSHIP_DETAIL = (
 )
 
 ORACLE = {
+    "q_embedding_validate": f"""
+        WITH planted AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 97 = 7 THEN NULL
+                        WHEN vec_id % 89 = 5 THEN embedding[1:32]
+                        WHEN vec_id % 83 = 3 THEN
+                            list_concat(['NaN'::FLOAT], embedding[2:{EMB_DIM}])
+                        WHEN vec_id % 79 = 2 THEN
+                            list_transform(embedding, x -> 0.0::FLOAT)
+                        ELSE embedding END AS emb
+            FROM embeddings
+        ),
+        classed AS (
+            SELECT vec_id,
+                   CASE WHEN emb IS NULL THEN 'null'
+                        WHEN len(emb) != {EMB_DIM} THEN 'wrong_dim'
+                        WHEN len(list_filter(emb,
+                             x -> isnan(x) OR isinf(x))) > 0 THEN 'non_finite'
+                        WHEN list_sum(list_transform(emb,
+                             x -> CAST(x AS DOUBLE) * x)) = 0.0 THEN 'zero_norm'
+                        ELSE 'ok' END AS defect
+            FROM planted
+        )
+        SELECT defect, count(*) AS n_vecs,
+               CAST(min(vec_id) AS BIGINT) AS first_vec_id
+        FROM classed GROUP BY defect
+    """,
     "q24_cosine_topk": (
         "WITH "
         + _NORMS

@@ -121,3 +121,28 @@ def test_asof_matches_pandas_merge_asof(spark, data):
     else:
         expect = {int(r.lid): None for r in lp.itertuples()}
     assert got == expect
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """JOIN semantics: NULL keys equal nothing. The union-and-carry
+    window would otherwise group null-key rows into one partition and
+    'match' them to each other (null probe, round 6)."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, 7, 100)], "id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 900), (7, 50, 901)],
+        "user_id long, ts long, click_id long",
+    )
+    out = {
+        r.id: r.click_id
+        for r in asof_join(
+            left, right, on="user_id", right_payload=("click_id",)
+        ).collect()
+    }
+    assert out[1] is None  # null-key purchase matches nothing
+    assert out[2] == 901  # real key still matches

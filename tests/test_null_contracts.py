@@ -119,3 +119,31 @@ def test_decode_image_meta_null_payload_is_null_metadata(spark):
     assert out[2].n_bytes is None and out[2].checksum is None
     assert out[2].width is None and out[2].n_frames is None
     assert out[1].n_bytes == 9 and out[1].checksum is not None
+
+
+def test_embedding_defect_classifies_every_class(spark):
+    from biodata_pipeline_spark.functions.vector import embedding_defect
+
+    rows = [
+        (1, None),
+        (2, [1.0] * 32),
+        (3, [float("nan")] + [1.0] * 63),
+        (4, [0.0] * 64),
+        (5, [0.5] * 64),
+        (6, [float("inf")] + [1.0] * 63),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<float>")
+    got = {
+        r.vec_id: r.d
+        for r in df.select(
+            "vec_id", embedding_defect("emb", 64).alias("d")
+        ).collect()
+    }
+    assert got == {
+        1: "null",
+        2: "wrong_dim",
+        3: "non_finite",
+        4: "zero_norm",
+        5: "ok",
+        6: "non_finite",
+    }

@@ -13,6 +13,12 @@ md5-keyed so both engines see the identical corruption —
   documents:  ~5% text NULL, ~5% lang NULL, ~5% source NULL
               (disjoint slices, keyed on doc_id)
   embeddings: ~5% embedding NULL (keyed on vec_id)
+  events:     ~5% user_id NULL (logged-out), ~5% event_type NULL,
+              ~5% props NULL, ~5% value NULL (keyed on event_id)
+
+The TPC-H tables (orders/lineitem/...) stay pristine: their columns are
+NOT NULL by spec, and the relational queries' semantics under spec
+violation aren't a contract worth defining.
 
 — then runs the standard oracle gate (`tools/check_oracle.py`) against
 the replica: every declared query must still run AND still hash-match
@@ -49,6 +55,15 @@ def build_replica(src: str) -> str:
                        CASE WHEN md5('nulllang' || CAST(doc_id AS VARCHAR)) < '0c' THEN NULL ELSE lang END AS lang,
                        CASE WHEN md5('nullsrc'  || CAST(doc_id AS VARCHAR)) < '0c' THEN NULL ELSE source END AS source,
                        n_chars
+                FROM '{src_path}'
+            """
+        elif t == "events":
+            sql = f"""
+                SELECT event_id, ts,
+                       CASE WHEN md5('nulluser' || CAST(event_id AS VARCHAR)) < '0c' THEN NULL ELSE user_id END AS user_id,
+                       CASE WHEN md5('nulltype' || CAST(event_id AS VARCHAR)) < '0c' THEN NULL ELSE event_type END AS event_type,
+                       CASE WHEN md5('nullval'  || CAST(event_id AS VARCHAR)) < '0c' THEN NULL ELSE value END AS value,
+                       CASE WHEN md5('nullprop' || CAST(event_id AS VARCHAR)) < '0c' THEN NULL ELSE props END AS props
                 FROM '{src_path}'
             """
         elif t == "embeddings":
