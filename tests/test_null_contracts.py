@@ -147,3 +147,43 @@ def test_embedding_defect_classifies_every_class(spark):
         5: "ok",
         6: "non_finite",
     }
+
+
+def test_tokenizer_unicode_whitespace_parity_with_oracle(spark):
+    """Cross-engine tokenizer boundary, verified: Spark's Java-regex
+    \\s+ (no UNICODE_CHARACTER_CLASS) and DuckDB's RE2 \\s+ both treat
+    ONLY ASCII whitespace as separators — NBSP / U+3000 / zero-width
+    space stay inside tokens, identically. A multilingual corpus that
+    wants those split must add an upstream NFKC/whitespace
+    normalization pass; the engines' agreement is what this test pins."""
+    import duckdb
+
+    from biodata_pipeline_spark.functions.textfn import tokens
+
+    samples = [
+        "plain ascii text",
+        "nbsp\xa0separated\xa0words",
+        "ideographic　space",
+        "tab\tand\nnewline",
+        "emoji \U0001f642 in text",
+        "zero​width",
+        "combining \xe9 accent",
+    ]
+    con = duckdb.connect()
+    expected = [
+        con.sql(
+            "SELECT string_split_regex(trim(?), '\\s+')", params=[s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, (samples[i], got[i], exp)
