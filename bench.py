@@ -96,21 +96,26 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     # way a library user sharing the session would — scoped unpersist of
     # exactly the frames this query registered, instead of the blanket
     # spark.catalog.clearCache() a co-tenant workload cannot safely call.
-    import gc
-
     with cache_scope():
         t0 = time.time()
         df = SPARK_QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.time() - t0
-    # Outside the timed window: a ~140-query sequence in one JVM
-    # accumulates dead broadcast vars and localCheckpoint blocks whose
-    # release rides the driver's GC → ContextCleaner path; without a
-    # nudge the cleaner lags the sequence and late queries degrade
-    # 2-4x (observed run-to-run totals 52 → 73 s from this alone).
+    return elapsed
+
+
+def release_accumulated(spark) -> None:
+    """A ~140-query sequence in one JVM accumulates dead broadcast vars
+    and localCheckpoint blocks whose release rides the driver's GC →
+    ContextCleaner path; without a nudge the cleaner lags the sequence
+    and late queries degrade 2-4x (observed run-to-run totals 52→73 s
+    from this alone). Called once per query BETWEEN queries — not
+    between a query's two timed runs, so at least one run is free of
+    GC-adjacent allocator cold-start."""
+    import gc
+
     gc.collect()
     spark.sparkContext._jvm.System.gc()
-    return elapsed
 
 
 def prev_bench() -> tuple[int, dict[str, float]] | None:
@@ -152,6 +157,7 @@ def main() -> None:
             run_one(spark, name, sf_dir)
         except Exception:
             pass
+        release_accumulated(spark)
     # Steady-state timing: min of two timed runs per query (run_one's
     # cache_scope unpersists each query's internal frames on exit, so both
     # runs rebuild them — the min discards transient GC pauses /
@@ -162,6 +168,7 @@ def main() -> None:
     for name in HEADLINE:
         runs[name] = [round(run_one(spark, name, sf_dir), 3) for _ in range(2)]
         timings[name] = min(runs[name])
+        release_accumulated(spark)
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
