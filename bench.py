@@ -88,6 +88,7 @@ HEADLINE = [
     "q_split_leakage",            # 1.4 s — cross-split near-dup guard
     "q_line_dedup_scrub",         # 1.2 s — corpus-frequency line scrub
     "q_bpe_encode_corpus",        # 3.1 s — train 10 merges + encode vocab
+    "q_edit_severity",            # 1.2 s — graded snapshot-edit census
 ]
 
 

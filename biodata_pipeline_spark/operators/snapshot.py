@@ -90,3 +90,68 @@ def incremental_work_set(
     return new.join(
         work_ids.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )
+
+
+def edit_severity(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    trivial: float = 0.9,
+    moderate: float = 0.5,
+) -> DataFrame:
+    """Grade every CHANGED document by how much actually changed.
+
+    ``snapshot_diff`` says *that* a doc changed; the incremental-ingest
+    decision needs *how much*: a fixed typo should not invalidate the
+    doc's embeddings, near-dup signatures, and quality scores, while a
+    rewrite must re-enter every stage. For each id present in both
+    snapshots with differing content, compute the n-token-shingle
+    Jaccard between its old and new text and classify:
+
+      jaccard >= ``trivial``   → 'trivial'   (keep derived artifacts)
+      jaccard >= ``moderate``  → 'moderate'  (re-embed, keep identity)
+      else                     → 'rewrite'   (full re-process)
+
+    Output: ``(id_col, jaccard, severity)`` — one row per changed doc.
+
+    Plan shape: ONE equi-join on the id (co-partitioned, no fan-out —
+    ids are unique per snapshot, same precondition as snapshot_diff);
+    the Jaccard is per-ROW set math over the two shingle arrays
+    (array_intersect/array_union HOFs, zero extra shuffle) — never a
+    corpus-wide shingle join, because the pairs are already known. Both
+    docs empty/too-short → jaccard 1.0 (nothing measurable changed at
+    shingle granularity; the fingerprint filter already said bytes
+    differ, so 'trivial' is the honest grade).
+    """
+    from biodata_pipeline_spark.operators.dedup import token_shingles
+
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("fp_old"),
+        token_shingles(F.col(text_col), n).alias("sh_old"),
+    )
+    nw = new.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("fp_new"),
+        token_shingles(F.col(text_col), n).alias("sh_new"),
+    )
+    inter = F.size(F.array_intersect("sh_old", "sh_new"))
+    union = F.size(F.array_union("sh_old", "sh_new"))
+    j = F.when(union == 0, F.lit(1.0)).otherwise(
+        F.round(inter / union.cast("double"), 9)
+    )
+    return (
+        o.join(nw, "id")
+        .filter(F.col("fp_old") != F.col("fp_new"))
+        .withColumn("jaccard", j)
+        .select(
+            F.col("id").alias(id_col),
+            "jaccard",
+            F.when(F.col("jaccard") >= trivial, F.lit("trivial"))
+            .when(F.col("jaccard") >= moderate, F.lit("moderate"))
+            .otherwise(F.lit("rewrite"))
+            .alias("severity"),
+        )
+    )

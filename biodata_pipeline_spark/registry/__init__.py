@@ -65,7 +65,7 @@ _ALL_ORACLE = {
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
 # #2). Round-6 blocks (sizes pinned by tests/test_registry.py):
-#   1-11:  round-6 additions (never driver-checked): the LSH precision
+#   1-12:  round-6 additions (never driver-checked): the LSH precision
 #          audit, the percentile accuracy audit, the rows-only
 #          approx-percentile declaration it pins, the training-export
 #          family (corpus shuffle, shard manifest, mixture schedule —
@@ -73,14 +73,15 @@ _ALL_ORACLE = {
 #          (pytest-audited against the textbook algorithm), the
 #          train/test split leakage guard (q_split_leakage), the
 #          corpus-frequency line scrub (q_line_dedup_scrub), the
-#          rows-only BPE corpus encode (q_bpe_encode_corpus), and the
-#          embedding ingest-gate census (q_embedding_validate);
-#   12-13: the two r02-stale variants that yielded their slots in r5
+#          rows-only BPE corpus encode (q_bpe_encode_corpus), the
+#          embedding ingest-gate census (q_embedding_validate), and
+#          the snapshot edit-severity census (q_edit_severity);
+#   13-14: the two r02-stale variants that yielded their slots in r5
 #          (q26b, q35b — last driver rows predate rounds 3-5 code);
-#   14-50: 37 of the 49 queries whose last driver row is r04, in
+#   15-50: 36 of the 49 queries whose last driver row is r04, in
 #          registry-family order (relational/temporal, then textops /
 #          vector / analytic / media).
-# Sixteen queries stay outside the window this round, all locally
+# Seventeen queries stay outside the window this round, all locally
 # re-verified by tools/check_oracle.py on current code:
 #   - q09b/q14b/q21b/q31b: hash-checked variants of families whose
 #     primary query is IN this window (q09, q21) or fresh r05-green
@@ -93,14 +94,15 @@ _ALL_ORACLE = {
 #     least information, so they cede slots to hash-checked rows;
 #   - q_hash_sample / q_embed_quantize / q_ntile_distribution /
 #     q_group_weighted_sample / q_fingerprint / q_pii_scrub /
-#     q_lang_guess / q_pivot_priority_matrix: ceded their refresh
-#     slots to the never-checked round-6 additions — the simplest
-#     plans in the r04-stale block (pure map predicate / zero-shuffle
-#     map / one window / the A-ES family twin of in-window
-#     q_weighted_sample / one md5 + group-size join / zero-shuffle
-#     regexp scrub / zero-shuffle CASE scoring / one pivot agg), each
-#     pytest-covered, so a driver refresh adds the least new
-#     information.
+#     q_lang_guess / q_pivot_priority_matrix / q_media_frame_sample:
+#     ceded their refresh slots to the never-checked round-6
+#     additions — the simplest plans in the r04-stale block (pure map
+#     predicate / zero-shuffle map / one window / the A-ES family
+#     twin of in-window q_weighted_sample / one md5 + group-size join
+#     / zero-shuffle regexp scrub / zero-shuffle CASE scoring / one
+#     pivot agg / sequence+explode over in-window q_media_inventory's
+#     decode), each pytest-covered, so a driver refresh adds the
+#     least new information.
 _DRIVER_WINDOW = [
     # -- block 1: round-6 additions (no prior CORRECTNESS row) -----------
     "q_lsh_precision_audit",
@@ -114,6 +116,7 @@ _DRIVER_WINDOW = [
     "q_line_dedup_scrub",
     "q_bpe_encode_corpus",
     "q_embedding_validate",
+    "q_edit_severity",
     # -- block 2: stale since r02 ----------------------------------------
     "q26b_retrieval_rank_summary",
     "q35b_cascade_hourly",
@@ -156,7 +159,6 @@ _DRIVER_WINDOW = [
     "q_cube_pricing",
     "q_grouping_sets_revenue",
     "q_stats_corr",
-    "q_media_frame_sample",
     "q_media_inventory",
 ]
 

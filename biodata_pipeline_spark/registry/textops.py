@@ -381,6 +381,45 @@ def q_corpus_diff(spark, sf_dir):
     return snapshot_diff(docs, v2.unionByName(recrawled))
 
 
+def q_edit_severity(spark, sf_dir):
+    """Edit-severity census between snapshots (operators/snapshot.py::
+    edit_severity): q_corpus_diff says WHAT changed; this grades HOW
+    MUCH, so trivial edits (fixed typo) keep their embeddings while
+    rewrites re-enter every stage. v2 models graded edits
+    deterministically — doc_id % 19 == 0 fully rewritten, % 11 == 0
+    keeps the first 80% (moderate), % 7 == 0 gets an appended marker
+    (trivial); first CASE branch wins, same order both engines. One
+    id equi-join + per-row shingle set math — no corpus-wide shingle
+    join, the pairs are already known."""
+    from biodata_pipeline_spark.operators.snapshot import edit_severity
+
+    docs = load_table(spark, sf_dir, "documents")
+    vid = F.col("doc_id")
+    edited = docs.withColumn(
+        "text",
+        F.when(
+            vid % 19 == 0,
+            F.concat(
+                F.lit(
+                    "completely different replacement body about unrelated "
+                    "topics entirely "
+                ),
+                vid.cast("string"),
+            ),
+        )
+        .when(
+            vid % 11 == 0,
+            F.expr(
+                "concat(substring(text, 1, cast(floor(length(text)*0.8) as int)),"
+                " ' plus a replacement tail section written fresh for this revision')"
+            ),
+        )
+        .when(vid % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")),
+    )
+    return edit_severity(docs, edited)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing per language: token offsets and 512-token sequence
     ids over the doc_id-ordered layout (operators/packing.py — the LLM
@@ -984,6 +1023,7 @@ SPARK = {
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "q_split_leakage": q_split_leakage,
     "q_line_dedup_scrub": q_line_dedup_scrub,
+    "q_edit_severity": q_edit_severity,
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
     "q_word_freq_topk": q_word_freq_topk,
@@ -1461,6 +1501,67 @@ ORACLE = {
             FROM scored
         )
         WHERE rn = 1
+    """,
+    "q_edit_severity": f"""
+        WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0 THEN
+                            'completely different replacement body about '
+                            || 'unrelated topics entirely '
+                            || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 11 = 0 THEN
+                            concat(substr(text, 1,
+                                CAST(floor(length(text)*0.8) AS INT)),
+                                ' plus a replacement tail section written '
+                                || 'fresh for this revision')
+                        WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        t_old AS (SELECT doc_id, md5(text) AS fp, {_TOKS} AS t FROM documents),
+        t_new AS (SELECT doc_id, md5(text) AS fp, {_TOKS} AS t FROM v2),
+        changed AS (
+            SELECT o.doc_id FROM t_old o JOIN t_new n USING (doc_id)
+            WHERE o.fp != n.fp
+        ),
+        sh_old AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+            FROM t_old, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= 3 AND i <= len(t) - 2
+        ),
+        sh_new AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+            FROM t_new, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= 3 AND i <= len(t) - 2
+        ),
+        so AS (SELECT doc_id, count(*) AS n FROM sh_old GROUP BY 1),
+        sn AS (SELECT doc_id, count(*) AS n FROM sh_new GROUP BY 1),
+        iv AS (
+            SELECT o.doc_id, count(*) AS i
+            FROM sh_old o JOIN sh_new n ON o.doc_id = n.doc_id AND o.s = n.s
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT c.doc_id,
+                   coalesce(so.n, 0) + coalesce(sn.n, 0) - coalesce(iv.i, 0)
+                       AS u,
+                   coalesce(iv.i, 0) AS i
+            FROM changed c
+            LEFT JOIN so ON so.doc_id = c.doc_id
+            LEFT JOIN sn ON sn.doc_id = c.doc_id
+            LEFT JOIN iv ON iv.doc_id = c.doc_id
+        ),
+        graded AS (
+            SELECT doc_id,
+                   CASE WHEN u = 0 THEN 1.0
+                        ELSE round(i / CAST(u AS DOUBLE), 9) END AS jaccard
+            FROM scored
+        )
+        SELECT doc_id, jaccard,
+               CASE WHEN jaccard >= 0.9 THEN 'trivial'
+                    WHEN jaccard >= 0.5 THEN 'moderate'
+                    ELSE 'rewrite' END AS severity
+        FROM graded
     """,
     "q_line_dedup_scrub": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -85,3 +85,45 @@ def test_snapshot_diff_custom_text_col(spark):
     assert (got[2].chars_old, got[2].chars_new) == (2, 4)
     work = incremental_work_set(old, new, text_col="body")
     assert [r.doc_id for r in work.collect()] == [2]
+
+
+def test_edit_severity_grades_changes(spark):
+    """Trivial append keeps >=0.9 shingle overlap, a replaced tail lands
+    moderate, a full rewrite lands rewrite; unchanged docs emit no row;
+    a changed-but-shingleless doc grades trivial (nothing measurable at
+    shingle granularity)."""
+    from pyspark.sql import functions as F
+
+    from biodata_pipeline_spark.operators.snapshot import edit_severity
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    old = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base),
+            (4, base),
+            (5, "a b"),  # too short for 3-shingles
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " tail"),                                  # trivial
+            (2, " ".join(f"tok{i}" for i in range(30))
+                + " fresh ending material here now"),             # moderate
+            (3, " ".join(f"other{i}" for i in range(40))),        # rewrite
+            (4, base),                                            # unchanged
+            (5, "a c"),                                           # changed, shingleless
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.severity, r.jaccard)
+        for r in edit_severity(old, new).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1][0] == "trivial" and got[1][1] >= 0.9
+    assert got[2][0] == "moderate"
+    assert got[3][0] == "rewrite" and got[3][1] == 0.0
+    assert got[5] == ("trivial", 1.0)
