@@ -69,21 +69,28 @@ def embedding_defect(col: Column | str, dim: int) -> Column:
     """Classify a vector into its ingest-gate defect class — the check a
     pipeline runs BEFORE similarity/clustering ever see the column:
 
-      'null'       missing vector (failed encode)
-      'wrong_dim'  length != dim (model/schema drift mid-corpus)
-      'non_finite' any NaN/Inf element (overflow upstream)
-      'zero_norm'  all-zero vector (cosine undefined: 0/0)
-      'ok'         usable geometry
+      'null'         missing vector (failed encode)
+      'wrong_dim'    length != dim (model/schema drift mid-corpus)
+      'null_element' any NULL element (partial encode / bad Arrow batch)
+      'non_finite'   any NaN/Inf element (overflow upstream)
+      'zero_norm'    all-zero vector (cosine undefined: 0/0)
+      'ok'           usable geometry
 
     First matching class wins, in that order (a NULL has no length; a
-    truncated vector's elements aren't inspected). Pure Column logic —
-    evaluates in codegen, and the CASE order is reproducible in ANSI SQL
-    so the defect census is oracle-checkable."""
+    truncated vector's elements aren't inspected). The explicit
+    ``null_element`` branch matters for cross-engine checkability:
+    without it, Spark's ``exists``/``aggregate`` go three-valued on a
+    NULL element (every ``when`` is skipped → 'ok') while DuckDB's
+    ``list_filter``/``list_sum`` IGNORE NULL elements (→ possibly
+    'zero_norm') — a silent divergence in the one function whose job is
+    an oracle-checkable census. Pure Column logic — evaluates in
+    codegen, and the CASE order is reproducible in ANSI SQL."""
     e = F.col(col) if isinstance(col, str) else col
     inf = float("inf")
     return (
         F.when(e.isNull(), F.lit("null"))
         .when(F.size(e) != dim, F.lit("wrong_dim"))
+        .when(F.exists(e, lambda x: x.isNull()), F.lit("null_element"))
         .when(
             F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))),
             F.lit("non_finite"),

@@ -54,6 +54,17 @@ from biodata_pipeline_spark.operators.dedup import (
 AUDIT_MAX_DOC = 2000
 
 
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` when the conf is non-numeric (e.g. Databricks
+    sets it to 'auto') — the repartition sites here are performance
+    nudges and must never turn into hard failures for library users."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _audit_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -65,7 +76,7 @@ def _audit_shingles(
     An explicit repartition on the doc id costs one narrow shuffle of
     (id, shingle) rows and parallelizes everything fed from the frame —
     measured 4.9 → 3.3 s on the sf0.1 candidate stage alone."""
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _shuffle_partitions(df.sparkSession)
     return _exploded_shingles(df, id_col, text_col, n).repartition(nparts, "id")
 
 
@@ -107,12 +118,15 @@ def minhash_candidate_pairs_md5(
     ``shingles``: optionally a precomputed ``_exploded_shingles`` frame
     (persist it when the caller also feeds it to the exact-Jaccard side,
     as ``minhash_recall_audit`` does — tokenizing twice is the audit's
-    single biggest cost otherwise).
+    single biggest cost otherwise). When built internally the frame has
+    exactly ONE consumer (the signature groupBy), so it is NOT
+    persisted — a persist there would pay storage writes with no reuse,
+    and outside a ``cache_scope`` it would never be released.
     """
     sh = (
         shingles
         if shingles is not None
-        else register_cached(_audit_shingles(df, id_col, text_col, n).persist())
+        else _audit_shingles(df, id_col, text_col, n)
     )
     sig = sh.groupBy("id").agg(
         *[
@@ -457,7 +471,7 @@ def lsh_pair_recall_audit(
     """
     if sign_dims % n_bands:
         raise ValueError("sign_dims must divide evenly into n_bands")
-    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _shuffle_partitions(emb.sparkSession)
     base = register_cached(
         emb.filter(F.col(id_col) < max_vec)
         # same single-partition pathology as _audit_shingles: the
@@ -545,7 +559,7 @@ def ann_bucket_recall_audit(
     # pair than a self-contained cosine, and the exact shape of the
     # oracle's norms-CTE formulation (sqrt of the same in-order fold,
     # divided after rounding boundary: bit-identical).
-    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _shuffle_partitions(emb.sparkSession)
     # repartition before the projection: the bounded slice scans as ONE
     # partition (same pathology as _audit_shingles), which would
     # serialize both the norm build and the O(queries x corpus)

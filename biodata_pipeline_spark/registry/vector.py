@@ -347,7 +347,8 @@ EMB_DIM = 64
 
 def q_embedding_validate(spark, sf_dir):
     """Embedding ingest gate census: classify every vector into its
-    defect class — null / wrong_dim / non_finite / zero_norm / ok — and
+    defect class — null / wrong_dim / null_element / non_finite /
+    zero_norm / ok — and
     count per class with the first offending id. This is the check the
     null-probe round proved necessary: similarity/clustering operators
     EXCLUDE geometry-less vectors, and this query is where a pipeline
@@ -368,6 +369,14 @@ def q_embedding_validate(spark, sf_dir):
         .when(
             vid % 79 == 2,
             F.transform(e, lambda x: F.lit(0.0).cast("float")),
+        )
+        .when(
+            vid % 73 == 1,
+            F.concat(
+                F.slice(e, 1, 4),
+                F.array(F.lit(None).cast("float")),
+                F.slice(e, 6, EMB_DIM - 5),
+            ),
         )
         .otherwise(e)
     )
@@ -651,6 +660,9 @@ ORACLE = {
                             list_concat(['NaN'::FLOAT], embedding[2:{EMB_DIM}])
                         WHEN vec_id % 79 = 2 THEN
                             list_transform(embedding, x -> 0.0::FLOAT)
+                        WHEN vec_id % 73 = 1 THEN
+                            embedding[1:4] || [NULL::FLOAT]
+                                || embedding[6:{EMB_DIM}]
                         ELSE embedding END AS emb
             FROM embeddings
         ),
@@ -658,6 +670,8 @@ ORACLE = {
             SELECT vec_id,
                    CASE WHEN emb IS NULL THEN 'null'
                         WHEN len(emb) != {EMB_DIM} THEN 'wrong_dim'
+                        WHEN len(list_filter(emb,
+                             x -> x IS NULL)) > 0 THEN 'null_element'
                         WHEN len(list_filter(emb,
                              x -> isnan(x) OR isinf(x))) > 0 THEN 'non_finite'
                         WHEN list_sum(list_transform(emb,

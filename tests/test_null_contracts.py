@@ -131,6 +131,7 @@ def test_embedding_defect_classifies_every_class(spark):
         (4, [0.0] * 64),
         (5, [0.5] * 64),
         (6, [float("inf")] + [1.0] * 63),
+        (7, [0.5] * 63 + [None]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, emb array<float>")
     got = {
@@ -146,6 +147,10 @@ def test_embedding_defect_classifies_every_class(spark):
         4: "zero_norm",
         5: "ok",
         6: "non_finite",
+        # the cross-engine trap (ADVICE r6): a NULL element used to fall
+        # through every three-valued branch to 'ok' in Spark while
+        # DuckDB's NULL-skipping list folds could class it 'zero_norm'
+        7: "null_element",
     }
 
 

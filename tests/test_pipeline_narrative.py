@@ -292,15 +292,26 @@ def test_build_training_corpus_with_guards(spark, sf_dir):
     }
     assert not held, f"held-out docs leaked into training corpus: {held}"
     # no surviving train doc still near-duplicates the holdout: re-run
-    # the guard over the original docs and check flagged ids are absent
-    survivors_src = docs.join(
+    # the guard over the SAME text the pipeline's guard saw — the corpus
+    # was built from line-scrubbed text, so rebuild it with the same
+    # min_count before the recheck (checking the original text would
+    # audit a slightly different corpus than the guard did)
+    from biodata_pipeline_spark.operators.dedup import scrub_frequent_lines
+
+    scrubbed = docs.drop("text").join(
+        scrub_frequent_lines(docs, min_count=4)
+        .filter(FF.length("clean_text") > 0)
+        .select("doc_id", FF.col("clean_text").alias("text")),
+        "doc_id",
+    )
+    survivors_src = scrubbed.join(
         corpus.select("doc_id"), "doc_id", "left_semi"
     )
-    # union survivors with the original holdout docs so the guard sees
+    # union survivors with the scrubbed holdout docs so the guard sees
     # both sides under the same split decision
     from biodata_pipeline_spark.operators.sampling import sample_predicate
 
-    holdout_src = docs.filter(sample_predicate("doc_id", 0.1, "split"))
+    holdout_src = scrubbed.filter(sample_predicate("doc_id", 0.1, "split"))
     recheck = cross_split_leakage(
         survivors_src.unionByName(holdout_src), 0.1, test_fraction=0.1
     )
