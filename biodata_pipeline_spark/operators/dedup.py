@@ -397,12 +397,167 @@ def cross_split_leakage(
     )
 
 
+def cross_split_leakage_lsh(
+    df: DataFrame,
+    threshold: float,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 100_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Production-scale train/test leakage guard (VERDICT r6 #4): the
+    MinHash-banded candidate stage ``cross_split_leakage``'s docstring
+    promises, with exact shingle-Jaccard verification on candidates
+    only. Same output contract as the exact operator — per leaked train
+    doc, its best-matching held-out doc as ``(train_id, test_id,
+    jaccard)``, tie-broken (jaccard desc, test_id asc) — so the exact
+    operator doubles as this one's bounded-slice audit twin (the
+    established pattern; see ``q_leakage_recall_audit`` for the
+    hash-checked md5-family recall measurement).
+
+    Stages, each with its scale rationale:
+
+    1. split flag: the same deterministic md5 predicate the pipeline's
+       holdout uses (``sample_predicate``) — a pure map, no shuffle.
+    2. exact-duplicate handling WITHOUT the quadratic trap: group docs
+       by normalized-content hash; any content present on both sides is
+       a jaccard-1.0 leak (every train member pairs with the min test
+       member) emitted directly — and only ONE representative per
+       (content, side) enters the banding, so an m×-duplicated corpus
+       contributes m signatures to a bucket exactly once per side
+       instead of m times (the ``collapse_exact`` guard, adapted to the
+       bipartite setting where a content key can span both sides).
+    3. banding: 32-lane signature over the shingle-hash table, 8 bands
+       × 4 rows (knee near s≈0.6) — candidates are TRAIN-side bands
+       equi-joined to TEST-side bands on (band, bucket), so the build
+       side shrinks with ``test_fraction``, never the corpus, and no
+       triangle filter is needed (the split IS the bipartition).
+       Mega-buckets are pruned (standard LSH hygiene).
+    4. exact verify on candidates only (array_intersect/union over the
+       persisted shingle-hash sets), threshold filter, then rep→member
+       expansion back to every train doc sharing the rep's content.
+
+    Rows-only by nature (xxhash64 banding); recall vs the exact guard
+    is pytest-pinned (tests/test_dedup.py) and measured sublinear on
+    the 100× replica (tools/probe_leakage_lsh.py).
+    """
+    from pyspark.sql import Window
+
+    from biodata_pipeline_spark.operators.sampling import sample_predicate
+
+    if num_hashes % n_bands:
+        raise ValueError("num_hashes must divide evenly into n_bands")
+    r = num_hashes // n_bands
+    flagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        sample_predicate(id_col, test_fraction, salt).alias("__is_test"),
+    )
+    # narrow membership table: (id, side, content key) — feeds the
+    # exact-leak branch, the rep selection, and the final expansion
+    members = register_cached(
+        flagged.select(
+            "id",
+            "__is_test",
+            F.xxhash64(normalized(F.col("text"))).alias("__k"),
+        ).persist()
+    )
+    test_rep_per_key = members.filter(F.col("__is_test")).groupBy("__k").agg(
+        F.min("id").alias("__best_test")
+    )
+    exact_leaks = (
+        members.filter(~F.col("__is_test"))
+        .join(test_rep_per_key, "__k")
+        .select(
+            F.col("id").alias("train_id"),
+            F.col("__best_test").alias("test_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("__k", "__is_test").orderBy("id")
+    reps = members.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    rep_docs = flagged.join(reps.select("id"), "id", "left_semi")
+    # shingle-hash table persisted: feeds the signature pass AND both
+    # sides of candidate verification (three consumers)
+    base = register_cached(
+        shingle_hash_table(rep_docs, "id", "text", n).persist()
+    )
+    sig = base.join(reps.select("id", "__is_test"), "id").withColumn(
+        "sig", minhash_signature_from("hs", num_hashes)
+    )
+    bands = register_cached(
+        sig.select(
+            "id",
+            "__is_test",
+            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
+                "band", "bucket"
+            ),
+        ).persist()
+    )
+    bands = prune_mega_buckets(bands, max_bucket)
+    cands = (
+        bands.filter(~F.col("__is_test"))
+        .alias("a")
+        .join(bands.filter(F.col("__is_test")).alias("b"), ["band", "bucket"])
+        .select(
+            F.col("a.id").alias("__rep_train"), F.col("b.id").alias("test_id")
+        )
+        .dropDuplicates(["__rep_train", "test_id"])
+    )
+    verified = cands.join(
+        base.select(F.col("id").alias("__rep_train"), F.col("hs").alias("__sa")),
+        "__rep_train",
+    ).join(
+        base.select(F.col("id").alias("test_id"), F.col("hs").alias("__sb")),
+        "test_id",
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+    near = (
+        verified.withColumn(
+            "jaccard",
+            F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 9),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("__rep_train", "test_id", "jaccard")
+    )
+    # expand the train rep back to every train member with that content
+    rep_key = (
+        reps.filter(~F.col("__is_test"))
+        .select(F.col("id").alias("__rep_train"), "__k")
+    )
+    train_members = members.filter(~F.col("__is_test")).select(
+        F.col("id").alias("train_id"), "__k"
+    )
+    expanded = (
+        near.join(rep_key, "__rep_train")
+        .join(train_members, "__k")
+        .select("train_id", "test_id", "jaccard")
+    )
+    best = Window.partitionBy("train_id").orderBy(
+        F.desc("jaccard"), F.asc("test_id")
+    )
+    return (
+        expanded.unionByName(exact_leaks)
+        .withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select("train_id", "test_id", "jaccard")
+    )
+
+
 def scrub_frequent_lines(
     df: DataFrame,
     min_count: int = 3,
     line_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_lines: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-frequency line dedup: remove lines that repeat across the
     corpus, keep the rest of each document intact.
@@ -427,15 +582,26 @@ def scrub_frequent_lines(
     rows, narrow); the frequency count is ONE hash aggregation whose
     key space is the distinct-line set (map-side partial combine
     collapses repeats before the shuffle — the boilerplate being
-    removed is exactly what compresses best); the count join is
-    broadcast when the frequent-line table is small (it is: lines with
-    count >= min_count) — we join counts only for flagging, so the
-    production variant semi-joins against the FILTERED frequent-line
-    table instead of carrying all counts; reassembly is one groupBy(id)
-    with array_sort(collect_list(struct(pos, …))) — per-doc state
-    bounded by document length. Cross-engine hash-checkable because the
-    line key is the raw normalized string; at 100 TB swap the join key
-    for xxhash64(line) to keep the shuffle narrow (same plan shape).
+    removed is exactly what compresses best); reassembly is one
+    groupBy(id) with array_sort(collect_list(struct(pos, …))) — per-doc
+    state bounded by document length.
+
+    The flag join is COUNT-GATED to broadcast (VERDICT r6 #2): the
+    frequent-line table is usually tiny (only lines with count >=
+    min_count), but on a boilerplate-heavy crawl it can be ~10% of the
+    distinct-line set, and an unconditional broadcast then OOMs the
+    driver. One cheap count on the persisted, already-aggregated
+    frequent table decides: at or under ``broadcast_max_lines`` rows the
+    join broadcasts the raw normalized strings (cross-engine
+    hash-checkable — the declared q_line_dedup_scrub path at test SFs);
+    above it the join switches to ``xxhash64(lower(line))`` keys with NO
+    broadcast hint — the build side shuffles narrow longs instead of
+    strings, and a 64-bit collision falsely scrubbing a line has
+    probability ~n²/2⁶⁵ (the variant this docstring always promised).
+    Branch parity is pinned in tests/test_dedup.py, the no-broadcast
+    plan shape in tests/test_plans.py, and the adversarial cost on the
+    duplicate-heavy 100× replica (where nearly every distinct line is
+    frequent) in tools/probe_scrub_gate.py.
     """
     if min_count < 2:
         raise ValueError("min_count < 2 would scrub every line")
@@ -470,17 +636,35 @@ def scrub_frequent_lines(
             F.posexplode(line_arr).alias("pos", "line"),
         ).persist()
     )
-    frequent = (
+    # Persisted: the frequent table feeds the gate count AND the flag
+    # join; unpersisted, the distinct-line aggregation over the cached
+    # lines frame runs twice. The frame is one string per frequent line
+    # — the aggregation's own output, never the corpus.
+    frequent = register_cached(
         lines.groupBy(F.lower(F.col("line")).alias("key"))
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= min_count)
         .select("key")
+        .persist()
     )
-    flagged = lines.join(
-        F.broadcast(frequent),
-        F.lower(F.col("line")) == F.col("key"),
-        "left",
-    ).select(
+    if frequent.count() <= broadcast_max_lines:
+        flagged = lines.join(
+            F.broadcast(frequent),
+            F.lower(F.col("line")) == F.col("key"),
+            "left",
+        )
+    else:
+        # scale path: narrow 64-bit keys, engine-chosen (shuffle) join.
+        # distinct() on the hash guards the one way a collision could
+        # corrupt counts: two frequent lines hashing together would
+        # otherwise double-match — and double-COUNT — a flagged line.
+        hashed = frequent.select(F.xxhash64(F.col("key")).alias("hk")).distinct()
+        flagged = lines.join(
+            hashed,
+            F.xxhash64(F.lower(F.col("line"))) == F.col("hk"),
+            "left",
+        ).withColumnRenamed("hk", "key")
+    flagged = flagged.select(
         "id",
         "pos",
         "line",

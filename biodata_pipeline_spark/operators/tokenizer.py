@@ -46,12 +46,23 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _chars(col) -> F.Column:
+    """One CODE POINT per element. Not ``split(col, '(?!$)')``: Java's
+    zero-width split matches between the two code UNITS of a surrogate
+    pair, shattering astral chars (emoji, rare CJK) into broken halves —
+    which would train merges over unpaired surrogates and diverge from
+    any code-point tokenizer (the Arrow encode kernel iterates Python
+    code points). ``regexp_extract_all('(?s).')`` iterates code points.
+    """
+    return F.regexp_extract_all(col, F.lit("(?s)."), 0)
+
+
 def _initial_symbols(words: DataFrame) -> DataFrame:
     """Split each word into single characters + the end-of-word marker
     (the marker lets merges learn suffixes without crossing words)."""
     return words.select(
         F.concat(
-            F.split(F.col("w"), "(?!$)"),  # each char; (?!$) avoids a trailing ""
+            _chars(F.col("w")),
             F.array(F.lit(END_OF_WORD)),
         ).alias("syms"),
         "n",
@@ -123,6 +134,86 @@ def bpe_train(
     return merges
 
 
+def bpe_encode_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    out_col: str = "syms",
+) -> DataFrame:
+    """Scale-real BPE encode (VERDICT r6 #1): apply a learned merge list
+    to a word table via an Arrow ``mapInPandas`` kernel — the standard
+    merge-rank encode loop, so the merge list can be tokenizer-sized
+    (1,000+ merges) where the ``bpe_encode`` fold stack is plan-depth
+    bounded to toy lists (each merge adds one Catalyst fold layer).
+
+    Returns ``df`` with ``out_col: array<string>`` appended (NULL word →
+    NULL syms). The kernel ships the rank dict in its closure — a merge
+    list is tokenizer-vocabulary sized (kBs to low MBs), broadcast once
+    per executor by task serialization.
+
+    BIT PARITY with the training fold (``_apply_merge`` /
+    ``bpe_encode``), proven in tests/test_tokenizer.py: the fold applies
+    merges in TRAINING ORDER, each greedily left-to-right; the kernel
+    repeatedly merges the LOWEST-RANK pair present (also greedily
+    left-to-right). These are equivalent because a merge's two component
+    symbols always exist strictly before its rank — pair k could only be
+    counted at training step k over symbols already created — so
+    applying a later merge can never create a new occurrence of an
+    earlier pair, and "lowest-rank present, repeat" visits merges in
+    exactly training order, skipping the absent ones.
+
+    Scale shape: encode cost is VOCABULARY-sized, not corpus-sized —
+    callers feed the distinct-word table (``word_counts``) and weight
+    results by term frequency, exactly like the training loop. Per-word
+    cost is O(len · applied_merges) dict lookups; Arrow batches keep the
+    Python boundary amortized, and partitions parallelize across
+    executors with no shuffle (pure map).
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    merges = [tuple(m) for m in merges]
+    ranks = {m: i for i, m in enumerate(merges)}
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def encode(word):
+        if word is None:
+            return None
+        syms = list(word)
+        syms.append(END_OF_WORD)
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            ab = a + b
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [encode(w) for w in pdf[word_col]]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def bpe_encode(col, merges: list[tuple[str, str]]):
     """Column expression applying a learned merge list to one word —
     chars + end marker, then each merge as the same greedy fold used in
@@ -144,9 +235,7 @@ def bpe_encode(col, merges: list[tuple[str, str]]):
 
         return fold
 
-    syms = F.concat(
-        F.split(col, "(?!$)"), F.array(F.lit(END_OF_WORD))
-    )
+    syms = F.concat(_chars(col), F.array(F.lit(END_OF_WORD)))
     for a, b in merges:
         syms = F.aggregate(
             syms, F.array().cast("array<string>"), merge_fold(a, b)

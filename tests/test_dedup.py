@@ -465,6 +465,28 @@ def test_scrub_frequent_lines_removes_boilerplate_keeps_order(spark):
     assert out[5].clean_text == "entirely novel document with no repeated window lines"
 
 
+def test_scrub_gate_hash_branch_matches_broadcast(spark, sf_dir):
+    """The count-gated scale branch (xxhash64 keys, no broadcast hint)
+    produces row-identical output to the broadcast branch — the gate is
+    a pure physical-plan decision (VERDICT r6 #2)."""
+    from biodata_pipeline_spark.operators.dedup import scrub_frequent_lines
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "n_lines", "n_removed", "clean_text"]
+    broad = sorted(
+        tuple(r) for r in scrub_frequent_lines(docs, min_count=3).select(*cols).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in scrub_frequent_lines(
+            docs, min_count=3, broadcast_max_lines=0
+        ).select(*cols).collect()
+    )
+    assert broad == hashed
+    assert any(r[2] > 0 for r in broad), "fixture should scrub something"
+
+
 def test_scrub_frequent_lines_rejects_degenerate_min_count(spark):
     from biodata_pipeline_spark.operators.dedup import scrub_frequent_lines
 

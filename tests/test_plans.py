@@ -54,6 +54,27 @@ def test_lsh_join_is_equi_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_scrub_scale_branch_plans_no_broadcast(spark, sf_dir):
+    """Above the gate, scrub_frequent_lines must carry NO broadcast hint
+    on the flag join: with auto-broadcast disabled, a hinted build side
+    would still plan as BroadcastHashJoin, so its absence here proves
+    the hint is gone (the engine may still auto-pick broadcast when the
+    frequent table is genuinely small — that is the gate working)."""
+    from biodata_pipeline_spark.operators.dedup import scrub_frequent_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = scrub_frequent_lines(docs, min_count=3, broadcast_max_lines=0)
+        plan = formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    # and the narrow key actually replaced the string key
+    assert "xxhash64" in plan
+
+
 def test_declared_queries_contain_no_python_udfs(spark, sf_dir):
     for name, fn in SPARK_QUERIES.items():
         plan = formatted_plan(fn(spark, sf_dir))
