@@ -147,6 +147,14 @@ def prev_bench() -> tuple[int, dict[str, float]] | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Subset override (VERDICT r6 #5): run only these keys in THIS
+    # process — one fresh JVM per invocation. Used by the batched driver
+    # below and by drift experiments comparing against a prior round's
+    # tail in isolation.
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    global HEADLINE
+    if keys_env:
+        HEADLINE = [k for k in keys_env.split(",") if k]
     spark = get_spark("bench")
     # Warm-up: run every headline query once at the TARGET SF so the timed
     # runs measure steady-state execution. Warming at a smaller SF is not

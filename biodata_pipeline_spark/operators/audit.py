@@ -315,6 +315,97 @@ def minhash_precision_audit(
     )
 
 
+def leakage_recall_audit(
+    df: DataFrame,
+    thresholds: Sequence[float] = (0.2, 0.5, 0.7, 0.9),
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_lanes: int = 32,
+    rows_per_band: int = 4,
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split recall of MinHash-LSH banding — the hash-checked
+    audit twin of ``cross_split_leakage_lsh`` (VERDICT r6 #4).
+
+    Ground truth: ALL exact shingle-Jaccard pairs that cross the
+    deterministic md5 split (same predicate as the production guard).
+    Candidates: the md5-family banding (``minhash_candidate_pairs_md5``,
+    the production 32-lane/8-band geometry with the cross-engine hash
+    family), oriented across the split. Per audit threshold t: how many
+    true cross-split pairs at jaccard >= t the banding found/missed —
+    the number that says how much leakage the scale path would let
+    through at each severity. Output: one row per threshold —
+    (threshold, n_true_pairs, n_found, n_missed, recall).
+    """
+    from biodata_pipeline_spark.operators.sampling import sample_predicate
+
+    if not thresholds:
+        raise ValueError("leakage_recall_audit: need at least one threshold")
+    spark = df.sparkSession
+    sh = register_cached(_audit_shingles(df, id_col, text_col, n).persist())
+    flags = df.select(
+        F.col(id_col).alias("id"),
+        sample_predicate(id_col, test_fraction, salt).alias("__t"),
+    )
+    cand = minhash_candidate_pairs_md5(
+        df, id_col, text_col, n, num_lanes, rows_per_band, shingles=sh
+    )
+    fa = flags.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta"))
+    fb = flags.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb"))
+    cross = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("__ta") != F.col("__tb"))
+        .select(
+            F.when(~F.col("__ta"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(F.col("__ta"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("test_id"),
+        )
+        .dropDuplicates(["train_id", "test_id"])
+        .withColumn("found", F.lit(1))
+    )
+    shf = sh.join(flags, "id")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        shf.filter(~F.col("__t"))
+        .alias("a")
+        .join(shf.filter(F.col("__t")).alias("b"), "sh")
+        .groupBy(
+            F.col("a.id").alias("train_id"), F.col("b.id").alias("test_id")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    scored = (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "train_id", "sz": "sa"}),
+            "train_id",
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "test_id", "sz": "sb"}), "test_id"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i")
+                / (F.col("sa") + F.col("sb") - F.col("i")).cast("double"),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard") >= min(thresholds))
+    )
+    hits = register_cached(
+        scored.join(cross, ["train_id", "test_id"], "left")
+        .select("jaccard", F.coalesce("found", F.lit(0)).alias("found"))
+        .persist()
+    )
+    return _per_threshold_recall(spark, hits, "jaccard", thresholds)
+
+
 def simhash60_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash fingerprints from md5 token hashes.
 

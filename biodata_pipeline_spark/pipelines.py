@@ -155,6 +155,33 @@ def harness_evaluation(
     )
 
 
+def embedding_ingest_report(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The embedding ingest-gate census as a pipeline entry (VERDICT r6
+    #8): classify every vector into its defect class (null / wrong_dim /
+    null_element / non_finite / zero_norm / ok — the q_embedding_validate
+    machinery) and count per class with the first offending id. Run this
+    BEFORE attaching embeddings to a corpus; similarity/clustering
+    operators silently EXCLUDE geometry-less vectors, and this report is
+    where a pipeline measures what it is losing. Reference analog: the
+    before/after record counts the reference's driver script echoes
+    between stages (run_data_generation_sophia.sh:61,65)."""
+    from biodata_pipeline_spark.functions.vector import embedding_defect
+
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            embedding_defect(vec_col, dim).alias("defect"),
+        )
+        .groupBy("defect")
+        .agg(F.count("*").alias("n_vecs"), F.min("id").alias("first_id"))
+    )
+
+
 def build_training_corpus(
     docs: DataFrame,
     sink_dir: str | None = None,
@@ -164,7 +191,8 @@ def build_training_corpus(
     scrub_line_min_count: int | None = None,
     holdout_fraction: float | None = None,
     leakage_threshold: float = 0.2,
-) -> DataFrame:
+    with_report: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """The end-to-end training-data pipeline the engine exists for:
 
         [line scrub] → quality filter → language filter → exact dedup →
@@ -185,6 +213,17 @@ def build_training_corpus(
     train doc whose shingle Jaccard against a held-out doc reaches
     ``leakage_threshold`` (``cross_split_leakage``) — the
     decontamination step that keeps eval scores honest.
+
+    ``with_report``: returns ``(corpus, report)`` where ``report`` is a
+    per-stage census frame ``(metric, value)`` — the before/after counts
+    the reference's driver script echoes between stages
+    (run_data_generation_sophia.sh:61,65), upgraded with the graded
+    censuses the engine declares as queries: the scrub stage is graded
+    by ``edit_severity`` (how MUCH each scrubbed doc changed — the
+    q_edit_severity machinery) and the leak exclusion is counted
+    explicitly. Report mode materializes each stage (counts are
+    actions), so the single-lazy-plan property is traded for
+    observability — opt-in by design.
     """
     from biodata_pipeline_spark.functions.textfn import alpaca_format, quality_score
     from biodata_pipeline_spark.operators.clusters import dedup_survivors
@@ -196,9 +235,13 @@ def build_training_corpus(
     )
     from biodata_pipeline_spark.operators.layout import length_batched
 
+    spark = docs.sparkSession
+    counts: list[tuple[str, int]] = []
+    if with_report:
+        counts.append(("input_docs", docs.count()))
     if scrub_line_min_count is not None:
         scrubbed = scrub_frequent_lines(docs, min_count=scrub_line_min_count)
-        docs = (
+        cleaned = (
             docs.drop("text")
             .join(
                 scrubbed.filter(F.length("clean_text") > 0).select(
@@ -207,18 +250,42 @@ def build_training_corpus(
                 "doc_id",
             )
         )
+        if with_report:
+            from biodata_pipeline_spark.operators.snapshot import edit_severity
+
+            cleaned = cleaned.persist()
+            counts.append(("scrub_docs_kept", cleaned.count()))
+            sev = {
+                r.severity: r.n
+                for r in edit_severity(docs, cleaned)
+                .groupBy("severity")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for grade in ("trivial", "moderate", "rewrite"):
+                counts.append((f"scrub_edit_{grade}", sev.get(grade, 0)))
+        docs = cleaned
     filtered = docs.filter(quality_score("text") >= min_quality)
     if langs:
         filtered = filtered.filter(F.col("lang").isin(*langs))
+    if with_report:
+        filtered = filtered.persist()
+        counts.append(("quality_lang_kept", filtered.count()))
     distinct = exact_dedup(filtered)
     pairs = minhash_lsh_dup_pairs(distinct, threshold=near_dup_threshold)
     survivors = dedup_survivors(distinct, pairs)
+    if with_report:
+        survivors = survivors.persist()
+        counts.append(("dedup_survivors", survivors.count()))
     if holdout_fraction is not None:
         from biodata_pipeline_spark.operators.sampling import sample_predicate
 
         leaked = cross_split_leakage(
             survivors, leakage_threshold, test_fraction=holdout_fraction
         ).select(F.col("train_id").alias("doc_id"))
+        if with_report:
+            leaked = leaked.persist()
+            counts.append(("leaked_train_docs_excluded", leaked.count()))
         survivors = survivors.filter(
             ~sample_predicate("doc_id", holdout_fraction, "split")
         ).join(leaked, "doc_id", "left_anti")
@@ -228,6 +295,10 @@ def build_training_corpus(
     corpus = length_batched(corpus, "training_text")
     if sink_dir:
         corpus.write.mode("overwrite").partitionBy("lang").parquet(sink_dir)
+    if with_report:
+        counts.append(("final_docs", corpus.count()))
+        report = spark.createDataFrame(counts, "metric string, value long")
+        return corpus, report
     return corpus
 
 

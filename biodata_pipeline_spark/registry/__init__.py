@@ -64,102 +64,86 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2). Round-6 blocks (sizes pinned by tests/test_registry.py):
-#   1-12:  round-6 additions (never driver-checked): the LSH precision
-#          audit, the percentile accuracy audit, the rows-only
-#          approx-percentile declaration it pins, the training-export
-#          family (corpus shuffle, shard manifest, mixture schedule —
-#          registry/export.py), the rows-only BPE training loop
-#          (pytest-audited against the textbook algorithm), the
-#          train/test split leakage guard (q_split_leakage), the
-#          corpus-frequency line scrub (q_line_dedup_scrub), the
-#          rows-only BPE corpus encode (q_bpe_encode_corpus), the
-#          embedding ingest-gate census (q_embedding_validate), and
-#          the snapshot edit-severity census (q_edit_severity);
-#   13-14: the two r02-stale variants that yielded their slots in r5
-#          (q26b, q35b — last driver rows predate rounds 3-5 code);
-#   15-50: 36 of the 49 queries whose last driver row is r04, in
-#          registry-family order (relational/temporal, then textops /
-#          vector / analytic / media).
-# Seventeen queries stay outside the window this round, all locally
-# re-verified by tools/check_oracle.py on current code:
-#   - q09b/q14b/q21b/q31b: hash-checked variants of families whose
-#     primary query is IN this window (q09, q21) or fresh r05-green
-#     (q14, q31);
-#   - q_approx_count_distinct / q_cms_heavy_hitters /
-#     q_minhash_lsh_dedup / q_simhash_dedup: rows-only by nature, each
-#     with a fresh r05 hash-checked audit twin (q_corpus_profile's exact
-#     counts, the CMS pytest bound, q_lsh_recall_audit,
-#     q_simhash_recall_audit) — a rows-only driver row refreshes the
-#     least information, so they cede slots to hash-checked rows;
-#   - q_hash_sample / q_embed_quantize / q_ntile_distribution /
-#     q_group_weighted_sample / q_fingerprint / q_pii_scrub /
-#     q_lang_guess / q_pivot_priority_matrix / q_media_frame_sample:
-#     ceded their refresh slots to the never-checked round-6
-#     additions — the simplest plans in the r04-stale block (pure map
-#     predicate / zero-shuffle map / one window / the A-ES family
-#     twin of in-window q_weighted_sample / one md5 + group-size join
-#     / zero-shuffle regexp scrub / zero-shuffle CASE scoring / one
-#     pivot agg / sequence+explode over in-window q_media_inventory's
-#     decode), each pytest-covered, so a driver refresh adds the
-#     least new information.
+# #2 / r6 #3). Round-7 blocks (sizes pinned by tests/test_registry.py):
+#   1-4:   round-7 additions (never driver-checked): the production
+#          MinHash-banded split guard (rows-only; registry/textops.py),
+#          its hash-checked md5-family recall audit
+#          (registry/audits.py), and the two pinned-merge BPE
+#          promotions — the hash-checked training step
+#          (q_bpe_step_argmax) and the hash-checked Arrow encode kernel
+#          (q_bpe_encode_pinned);
+#   5-8:   the four r02-stale hash-checked variants (q09b/q14b/q21b/
+#          q31b) — their last driver rows predate rounds 3-6 code;
+#   9-21:  the 13 queries whose last driver row is r04 (VERDICT r6 #3
+#          named them): the four by-nature rows-only families
+#          (q_approx_count_distinct, q_cms_heavy_hitters,
+#          q_minhash_lsh_dedup, q_simhash_dedup) and the nine simple
+#          plans that ceded their r6 slots (q_hash_sample,
+#          q_embed_quantize, q_ntile_distribution,
+#          q_group_weighted_sample, q_fingerprint, q_pii_scrub,
+#          q_lang_guess, q_pivot_priority_matrix, q_media_frame_sample);
+#   22-50: the 29 stalest of the 50 r05-checked queries, in
+#          registry-family order (relational core through the set ops).
+# Outside the window this round: the 21 newest r05-checked queries
+# (temporal/vector/textops/audit families refreshed again in r8) and
+# the 50 r06-checked queries — every one has a green driver row within
+# the last two rounds and all are locally re-verified by
+# tools/check_oracle.py on current code each round.
 _DRIVER_WINDOW = [
-    # -- block 1: round-6 additions (no prior CORRECTNESS row) -----------
-    "q_lsh_precision_audit",
-    "q_percentile_accuracy_audit",
-    "q21d_approx_percentiles",
-    "q_corpus_shuffle",
-    "q_shard_manifest",
-    "q_mixture_schedule",
-    "q_bpe_train_merges",
-    "q_split_leakage",
-    "q_line_dedup_scrub",
-    "q_bpe_encode_corpus",
-    "q_embedding_validate",
-    "q_edit_severity",
+    # -- block 1: round-7 additions (no prior CORRECTNESS row) -----------
+    "q_split_leakage_lsh",
+    "q_leakage_recall_audit",
+    "q_bpe_step_argmax",
+    "q_bpe_encode_pinned",
     # -- block 2: stale since r02 ----------------------------------------
-    "q26b_retrieval_rank_summary",
-    "q35b_cascade_hourly",
-    # -- block 3: stale since r04 — relational/temporal/vector core ------
-    "q09_exact_dedup",
-    "q11_multiway_join_revenue",
-    "q16_asof_join",
-    "q21_pricing_summary",
-    "q24_cosine_topk",
-    "q25_similarity_join",
-    "q37_session_window",
-    # -- stale since r04 — textops ---------------------------------------
-    "q_bpe_token_count",
-    "q_chunk_documents",
-    "q_contamination_check",
-    "q_corpus_profile",
-    "q_dedup_clusters",
-    "q_ngram_jaccard_dedup",
-    "q_pack_sequences",
-    "q_passage_dedup",
-    "q_quality_classifier",
-    "q_quality_score",
-    "q_repetition_stats",
-    "q_tfidf_top_terms",
-    "q_token_entropy",
-    "q_token_stats",
-    "q_unigram_logprob",
-    "q_vocab_oov_rate",
-    "q_winnow_fingerprints",
-    "q_word_freq_topk",
-    # -- stale since r04 — vector / sampling -----------------------------
-    "q_ivf_ann",
-    "q_kmeans_clusters",
-    "q_pca_projection",
-    "q_semantic_dedup",
-    "q_mixture_allocation",
-    "q_stratified_split",
-    "q_weighted_sample",
-    # -- stale since r04 — analytic / media ------------------------------
-    "q_cube_pricing",
-    "q_grouping_sets_revenue",
-    "q_stats_corr",
-    "q_media_inventory",
+    "q09b_exact_dedup_text",
+    "q14b_sweep_grid_literal",
+    "q21b_salted_pricing",
+    "q31b_collect_ordered",
+    # -- block 3: stale since r04 ----------------------------------------
+    "q_approx_count_distinct",
+    "q_cms_heavy_hitters",
+    "q_minhash_lsh_dedup",
+    "q_simhash_dedup",
+    "q_hash_sample",
+    "q_embed_quantize",
+    "q_ntile_distribution",
+    "q_group_weighted_sample",
+    "q_fingerprint",
+    "q_pii_scrub",
+    "q_lang_guess",
+    "q_pivot_priority_matrix",
+    "q_media_frame_sample",
+    # -- block 4: stale since r05 — relational core / sets ---------------
+    "q01_text_scan_blank_filter",
+    "q02_delimited_comment_filter",
+    "q03_prompt_template_projection",
+    "q04_alpaca_projection",
+    "q05_suffix_marker_predicate",
+    "q06_regex_suffix_strip",
+    "q07_word_boundary_match",
+    "q08_comment_prefix_filter",
+    "q10_broadcast_dim_join",
+    "q12_semi_join",
+    "q13_anti_join_manifest",
+    "q14_cross_join_grid",
+    "q15_range_join_price_bands",
+    "q17_left_outer_sentinel",
+    "q18_global_avg",
+    "q19_avg_of_group_min",
+    "q20_grouped_count_distinct",
+    "q_salted_join_parity",
+    "q21c_percentiles",
+    "q22_length_bucket_group",
+    "q23_rollup_revenue",
+    "q27_row_number_rank",
+    "q30_orderby_limit_topk",
+    "q31_per_group_topk",
+    "q_sql_region_revenue",
+    "q_upsert_latest",
+    "q32_union_all",
+    "q33_except_difference",
+    "q34_intersect",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -38,6 +38,7 @@ from biodata_pipeline_spark.operators.audit import (
     AUDIT_MAX_VEC,
     PAIR_AUDIT_MAX_VEC,
     ann_bucket_recall_audit,
+    leakage_recall_audit,
     lsh_pair_recall_audit,
     minhash_precision_audit,
     minhash_recall_audit,
@@ -160,6 +161,14 @@ def q_ann_bucket_recall(spark, sf_dir):
     )
 
 
+def q_leakage_recall_audit(spark, sf_dir):
+    """Cross-split recall of md5-family MinHash banding vs ALL exact
+    cross-split Jaccard pairs under the production md5 split predicate —
+    the hash-checked twin of q_split_leakage_lsh's candidate stage
+    (VERDICT r6 #4). Per-threshold found/missed/recall counts."""
+    return leakage_recall_audit(_audit_docs(spark, sf_dir))
+
+
 def q_lsh_pair_recall_audit(spark, sf_dir):
     """Pair recall of sign-bit banded LSH (the deterministic twin of
     q_lsh_similarity_join's 4-band hyperplane geometry) vs exact cosine
@@ -177,6 +186,7 @@ SPARK = {
     "q_dup_source_matrix": q_dup_source_matrix,
     "q_ann_bucket_recall": q_ann_bucket_recall,
     "q_lsh_pair_recall_audit": q_lsh_pair_recall_audit,
+    "q_leakage_recall_audit": q_leakage_recall_audit,
 }
 
 
@@ -266,6 +276,70 @@ _MINHASH_CAND = f"""
 """
 
 ORACLE = {
+    "q_leakage_recall_audit": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   md5('split' || CAST(doc_id AS VARCHAR))
+                       < '19999999000000000000000000000000' AS is_test,
+                   {_TOKS} AS t
+            FROM documents WHERE doc_id < {AUDIT_MAX_DOC}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, is_test, array_to_string(t[i:i+2], ' ') AS s
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE len(t) >= 3 AND i <= len(t) - 2
+        ),
+        {_MINHASH_CAND},
+        flags AS (SELECT DISTINCT doc_id, is_test FROM sh),
+        crossc AS (
+            SELECT DISTINCT
+                   CASE WHEN NOT fa.is_test THEN c.id_a ELSE c.id_b END
+                       AS train_id,
+                   CASE WHEN fa.is_test THEN c.id_a ELSE c.id_b END
+                       AS test_id
+            FROM cand c
+            JOIN flags fa ON fa.doc_id = c.id_a
+            JOIN flags fb ON fb.doc_id = c.id_b
+            WHERE fa.is_test != fb.is_test
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND NOT a.is_test AND b.is_test
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT train_id, test_id,
+                   round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = train_id
+            JOIN sizes sb ON sb.doc_id = test_id
+            WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 9) >= 0.2
+        ),
+        th AS (SELECT CAST(unnest([0.2, 0.5, 0.7, 0.9]) AS DOUBLE)
+                   AS threshold),
+        hits AS (
+            SELECT s.jaccard,
+                   CASE WHEN c.train_id IS NOT NULL THEN 1 ELSE 0 END AS found
+            FROM scored s LEFT JOIN crossc c
+              ON c.train_id = s.train_id AND c.test_id = s.test_id
+        ),
+        agg AS (
+            SELECT t.threshold,
+                   count(h.jaccard) AS n_true,
+                   CAST(coalesce(sum(h.found), 0) AS BIGINT) AS n_found
+            FROM th t LEFT JOIN hits h ON h.jaccard >= t.threshold
+            GROUP BY 1
+        )
+        SELECT threshold,
+               n_true AS n_true_pairs,
+               n_found,
+               n_true - n_found AS n_missed,
+               CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(n_found / CAST(n_true AS DOUBLE), 4) END
+                   AS recall
+        FROM agg
+    """,
     "q_lsh_recall_audit": f"""
         WITH {_SHINGLES},
         {_JACCARD.format(threshold=0.5)},

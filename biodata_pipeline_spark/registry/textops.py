@@ -16,6 +16,7 @@ from biodata_pipeline_spark.functions import textfn
 from biodata_pipeline_spark.operators.chunking import chunk_documents
 from biodata_pipeline_spark.operators.dedup import (
     cross_split_leakage,
+    cross_split_leakage_lsh,
     minhash_lsh_dup_pairs,
     ngram_jaccard_dup_pairs,
     scrub_frequent_lines,
@@ -123,6 +124,24 @@ def q_split_leakage(spark, sf_dir):
     )
     return cross_split_leakage(
         docs, LEAKAGE_THRESHOLD, test_fraction=SPLIT_VAL_FRACTION
+    )
+
+
+LEAKAGE_LSH_THRESHOLD = 0.5  # at/above the (32,8)-banding knee
+
+
+def q_split_leakage_lsh(spark, sf_dir):
+    """The split guard's PRODUCTION candidate stage (VERDICT r6 #4):
+    MinHash banding across the split boundary over the FULL corpus (no
+    doc_id bound — that is the point), exact shingle-Jaccard verify on
+    candidates only, exact-duplicate leaks handled by content-key
+    grouping before banding (operators/dedup.py::cross_split_leakage_lsh).
+    Rows-only by nature (xxhash64 banding); its recall is hash-checked
+    by q_leakage_recall_audit (md5 family, same geometry) and the exact
+    q_split_leakage is the bounded-slice audit twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_split_leakage_lsh(
+        docs, LEAKAGE_LSH_THRESHOLD, test_fraction=SPLIT_VAL_FRACTION
     )
 
 
@@ -266,6 +285,110 @@ def q_bpe_encode_corpus(spark, sf_dir):
     wc = word_counts(docs)
     return (
         wc.select(F.explode(bpe_encode(F.col("w"), merges)).alias("sym"), "n")
+        .groupBy("sym")
+        .agg(F.sum("n").alias("sym_count"))
+        .orderBy(F.desc("sym_count"), F.asc("sym"))
+        .limit(BPE_VOCAB_TOPK)
+    )
+
+
+# Trained by bpe_train at sf0.01 and PINNED as literals (VERDICT r6 #6)
+# so the DuckDB oracle can replay the same fold — the
+# q_lsh_similarity_join promotion trick applied to the tokenizer:
+# deterministic data-derived constants exported to both engines.
+# Fidelity to the live training loop is asserted in
+# tests/test_tokenizer.py::test_pinned_merges_match_training.
+BPE_PINNED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("o", "r"),
+    ("s", "t"),
+]
+_BPE_SEP = "\x1f"  # unit separator: cannot appear in whitespace tokens
+BPE_PAIR_TOPK = 20
+
+
+def _sep_fold_sql(base_expr: str, merges) -> str:
+    """Nested DuckDB ``replace`` chain applying ``merges`` in training
+    order to a separator-delimited symbol string. The encoding wraps
+    EVERY symbol in chr(31) separators (``␟a␟b␟c␟</w>␟``), so the
+    pattern ``␟a␟b␟ → ␟ab␟`` can only match whole symbols — and SQL
+    replace's left-to-right non-overlapping scan IS the fold's greedy
+    semantics (consecutive occurrences share the boundary separator, so
+    overlaps cannot double-merge: ``␟a␟a␟a␟`` → ``␟aa␟a␟``)."""
+    s = base_expr
+    for a, b in merges:
+        assert "'" not in a + b, "merge symbols must not contain quotes"
+        pat = f"chr(31) || '{a}' || chr(31) || '{b}' || chr(31)"
+        rep = f"chr(31) || '{a}{b}' || chr(31)"
+        s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+# ␟c1␟c2…␟cn␟</w>␟ — one code point per symbol plus the end marker
+_SEP_SYMS_SQL = (
+    "regexp_replace(w, '(.)', chr(31) || '\\1', 'g')"
+    " || chr(31) || '</w>' || chr(31)"
+)
+
+
+def q_bpe_step_argmax(spark, sf_dir):
+    """ONE BPE training step, hash-checked (VERDICT r6 #6): apply the
+    pinned merges 1..k−1 to the word symbol table with the SAME fold the
+    training loop uses (operators/tokenizer.py::_apply_merge), then emit
+    the step-k pair-count statistic — top-20 weighted adjacent-pair
+    counts, totally ordered (count desc, pair asc). Row 1 is the argmax
+    the loop would merge at step k (= the last pinned merge when sf_dir
+    is the training corpus). The DuckDB oracle replays the fold through
+    a separator-string replace chain (see _sep_fold_sql), giving the
+    iterative loop's inner step a value-hash-checked row — the loop
+    itself (q_bpe_train_merges) stays rows-only by nature."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        _apply_merge,
+        _initial_symbols,
+        _pair_counts,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_counts(docs).filter(~F.col("w").contains(_BPE_SEP))
+    syms = _initial_symbols(wc)
+    for a, b in BPE_PINNED_MERGES[:-1]:
+        syms = _apply_merge(syms, a, b)
+    return (
+        _pair_counts(syms)
+        .select(
+            F.col("p.a").alias("lhs"),
+            F.col("p.b").alias("rhs"),
+            F.col("cnt").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
+def q_bpe_encode_pinned(spark, sf_dir):
+    """The Arrow encode KERNEL, hash-checked: encode the word table with
+    all pinned merges via bpe_encode_words (the merge-rank kernel that
+    scales to 1,000+ merges — VERDICT r6 #1) and emit the top-50
+    corpus-weighted subword histogram. The DuckDB oracle applies the
+    same pinned list through the separator-string replace chain, so the
+    kernel — unlike q_bpe_encode_corpus, which trains live and stays
+    rows-only — gets a cross-engine value-hash row of its own."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        bpe_encode_words,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_counts(docs).filter(~F.col("w").contains(_BPE_SEP))
+    return (
+        bpe_encode_words(wc, BPE_PINNED_MERGES)
+        .select(F.explode("syms").alias("sym"), "n")
         .groupBy("sym")
         .agg(F.sum("n").alias("sym_count"))
         .orderBy(F.desc("sym_count"), F.asc("sym"))
@@ -1022,6 +1145,7 @@ SPARK = {
     "q_fingerprint": q_fingerprint,
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "q_split_leakage": q_split_leakage,
+    "q_split_leakage_lsh": q_split_leakage_lsh,
     "q_line_dedup_scrub": q_line_dedup_scrub,
     "q_edit_severity": q_edit_severity,
     "q_repetition_stats": q_repetition_stats,
@@ -1030,6 +1154,8 @@ SPARK = {
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
     "q_bpe_train_merges": q_bpe_train_merges,
     "q_bpe_encode_corpus": q_bpe_encode_corpus,
+    "q_bpe_step_argmax": q_bpe_step_argmax,
+    "q_bpe_encode_pinned": q_bpe_encode_pinned,
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_multi_topk": q_bm25_multi_topk,
     "q_hybrid_rrf": q_hybrid_rrf,
@@ -1234,6 +1360,56 @@ ORACLE = {
         FROM pairs GROUP BY 1
         ORDER BY n DESC, pair ASC
         LIMIT 50
+    """,
+    "q_bpe_step_argmax": f"""
+        WITH words AS (
+            SELECT w, count(*) AS n FROM (
+                SELECT unnest({_TOKS}) AS w FROM documents
+            ) WHERE w NOT LIKE '%' || chr(31) || '%'
+            GROUP BY w
+        ),
+        sym AS (
+            SELECT list_filter(
+                       string_split(
+                           {_sep_fold_sql("(" + _SEP_SYMS_SQL + ")",
+                                          BPE_PINNED_MERGES[:-1])},
+                           chr(31)),
+                       x -> x != '') AS l,
+                   n
+            FROM words
+        ),
+        pairs AS (
+            SELECT l[CAST(i AS INTEGER)] AS lhs,
+                   l[CAST(i AS INTEGER) + 1] AS rhs, n
+            FROM sym, generate_series(1, 8191) AS g(i)
+            WHERE i <= len(l) - 1
+        )
+        SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1, 2
+        ORDER BY pair_count DESC, lhs ASC, rhs ASC
+        LIMIT {BPE_PAIR_TOPK}
+    """,
+    "q_bpe_encode_pinned": f"""
+        WITH words AS (
+            SELECT w, count(*) AS n FROM (
+                SELECT unnest({_TOKS}) AS w FROM documents
+            ) WHERE w NOT LIKE '%' || chr(31) || '%'
+            GROUP BY w
+        ),
+        sym AS (
+            SELECT unnest(list_filter(
+                       string_split(
+                           {_sep_fold_sql("(" + _SEP_SYMS_SQL + ")",
+                                          BPE_PINNED_MERGES)},
+                           chr(31)),
+                       x -> x != '')) AS sym,
+                   n
+            FROM words
+        )
+        SELECT sym, CAST(sum(n) AS BIGINT) AS sym_count
+        FROM sym GROUP BY 1
+        ORDER BY sym_count DESC, sym ASC
+        LIMIT {BPE_VOCAB_TOPK}
     """,
     "q_bm25_topk": f"""
         WITH {_BM25_CTES}

@@ -58,6 +58,75 @@ def read_shard_manifest(spark, manifest_dir: str) -> DataFrame | None:
     )
 
 
+def _write_shards(plan: DataFrame, batch_id: int, sink_dir: str, key_col: str) -> None:
+    """Step 4a of the commit protocol: rows land under
+    (batch_id, shard_id) partitions in shuffle order via dynamic
+    partition overwrite — a replayed batch overwrites exactly its own
+    partitions."""
+    plan.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    (
+        plan.withColumn("batch_id", F.lit(batch_id))
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions("__ord", key_col)
+        .drop("__n_tok")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "shard_id")
+        .parquet(sink_dir)
+    )
+
+
+def _append_manifest(plan: DataFrame, batch_id: int, manifest_dir: str) -> None:
+    """Step 4b — the COMMIT MARKER: the manifest delta appends LAST, so
+    a crash anywhere before this line leaves the batch uncommitted and
+    the replay reproduces + overwrites it. Module-level on purpose: the
+    crash-resume pytest monkeypatches this seam to kill the stream
+    between the shard write and the commit."""
+    (
+        plan.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n_tok").cast("long").alias("shard_tokens"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(manifest_dir)
+    )
+
+
+def process_export_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    manifest_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    token_budget: int = 1 << 22,
+    salt: str = "shuffle",
+) -> None:
+    """One microbatch of the incremental shard export — the foreachBatch
+    body of ``run_incremental_shard_export`` (see module docstring for
+    the exactly-once commit protocol)."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    deltas = _try_read(spark, manifest_dir)
+    if (
+        deltas is not None
+        and deltas.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+    ):
+        return  # fully committed — replay is a no-op
+    weighted = batch_df.withColumn(
+        "__n_tok", textfn.token_count(text_col).cast("long")
+    )
+    plan = incremental_shard_plan(
+        weighted, deltas, key_col, "__n_tok", token_budget, salt=salt
+    ).localCheckpoint()
+    _write_shards(plan, batch_id, sink_dir, key_col)
+    _append_manifest(plan, batch_id, manifest_dir)
+
+
 def run_incremental_shard_export(
     stream_df: DataFrame,
     checkpoint_dir: str,
@@ -84,40 +153,15 @@ def run_incremental_shard_export(
     """
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if batch_df.isEmpty():
-            return
-        deltas = _try_read(spark, manifest_dir)
-        if (
-            deltas is not None
-            and deltas.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
-        ):
-            return  # fully committed — replay is a no-op
-        weighted = batch_df.withColumn(
-            "__n_tok", textfn.token_count(text_col).cast("long")
-        )
-        plan = incremental_shard_plan(
-            weighted, deltas, key_col, "__n_tok", token_budget, salt=salt
-        ).localCheckpoint()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            plan.withColumn("batch_id", F.lit(batch_id))
-            .repartition(F.col("shard_id"))
-            .sortWithinPartitions("__ord", key_col)
-            .drop("__n_tok")
-            .write.mode("overwrite")
-            .partitionBy("batch_id", "shard_id")
-            .parquet(sink_dir)
-        )
-        (
-            plan.groupBy("shard_id")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("__n_tok").cast("long").alias("shard_tokens"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(manifest_dir)
+        process_export_batch(
+            batch_df,
+            batch_id,
+            sink_dir,
+            manifest_dir,
+            text_col=text_col,
+            key_col=key_col,
+            token_budget=token_budget,
+            salt=salt,
         )
 
     q = (

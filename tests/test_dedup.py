@@ -465,6 +465,76 @@ def test_scrub_frequent_lines_removes_boilerplate_keeps_order(spark):
     assert out[5].clean_text == "entirely novel document with no repeated window lines"
 
 
+def test_cross_split_leakage_lsh_planted_leaks(spark):
+    """The banded guard finds both leak species: an exact duplicate
+    crossing the split (content-key branch, jaccard 1.0 — never through
+    the quadratic bucket trap) and a near-duplicate above the banding
+    knee (signature branch)."""
+    import hashlib
+
+    from biodata_pipeline_spark.operators.dedup import cross_split_leakage_lsh
+
+    thr = "19999999" + "0" * 24
+
+    def is_test(i):
+        return hashlib.md5(f"split{i}".encode()).hexdigest() < thr
+
+    ids = list(range(200))
+    train = [i for i in ids if not is_test(i)]
+    held = [i for i in ids if is_test(i)]
+    assert len(held) >= 2
+    t_dup1, t_dup2, t_near = train[0], train[1], train[2]
+    h_dup = held[0]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    rows = []
+    for i in ids:
+        if i in (t_dup1, t_dup2, h_dup):
+            rows.append((i, base))
+        elif i == t_near:
+            rows.append((i, near))
+        else:
+            rows.append((i, f"filler document number {i} with its own words {i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.train_id: (r.test_id, r.jaccard)
+        for r in cross_split_leakage_lsh(df, 0.5, test_fraction=0.1).collect()
+    }
+    assert out[t_dup1] == (h_dup, 1.0)
+    assert out[t_dup2] == (h_dup, 1.0)
+    # near doc: 8 shingles each, only the last window differs -> 7/9
+    got_test, got_jac = out[t_near]
+    assert got_test == h_dup and got_jac == pytest.approx(7 / 9, abs=1e-6)
+    assert set(out) == {t_dup1, t_dup2, t_near}
+
+
+def test_cross_split_leakage_lsh_subset_of_exact(spark, sf_dir):
+    """On the corpus fixture the banded guard's flags are a subset of
+    the exact guard's (precision 1 — candidates are exact-verified),
+    and every exact leak at/above the banding knee is found."""
+    from biodata_pipeline_spark.operators.dedup import (
+        cross_split_leakage,
+        cross_split_leakage_lsh,
+    )
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.train_id: r.jaccard
+        for r in cross_split_leakage(docs, 0.5).collect()
+    }
+    lsh = {
+        r.train_id: r.jaccard
+        for r in cross_split_leakage_lsh(docs, 0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for tid, jac in lsh.items():
+        assert jac <= exact[tid] + 1e-9  # best-match can only improve
+    # at/above the knee the banding collides with near-certainty
+    missed_high = {t for t, j in exact.items() if j >= 0.7} - set(lsh)
+    assert not missed_high
+
+
 def test_scrub_gate_hash_branch_matches_broadcast(spark, sf_dir):
     """The count-gated scale branch (xxhash64 keys, no broadcast hint)
     produces row-identical output to the broadcast branch — the gate is

@@ -317,3 +317,63 @@ def test_build_training_corpus_with_guards(spark, sf_dir):
     )
     leaked_now = {r.train_id for r in recheck.collect()} & ids
     assert not leaked_now, f"leaked train docs survived: {leaked_now}"
+
+
+def test_build_training_corpus_report(spark, sf_dir):
+    """Report mode surfaces the reference's between-stage counts
+    (run_data_generation_sophia.sh:61,65) upgraded with the graded
+    censuses: monotone stage counts, the scrub stage graded by
+    edit_severity, and the leak exclusion counted explicitly."""
+    from biodata_pipeline_spark.pipelines import build_training_corpus
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, report = build_training_corpus(
+        docs,
+        min_quality=0.3,
+        scrub_line_min_count=4,
+        holdout_fraction=0.1,
+        leakage_threshold=0.1,
+        with_report=True,
+    )
+    m = {r.metric: r.value for r in report.collect()}
+    assert set(m) == {
+        "input_docs",
+        "scrub_docs_kept",
+        "scrub_edit_trivial",
+        "scrub_edit_moderate",
+        "scrub_edit_rewrite",
+        "quality_lang_kept",
+        "dedup_survivors",
+        "leaked_train_docs_excluded",
+        "final_docs",
+    }
+    assert m["input_docs"] == docs.count()
+    assert m["final_docs"] == corpus.count()
+    assert (
+        m["input_docs"]
+        >= m["scrub_docs_kept"]
+        >= m["quality_lang_kept"]
+        >= m["dedup_survivors"]
+        >= m["final_docs"]
+    )
+    n_changed = (
+        m["scrub_edit_trivial"]
+        + m["scrub_edit_moderate"]
+        + m["scrub_edit_rewrite"]
+    )
+    assert n_changed >= 1, "the scrub should have changed some doc"
+
+
+def test_embedding_ingest_report_pristine_corpus(spark, sf_dir):
+    """The ingest-gate census on the pristine fixture: every vector
+    classes 'ok' (the planted-defect exercise lives in the declared
+    q_embedding_validate query)."""
+    from biodata_pipeline_spark.pipelines import embedding_ingest_report
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = embedding_ingest_report(emb, 64).collect()
+    assert {r.defect for r in rows} == {"ok"}
+    assert rows[0].n_vecs == emb.count()
+    assert rows[0].first_id == 0

@@ -81,4 +81,9 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "q21d_approx_percentiles",
         "q_approx_count_distinct",
         "q_cms_heavy_hitters",
+        # round 7: the production MinHash-banded split guard — xxhash64
+        # banding like q_minhash_lsh_dedup; its recall is hash-checked by
+        # q_leakage_recall_audit (md5 family, same geometry) and the
+        # exact q_split_leakage remains the bounded-slice audit twin.
+        "q_split_leakage_lsh",
     }, rows_only

@@ -186,3 +186,28 @@ def test_bpe_encode_corpus_query_histogram(spark):
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
     assert any(len(r.sym.replace("</w>", "")) > 1 for r in out)
+
+
+def test_pinned_merges_match_training(spark):
+    """The literals exported to the DuckDB oracle (BPE_PINNED_MERGES)
+    are exactly what the live training loop learns on the pin corpus
+    (sf0.01, the driver's correctness SF) — the promotion contract."""
+    from biodata_pipeline_spark.registry.textops import BPE_PINNED_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert bpe_train(docs, len(BPE_PINNED_MERGES)) == BPE_PINNED_MERGES
+
+
+def test_bpe_step_argmax_row1_is_last_pinned_merge(spark):
+    """On the pin corpus, the hash-checked step query's top row IS the
+    argmax the training loop merged at step k — the declared statistic
+    and the loop agree."""
+    from biodata_pipeline_spark.registry.textops import (
+        BPE_PINNED_MERGES,
+        q_bpe_step_argmax,
+    )
+
+    out = q_bpe_step_argmax(spark, "/root/testdata/sf0.01").collect()
+    assert (out[0].lhs, out[0].rhs) == BPE_PINNED_MERGES[-1]
+    counts = [r.pair_count for r in out]
+    assert counts == sorted(counts, reverse=True)
