@@ -16,6 +16,15 @@ nothing would skip result production; ``count`` on the final frame forces
 the full plan including output projection for aggregates; for wide detail
 outputs we use ``df.write.format("noop")`` so rows are fully produced but
 not collected to the driver).
+
+Execution model (round 7, VERDICT r6 #5): cost-ordered BATCHES of
+``BATCH_SIZE`` queries, each batch in a FRESH python+JVM subprocess
+(``SPARK_GRAFT_BENCH_KEYS`` re-invokes this script on a subset). One
+JVM running the whole ~52-query × 3-pass sequence accumulates code
+cache / GC history that the r6 harness fought with a per-query
+System.gc() nudge — which the r7 bisect identified as the r5→r6 drift
+itself (see release_accumulated). Set ``SPARK_GRAFT_BENCH_BATCHED=0``
+for the legacy single-JVM mode.
 """
 
 from __future__ import annotations
@@ -89,6 +98,11 @@ HEADLINE = [
     "q_line_dedup_scrub",         # 1.2 s — corpus-frequency line scrub
     "q_bpe_encode_corpus",        # 3.1 s — train 10 merges + encode vocab
     "q_edit_severity",            # 1.2 s — graded snapshot-edit census
+    # round 7 additions (new operators over the ~1 s line):
+    "q_split_leakage_lsh",        # 3.3 s — banded split guard (full corpus)
+    "q_leakage_recall_audit",     # cross-split banding recall vs exact
+    "q_bpe_step_argmax",          # pinned-fold step-k pair-count argmax
+    "q_bpe_encode_pinned",        # Arrow encode kernel, pinned merges
 ]
 
 
@@ -106,17 +120,27 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 
 
 def release_accumulated(spark) -> None:
-    """A ~140-query sequence in one JVM accumulates dead broadcast vars
-    and localCheckpoint blocks whose release rides the driver's GC →
-    ContextCleaner path; without a nudge the cleaner lags the sequence
-    and late queries degrade 2-4x (observed run-to-run totals 52→73 s
-    from this alone). Called once per query BETWEEN queries — not
-    between a query's two timed runs, so at least one run is free of
-    GC-adjacent allocator cold-start."""
-    import gc
+    """Between-queries housekeeping — deliberately NO forced full GC.
 
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
+    History (VERDICT r6 #5, resolved by bisection): round 6 added a
+    ``gc.collect()`` + ``System.gc()`` nudge here to stop the 140-query
+    single-JVM sequence from degrading 2-4× late in the run; the r7
+    bisect showed the nudge ITSELF was the broad r5→r6 ~1.18× drift —
+    a full System.gc() per query taxes the NEXT query ~0.1-0.3 s
+    (allocator / code-cache cold start), uniformly across unrelated
+    queries. Measured on the r5 36-key subset, same machine, same day,
+    isolated JVMs:
+
+        r5 code, its own harness (clearCache only)   31.5 s
+        current code + System.gc nudge               34.8 s  ← the drift
+        current code, clearCache only                30.7 s  ← drift gone
+        (r5-recorded numbers: 29.5 s — the ~4% residual is day noise)
+
+    Batched mode retires the accumulation problem the nudge was written
+    for — each fresh JVM runs only ~BATCH_SIZE queries — so this
+    reverts to the r5 behavior: release broadcast/localCheckpoint
+    blocks via a cache clear, let the JVM GC on its own schedule."""
+    spark.catalog.clearCache()
 
 
 def prev_bench() -> tuple[int, dict[str, float]] | None:
@@ -144,44 +168,62 @@ def prev_bench() -> tuple[int, dict[str, float]] | None:
     return best
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # Subset override (VERDICT r6 #5): run only these keys in THIS
-    # process — one fresh JVM per invocation. Used by the batched driver
-    # below and by drift experiments comparing against a prior round's
-    # tail in isolation.
-    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
-    global HEADLINE
-    if keys_env:
-        HEADLINE = [k for k in keys_env.split(",") if k]
+def bench_round(path: str) -> dict[str, float] | None:
+    """Per-query min-of-2 seconds recorded in a specific BENCH_r{N}.json
+    — reconstructed from the fat payload's "runs" when the compact
+    "queries" dict was truncated by the driver's tail capture (the r05
+    case)."""
+    import re
+
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    parsed = doc.get("parsed") or {}
+    if parsed.get("queries"):
+        return parsed["queries"]
+    tail = doc.get("tail", "")
+    m = re.search(r'"runs": (\{.*?\]\}), "run1_total"', tail)
+    if not m:
+        return None
+    try:
+        runs = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return None
+    return {k: min(v) for k, v in runs.items()}
+
+
+def run_inprocess(keys: list[str], sf_dir: str, sf: float) -> dict:
+    """Warm up + time ``keys`` in THIS process's single JVM; returns the
+    fat payload (no cross-round comparisons — the caller adds those)."""
     spark = get_spark("bench")
-    # Warm-up: run every headline query once at the TARGET SF so the timed
-    # runs measure steady-state execution. Warming at a smaller SF is not
+    # Warm-up: run every query once at the TARGET SF so the timed runs
+    # measure steady-state execution. Warming at a smaller SF is not
     # enough: AQE picks different plan shapes per input size, so the
-    # target-SF codegen classes can still JIT-compile inside the timed run
-    # (observed: q26 at 12-15 s cold vs 3.5 s steady-state).
-    for name in HEADLINE:
-        try:
-            run_one(spark, name, sf_dir)
-        except Exception:
-            pass
-        release_accumulated(spark)
+    # target-SF codegen classes can still JIT-compile inside the timed
+    # run (observed: q26 at 12-15 s cold vs 3.5 s steady-state).
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
+    for _ in range(warmups):
+        for name in keys:
+            try:
+                run_one(spark, name, sf_dir)
+            except Exception:
+                pass
+            release_accumulated(spark)
     # Steady-state timing: min of two timed runs per query (run_one's
-    # cache_scope unpersists each query's internal frames on exit, so both
-    # runs rebuild them — the min discards transient GC pauses /
-    # host-contention outliers, which were observed to inflate single runs
-    # up to 4× late in the sequence, not any cached state).
+    # cache_scope unpersists each query's internal frames on exit, so
+    # both runs rebuild them — the min discards transient GC pauses /
+    # host-contention outliers).
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in keys:
         runs[name] = [round(run_one(spark, name, sf_dir), 3) for _ in range(2)]
         timings[name] = min(runs[name])
         release_accumulated(spark)
-    total = round(sum(timings.values()), 3)
-    payload = {
+    return {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         # per-run detail (VERDICT r4): "queries" is min-of-two; "runs"
@@ -191,6 +233,88 @@ def main() -> None:
         "run1_total": round(sum(r[0] for r in runs.values()), 3),
         "sf": sf,
     }
+
+
+BATCH_SIZE = 12
+
+
+def run_batched(keys: list[str], sf_dir: str, sf: float) -> dict:
+    """Drift control (VERDICT r6 #5): the one-JVM 48-query sequence was
+    the prime suspect for the broad r5→r6 ~1.18× drift (accumulated JVM
+    state — code cache, GC history, broadcast/cleaner backlog — taxing
+    late queries). Run the headline in cost-ordered batches, each in a
+    FRESH python+JVM subprocess (SPARK_GRAFT_BENCH_KEYS subsets this
+    same script), and merge. Cost order (cheapest first, by the prior
+    round's timings; unknown new queries last) keeps each JVM's
+    lifetime workload comparable round-over-round."""
+    import subprocess
+
+    prev = prev_bench()
+    cost = prev[1] if prev else {}
+    ordered = sorted(keys, key=lambda k: (cost.get(k, float("inf")), k))
+    batches = [
+        ordered[i : i + BATCH_SIZE] for i in range(0, len(ordered), BATCH_SIZE)
+    ]
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    batch_info = []
+    for batch in batches:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_KEYS"] = ",".join(batch)
+        env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith('{"metric"')
+            ),
+            None,
+        )
+        if line is None:
+            raise RuntimeError(
+                f"bench batch failed: {proc.stderr[-800:]}"
+            )
+        child = json.loads(line)
+        timings.update(child["queries"])
+        runs.update(child["runs"])
+        batch_info.append(
+            {"keys": batch, "total": round(sum(child["queries"].values()), 3)}
+        )
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "run1_total": round(sum(r[0] for r in runs.values()), 3),
+        "batches": batch_info,
+        "sf": sf,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Key subset (drift experiments / external orchestration): replaces
+    # HEADLINE for this invocation, batched or not.
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    keys = [k for k in keys_env.split(",") if k] if keys_env else list(HEADLINE)
+    # Batch child (one fresh JVM): print the fat payload only — the
+    # batched parent merges and owns the final compact line.
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        print(json.dumps(run_inprocess(keys, sf_dir, sf)))
+        return
+    if os.environ.get("SPARK_GRAFT_BENCH_BATCHED", "1") != "0":
+        payload = run_batched(keys, sf_dir, sf)
+    else:
+        payload = run_inprocess(keys, sf_dir, sf)
+    timings = payload["queries"]
     prev = prev_bench()
     if prev is not None:
         rnd, prev_queries = prev
@@ -200,6 +324,17 @@ def main() -> None:
             "n_shared": len(shared),
             "this_total": round(sum(timings[k] for k in shared), 3),
             "prev_total": round(sum(prev_queries[k] for k in shared), 3),
+        }
+    # the r5 anchor (VERDICT r6 #5): r5's best-of-2 numbers were the
+    # series' fastest; report the shared-key subtotal against them too
+    here = os.path.dirname(os.path.abspath(__file__))
+    r5 = bench_round(os.path.join(here, "BENCH_r05.json"))
+    if r5:
+        shared5 = sorted(set(timings) & set(r5))
+        payload["shared_with_r5"] = {
+            "n_shared": len(shared5),
+            "this_total": round(sum(timings[k] for k in shared5), 3),
+            "r5_total": round(sum(r5[k] for k in shared5), 3),
         }
     # Fat payload first (per-run detail for humans / SCALING.md) ...
     print(json.dumps(payload))
@@ -216,7 +351,12 @@ def main() -> None:
     }
     if "shared_with_prev" in payload:
         compact["shared_with_prev"] = payload["shared_with_prev"]
+    if "shared_with_r5" in payload:
+        compact["shared_with_r5"] = payload["shared_with_r5"]
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        compact.pop("shared_with_r5", None)
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         compact.pop("shared_with_prev", None)
         line = json.dumps(compact, separators=(",", ":"))
