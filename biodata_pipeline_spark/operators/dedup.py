@@ -452,7 +452,19 @@ def cross_split_leakage_lsh(
     if num_hashes % n_bands:
         raise ValueError("num_hashes must divide evenly into n_bands")
     r = num_hashes // n_bands
-    flagged = df.select(
+    # Contentless docs (NULL text / fewer than n tokens) have no
+    # shingles, so the EXACT guard can never flag them — and without
+    # this filter every null-text doc shares the NULL content key, so
+    # one held-out null doc would mark ALL null train docs as
+    # jaccard-1.0 leaks (the fake-dup-cluster trap the r6 null sweep
+    # found in MinHash signatures; found here by the same probe in r7).
+    # The cheap text-level predicate matches shingle_hash_table's gate.
+    has_content = (
+        F.col(text_col).isNotNull()
+        & (F.length(F.trim(F.col(text_col))) > 0)
+        & (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
+    )
+    flagged = df.filter(has_content).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         sample_predicate(id_col, test_fraction, salt).alias("__is_test"),

@@ -495,6 +495,15 @@ def test_cross_split_leakage_lsh_planted_leaks(spark):
             rows.append((i, near))
         else:
             rows.append((i, f"filler document number {i} with its own words {i}"))
+    # contentless docs must never leak: NULL text on both sides (the
+    # NULL content key must not form a fake dup cluster — r7 null-probe
+    # find), plus an under-3-token doc duplicated across the split
+    # (no shingles ⇒ the exact guard can't flag it; neither may we)
+    rows[train[3]] = (train[3], None)
+    rows[held[1]] = (held[1], None)
+    rows[train[4]] = (train[4], "too short")
+    if len(held) > 2:
+        rows[held[2]] = (held[2], "too short")
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
         r.train_id: (r.test_id, r.jaccard)
