@@ -103,6 +103,7 @@ HEADLINE = [
     "q_leakage_recall_audit",     # cross-split banding recall vs exact
     "q_bpe_step_argmax",          # pinned-fold step-k pair-count argmax
     "q_bpe_encode_pinned",        # Arrow encode kernel, pinned merges
+    "q_bpe_pack_ids",             # tokenize→ids→pack composition
 ]
 
 

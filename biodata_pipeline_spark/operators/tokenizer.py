@@ -241,3 +241,151 @@ def bpe_encode(col, merges: list[tuple[str, str]]):
             syms, F.array().cast("array<string>"), merge_fold(a, b)
         )
     return syms
+
+
+def vocab_table(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """``(sym, id, cnt)`` — the trained tokenizer's vocabulary with
+    deterministic contiguous ids: rank by corpus-weighted frequency
+    (count desc, sym asc — a total order, so ids are engine-independent).
+
+    The rank is an exclusive prefix sum of 1 over that order, computed
+    with the distributed two-phase prefix sum (operators/sharding.py) —
+    NOT a global single-partition window, so the id assignment holds at
+    any vocabulary size (a 100 TB multilingual corpus can push the
+    subword vocabulary into the millions)."""
+    return vocab_from_encoded(bpe_encode_words(word_counts(df), merges))
+
+
+def vocab_from_encoded(enc: DataFrame) -> DataFrame:
+    """``vocab_table`` from an already-encoded word table ``(w, n,
+    syms)`` — callers that also need the per-word symbols (e.g.
+    ``corpus_token_ids``) persist that frame and share it instead of
+    running the word-count scan + encode kernel twice."""
+    from biodata_pipeline_spark.operators.sharding import ordered_prefix_sum
+
+    counts = (
+        enc.select(F.explode("syms").alias("sym"), "n")
+        .groupBy("sym")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+    ranked = ordered_prefix_sum(
+        counts.withColumn("__negcnt", -F.col("cnt")).withColumn(
+            "__one", F.lit(1)
+        ),
+        ["__negcnt", "sym"],
+        "__one",
+        out_col="id",
+    )
+    return ranked.select("sym", "id", "cnt")
+
+
+def corpus_token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Tokenize the corpus to ID arrays — the Megatron-style preprocess
+    step a training pipeline runs after tokenizer induction. Returns
+    ``(vocab, doc_tokens)`` with ``doc_tokens = (id_col, ids
+    array<long>, n_tok)``; a doc's ids follow its token order, each
+    token's subwords in merge order.
+
+    Scale shape: the encode is VOCABULARY-sized (the kernel runs on the
+    distinct-word table, never the corpus — ``bpe_encode_words``); the
+    corpus-sized work is one token explode (narrow map), one join
+    against the word→ids table (vocabulary-sized build side — AQE
+    broadcasts it when it fits, and it fits for any natural language),
+    and one groupBy(doc) reassembly whose per-group state is bounded by
+    document length. No token-level shuffle carries strings — only
+    (doc, pos, id) longs after the join."""
+    from biodata_pipeline_spark.functions.textfn import tokens
+    from biodata_pipeline_spark.operators.caching import register_cached
+
+    # ONE word-count scan + ONE kernel pass, shared by the vocab build
+    # and the word→ids table (unpersisted, both the corpus scan and the
+    # Arrow encode ran twice — measured 2× the whole front half).
+    enc = register_cached(
+        bpe_encode_words(word_counts(df), merges)
+        .select("w", "n", "syms")
+        .persist()
+    )
+    vocab = vocab_from_encoded(enc)
+    word_ids = (
+        enc.select("w", F.posexplode("syms").alias("si", "sym"))
+        .join(vocab.select("sym", "id"), "sym")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("si", "id"))),
+                lambda s: s["id"],
+            ).alias("__wids")
+        )
+    )
+    doc_tokens = (
+        df.select(
+            F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+        )
+        .join(word_ids, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__wids"))),
+                    lambda s: s["__wids"],
+                )
+            ).alias("ids")
+        )
+        .withColumn("n_tok", F.size("ids").cast("long"))
+    )
+    return vocab, doc_tokens
+
+
+def pack_token_ids(
+    doc_tokens: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack per-doc token-id arrays into fixed-length training
+    sequences — documents concatenated in ``id_col`` order, cut every
+    ``seq_len`` tokens, docs spanning sequence boundaries split across
+    them (the standard LLM pretraining layout; the trailing partial
+    sequence is emitted unpadded). Returns ``(seq_id, ids, n_tokens)``.
+
+    Scale shape: ONE doc-level distributed prefix sum gives each doc
+    its global token offset (no token-level prefix machinery — a
+    token's global position is offset + its index, a pure map), then
+    one shuffle groups (seq_id, pos_in_seq, id) longs into sequences;
+    per-group state is exactly ``seq_len`` ids."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from biodata_pipeline_spark.operators.sharding import ordered_prefix_sum
+
+    offd = ordered_prefix_sum(
+        doc_tokens,
+        [id_col],
+        "n_tok",
+        # NOT "__off": ordered_prefix_sum uses that name internally and
+        # drops it on the way out, so an out_col of "__off" vanishes
+        out_col="token_offset",
+        num_partitions=num_partitions,
+    )
+    tok = offd.select(
+        "token_offset", F.posexplode("ids").alias("__i", "id")
+    ).select((F.col("token_offset") + F.col("__i")).alias("__gpos"), "id")
+    return (
+        tok.select(
+            F.floor(F.col("__gpos") / seq_len).cast("long").alias("seq_id"),
+            (F.col("__gpos") % seq_len).alias("__p"),
+            "id",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "id"))),
+                lambda s: s["id"],
+            ).alias("ids"),
+        )
+        .withColumn("n_tokens", F.size("ids").cast("long"))
+    )

@@ -302,6 +302,42 @@ def build_training_corpus(
     return corpus
 
 
+def tokenize_and_pack(
+    docs: DataFrame,
+    seq_len: int,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 32,
+    sink_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The tokenizer-to-training-batches path: induce (or take) a BPE
+    merge list, encode the corpus to token-id arrays, and pack them
+    into fixed-``seq_len`` sequences — documents concatenated in id
+    order, split across sequence boundaries, trailing partial sequence
+    unpadded (the standard LLM pretraining layout; Megatron-style
+    preprocessing as Spark operators). Returns ``(vocab, sequences)``;
+    ``sink_dir`` writes the sequences as parquet.
+
+    Reference anchor: the reference tokenizes each training example
+    inside the trainer's dataloader per epoch
+    (train_adapters/RAG-eval-create_model.py:147-153); this runs the
+    same tokenization ONCE, corpus-wide, producing reusable packed
+    batches — the scale-correct factoring at 100 TB.
+    """
+    from biodata_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+        corpus_token_ids,
+        pack_token_ids,
+    )
+
+    if merges is None:
+        merges = bpe_train(docs, n_merges)
+    vocab, doc_tokens = corpus_token_ids(docs, merges)
+    seqs = pack_token_ids(doc_tokens, seq_len)
+    if sink_dir:
+        seqs.write.mode("overwrite").parquet(sink_dir)
+    return vocab, seqs
+
+
 def export_training_shards(
     corpus: DataFrame,
     sink_dir: str,

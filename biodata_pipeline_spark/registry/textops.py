@@ -396,6 +396,43 @@ def q_bpe_encode_pinned(spark, sf_dir):
     )
 
 
+BPE_PACK_SEQ_LEN = 256
+
+
+def q_bpe_pack_ids(spark, sf_dir):
+    """The tokenizer-to-training-batches path, hash-checked end to end:
+    encode the corpus to token IDS under the pinned merges (vocab ids =
+    rank by corpus frequency, assigned via the distributed prefix sum —
+    operators/tokenizer.py::vocab_table), concatenate documents in
+    doc_id order, cut every BPE_PACK_SEQ_LEN tokens (docs split across
+    boundaries — the standard LLM pretraining layout), and emit
+    per-sequence invariants: token count, id sum, first/last id. The
+    DuckDB oracle rebuilds the identical stream (separator-string fold
+    → row_number vocab ranks → global token positions), so the whole
+    kernel→vocab→prefix-sum→pack composition gets one value-hash row.
+    chr(31) is scrubbed from the text first on both sides (it is the
+    oracle's symbol separator; zero occurrences in the corpus)."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        corpus_token_ids,
+        pack_token_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _BPE_SEP, " ")
+    )
+    _, doc_tokens = corpus_token_ids(docs, BPE_PINNED_MERGES)
+    seqs = pack_token_ids(doc_tokens, BPE_PACK_SEQ_LEN)
+    return seqs.select(
+        "seq_id",
+        "n_tokens",
+        F.aggregate(
+            "ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("ids_sum"),
+        F.element_at("ids", 1).alias("first_id"),
+        F.element_at("ids", -1).alias("last_id"),
+    )
+
+
 BM25_TERMS = ("hash", "merge", "vector")
 BM25_TOPK = 20
 RRF_TOPN = 50
@@ -1156,6 +1193,7 @@ SPARK = {
     "q_bpe_encode_corpus": q_bpe_encode_corpus,
     "q_bpe_step_argmax": q_bpe_step_argmax,
     "q_bpe_encode_pinned": q_bpe_encode_pinned,
+    "q_bpe_pack_ids": q_bpe_pack_ids,
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_multi_topk": q_bm25_multi_topk,
     "q_hybrid_rrf": q_hybrid_rrf,
@@ -1410,6 +1448,64 @@ ORACLE = {
         FROM sym GROUP BY 1
         ORDER BY sym_count DESC, sym ASC
         LIMIT {BPE_VOCAB_TOPK}
+    """,
+    "q_bpe_pack_ids": f"""
+        WITH doc0 AS (
+            SELECT doc_id, replace(text, chr(31), ' ') AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+            FROM doc0
+        ),
+        doctok AS (
+            SELECT doc_id, g.i AS pos, t[CAST(g.i AS INTEGER)] AS w
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE g.i <= len(t)
+        ),
+        words AS (SELECT w, count(*) AS n FROM doctok GROUP BY w),
+        wsyms AS (
+            SELECT w, n,
+                   list_filter(
+                       string_split(
+                           {_sep_fold_sql("(" + _SEP_SYMS_SQL + ")",
+                                          BPE_PINNED_MERGES)},
+                           chr(31)),
+                       x -> x != '') AS l
+            FROM words
+        ),
+        symcnt AS (
+            SELECT sym, CAST(sum(n) AS BIGINT) AS cnt
+            FROM (SELECT unnest(l) AS sym, n FROM wsyms) GROUP BY sym
+        ),
+        vocab AS (
+            SELECT sym,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, sym) - 1
+                        AS BIGINT) AS id
+            FROM symcnt
+        ),
+        wids AS (
+            SELECT x.w, x.si, v.id FROM (
+                SELECT ws.w, g.i AS si,
+                       ws.l[CAST(g.i AS INTEGER)] AS sym
+                FROM wsyms ws, generate_series(1, 8192) AS g(i)
+                WHERE g.i <= len(ws.l)
+            ) x JOIN vocab v ON v.sym = x.sym
+        ),
+        stream AS (
+            SELECT wi.id,
+                   row_number() OVER (ORDER BY d.doc_id, d.pos, wi.si) - 1
+                       AS gpos
+            FROM doctok d JOIN wids wi ON wi.w = d.w
+        )
+        SELECT CAST(gpos // {BPE_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(id) AS BIGINT) AS ids_sum,
+               CAST(arg_min(id, gpos) AS BIGINT) AS first_id,
+               CAST(arg_max(id, gpos) AS BIGINT) AS last_id
+        FROM stream GROUP BY 1
     """,
     "q_bm25_topk": f"""
         WITH {_BM25_CTES}

@@ -211,3 +211,54 @@ def test_bpe_step_argmax_row1_is_last_pinned_merge(spark):
     assert (out[0].lhs, out[0].rhs) == BPE_PINNED_MERGES[-1]
     counts = [r.pair_count for r in out]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_vocab_table_ids_are_contiguous_frequency_ranks(spark):
+    """vocab_table ids are 0..V-1, assigned by (corpus count desc, sym
+    asc) — computed via the distributed prefix sum, checked against a
+    driver-side sort of the same counts."""
+    from biodata_pipeline_spark.operators.tokenizer import vocab_table
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe_train(df, 8)
+    rows = vocab_table(df, merges).collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(len(rows)))
+    want = sorted(rows, key=lambda r: (-r.cnt, r.sym))
+    assert [r.id for r in want] == list(range(len(rows)))
+
+
+def test_tokenize_and_pack_reconstructs_token_stream(spark):
+    """Packing is lossless and exact: concatenating the packed
+    sequences in seq_id order reproduces the per-doc id arrays
+    concatenated in doc_id order; every sequence but the last is
+    exactly seq_len long; ids stay inside the vocabulary."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        corpus_token_ids,
+        pack_token_ids,
+    )
+    from biodata_pipeline_spark.pipelines import tokenize_and_pack
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, 8)
+    vocab, doc_tokens = corpus_token_ids(df, merges)
+    seq_len = 16
+    seqs = {r.seq_id: r for r in pack_token_ids(doc_tokens, seq_len).collect()}
+    n_seq = len(seqs)
+    assert sorted(seqs) == list(range(n_seq))
+    stream_packed = [i for s in range(n_seq) for i in seqs[s].ids]
+    docs_sorted = sorted(doc_tokens.collect(), key=lambda r: r.doc_id)
+    stream_docs = [i for r in docs_sorted for i in r.ids]
+    assert stream_packed == stream_docs
+    for s in range(n_seq - 1):
+        assert seqs[s].n_tokens == seq_len
+    assert 0 < seqs[n_seq - 1].n_tokens <= seq_len
+    vmax = vocab.count()
+    assert all(0 <= i < vmax for i in stream_packed)
+
+    # the pipeline composition returns the same sequences
+    _, seqs2 = tokenize_and_pack(df, seq_len, merges=merges)
+    got = {r.seq_id: list(r.ids) for r in seqs2.collect()}
+    assert got == {s: list(r.ids) for s, r in seqs.items()}
