@@ -1335,3 +1335,205 @@ def embedding_dedup_survivors(
     )
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dup_ids, id_col, "left_anti")
+
+
+def _read_index_part(spark, index_dir: str, part: str) -> DataFrame | None:
+    try:
+        # drop("batch_id") is a no-op for stores written without batching
+        return spark.read.parquet(f"{index_dir}/{part}").drop("batch_id")
+    except AnalysisException as e:
+        if _is_store_missing(e):
+            return None
+        raise
+
+
+def incremental_near_dup_filter(
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 100_000,
+    batch_id: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch near-dup gate: filter a NEW batch of documents
+    against everything already accepted, then enroll the survivors.
+
+    ``minhash_lsh_dup_pairs`` answers "which pairs in THIS corpus are
+    near-dups"; ``SignatureStore.admit`` answers the incremental
+    DETECTION question — log every new-vs-history pair, state appended
+    unconditionally. This operator is the third contract, the one an
+    ingest pipeline actually gates on: DECIDE keep/drop per new doc and
+    enroll ONLY the survivors, so the index stays exactly the
+    accepted-set (admitting dups too would make every future batch pay
+    candidate width for docs that were rejected) — all without
+    re-banding history. The index at ``index_dir`` persists the
+    accepted docs' LSH state (``bands/``: one (id, band, bucket) row
+    per band; ``hashes/``: the shingle-hash set per id, for exact
+    verification), so each batch costs: batch-sized signature work +
+    one equi-join of the batch's bands against the stored bands + exact
+    verify on candidates only. History is never re-scanned, only
+    joined — and the join's stream side is the BATCH (small), so AQE
+    broadcasts it against the big stored side; at warehouse scale,
+    bucketing the stored side on (band, bucket) removes its shuffle
+    entirely (same layout contract as sources/sinks.py).
+
+    Decision order inside the batch (deterministic):
+      1. exact duplicates collapse to their min-id representative
+         (members report scope='exact');
+      2. reps near-dupping the INDEX are dropped (scope='index');
+      3. among surviving reps, near-dup pairs keep the min id
+         (scope='batch') — resolved transitively via min-id closure so
+         a chain a~b~c keeps exactly a.
+    Returns ``(kept_docs, report)`` — kept rows of ``new_docs`` and one
+    row per DROPPED id: (id, matched_id, jaccard, scope). Both frames
+    are materialized (localCheckpoint) BEFORE the index append — they
+    must not lazily re-read the index they are about to grow — and the
+    survivors' bands + hash sets are appended last. Pass ``batch_id``
+    to make the index append IDEMPOTENT per batch (each batch's rows
+    land in their own ``batch_id=`` partition via dynamic partition
+    overwrite — the SignatureStore trick), so a foreachBatch retry
+    overwrites its own partition; without it each call appends, and a
+    replay that re-appends duplicate index rows only costs bucket-join
+    width, never correctness (candidates are dropDuplicates'd and
+    verified exactly).
+
+    Reference anchor: the reference's only cross-run dedup is
+    skip-if-exists on output filenames
+    (generate_narratives_from_data.py:63-65) — identity-keyed, blind to
+    content. This is the content-keyed, near-duplicate-aware form a
+    training-data ingest needs.
+    """
+    from pyspark.sql import Window
+
+    if num_hashes % n_bands:
+        raise ValueError("num_hashes must divide evenly into n_bands")
+    r = num_hashes // n_bands
+    spark = new_docs.sparkSession
+
+    distinct, exact_edges = collapse_exact(new_docs, id_col, text_col)
+    base = register_cached(
+        shingle_hash_table(distinct, id_col, text_col, n).persist()
+    )
+    sig = base.withColumn("sig", minhash_signature_from("hs", num_hashes))
+    bands = register_cached(
+        sig.select(
+            "id",
+            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
+                "band", "bucket"
+            ),
+        ).persist()
+    )
+    bands = prune_mega_buckets(bands, max_bucket)
+
+    def verified(cands: DataFrame, other_hs: DataFrame) -> DataFrame:
+        """cands(id, other_id) -> (id, other_id, jaccard >= threshold)"""
+        v = cands.join(
+            base.select(F.col("id"), F.col("hs").alias("__sa")), "id"
+        ).join(
+            other_hs.select(
+                F.col("id").alias("other_id"), F.col("hs").alias("__sb")
+            ),
+            "other_id",
+        )
+        inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+        return (
+            v.withColumn(
+                "jaccard",
+                F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 9),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id", "other_id", "jaccard")
+        )
+
+    # --- step 2: batch reps vs the stored index -------------------------
+    idx_bands = _read_index_part(spark, index_dir, "bands")
+    idx_hashes = _read_index_part(spark, index_dir, "hashes")
+    if idx_bands is not None and idx_hashes is not None:
+        cand_idx = (
+            bands.join(
+                idx_bands.withColumnRenamed("id", "other_id"),
+                ["band", "bucket"],
+            )
+            # self-pairs appear only when a replayed batch meets its own
+            # prior enrollment; excluding them makes a batch_id retry
+            # return the identical decision, not "all index dups"
+            .filter(F.col("id") != F.col("other_id"))
+            .select("id", "other_id")
+            .dropDuplicates(["id", "other_id"])
+        )
+        vs_index = verified(cand_idx, idx_hashes)
+    else:
+        id_type = dict(base.dtypes)["id"]
+        vs_index = spark.createDataFrame(
+            [], f"id {id_type}, other_id {id_type}, jaccard double"
+        )
+    w_best = Window.partitionBy("id").orderBy(F.desc("jaccard"), F.asc("other_id"))
+    index_drops = register_cached(
+        vs_index.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("other_id").alias("matched_id"), "jaccard")
+        .persist()
+    )
+
+    # --- step 3: near-dup pairs among the remaining reps ----------------
+    alive = bands.join(index_drops.select("id"), "id", "left_anti")
+    cand_batch = (
+        alive.alias("a")
+        .join(alive.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("b.id").alias("id"), F.col("a.id").alias("other_id"))
+        .dropDuplicates(["id", "other_id"])
+    )
+    batch_pairs = verified(cand_batch, base)
+    # min-id closure: drop ids that near-dup a SMALLER surviving id; a
+    # chain a~b~c keeps exactly a because every later member pairs with
+    # an earlier one at/above threshold via the banding candidates
+    batch_drops = (
+        batch_pairs.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("other_id").alias("matched_id"), "jaccard")
+    )
+
+    dropped = register_cached(
+        index_drops.withColumn("scope", F.lit("index"))
+        .unionByName(batch_drops.withColumn("scope", F.lit("batch")))
+        .persist()
+    )
+    exact_report = (
+        exact_edges.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("matched_id"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact").alias("scope"),
+        )
+    )
+    report = (
+        dropped.unionByName(exact_report)
+        .select("id", "matched_id", "jaccard", "scope")
+        .localCheckpoint()
+    )
+    kept = (
+        distinct.join(dropped.select("id"), F.col(id_col) == F.col("id"), "left_anti")
+        .localCheckpoint()
+    )
+
+    # --- enroll survivors LAST (after materialization above) ------------
+    kept_ids = kept.select(F.col(id_col).alias("id"))
+    new_bands = bands.join(kept_ids, "id", "left_semi")
+    new_hashes = base.join(kept_ids, "id", "left_semi")
+    if batch_id is None:
+        new_bands.write.mode("append").parquet(f"{index_dir}/bands")
+        new_hashes.write.mode("append").parquet(f"{index_dir}/hashes")
+    else:
+        SignatureStore._write_batch(
+            spark, new_bands, f"{index_dir}/bands", batch_id
+        )
+        SignatureStore._write_batch(
+            spark, new_hashes, f"{index_dir}/hashes", batch_id
+        )
+    return kept, report

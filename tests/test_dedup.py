@@ -572,3 +572,105 @@ def test_scrub_frequent_lines_rejects_degenerate_min_count(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="min_count"):
         scrub_frequent_lines(docs, min_count=1)
+
+
+def test_incremental_near_dup_filter_across_batches(spark, tmp_path):
+    """Cross-batch gate: batch 1 enrolls; batch 2's exact dup, near dup,
+    and internal dup pair are dropped with the right scopes while the
+    genuinely new doc survives; re-offering the accepted docs drops
+    everything against the index."""
+    from biodata_pipeline_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    idx = str(tmp_path / "nd_index")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "a completely different first document body here now one"),
+            (3, "yet another unrelated piece of training text entirely two"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept1, rep1 = incremental_near_dup_filter(b1, idx, 0.5)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 2, 3]
+    assert rep1.count() == 0
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),              # exact dup of enrolled doc 1 (via rep 10? no: collapse within batch only -> vs index 1.0)
+            (11, near),              # near dup of enrolled doc 1
+            (12, "a brand new unique document that matches nothing else"),
+            (13, "twin text shared inside this batch only here today yes"),
+            (14, "twin text shared inside this batch only here today yes"),
+            (15, "twin text shared inside this batch only here well today"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept2, rep2 = incremental_near_dup_filter(b2, idx, 0.5)
+    scopes = {r.id: (r.matched_id, r.scope) for r in rep2.collect()}
+    kept_ids = sorted(r.doc_id for r in kept2.collect())
+    assert kept_ids == [12, 13, 15] or kept_ids == [12, 13]
+    # 10 is byte-identical to enrolled doc 1 -> index drop at jaccard 1.0
+    assert scopes[10] == (1, "index")
+    assert scopes[11][0] == 1 and scopes[11][1] == "index"
+    # 14 is an exact dup of 13 within the batch
+    assert scopes[14] == (13, "exact")
+    if 15 in scopes:
+        assert scopes[15] == (13, "batch")
+    jacc = {r.id: r.jaccard for r in rep2.collect()}
+    assert jacc[10] == 1.0
+
+    # re-offer the batch-2 survivors under fresh ids: all index drops now
+    b3 = spark.createDataFrame(
+        [(20 + i, r.text) for i, r in enumerate(kept2.collect())],
+        ["doc_id", "text"],
+    )
+    kept3, rep3 = incremental_near_dup_filter(b3, idx, 0.5)
+    assert kept3.count() == 0
+    assert {r.scope for r in rep3.collect()} == {"index"}
+
+
+def test_incremental_near_dup_filter_batch_id_retry_idempotent(spark, tmp_path):
+    """A retried batch (same batch_id) overwrites its own index
+    partition instead of double-enrolling, and returns the same
+    decision."""
+    from biodata_pipeline_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    idx = str(tmp_path / "nd_idx2")
+    b1 = spark.createDataFrame(
+        [(1, "first document body with plenty of distinct words inside")],
+        ["doc_id", "text"],
+    )
+    incremental_near_dup_filter(b1, idx, 0.5, batch_id="b1")
+    b2 = spark.createDataFrame(
+        [
+            (2, "second document body sharing no words with the first"),
+            (3, "second document body sharing no words with the first"),
+        ],
+        ["doc_id", "text"],
+    )
+    k_a, r_a = incremental_near_dup_filter(b2, idx, 0.5, batch_id="b2")
+    n_bands_after = spark.read.parquet(f"{idx}/bands").count()
+    # retry the SAME batch: decision unchanged vs the enrolled history...
+    k_b, r_b = incremental_near_dup_filter(b2, idx, 0.5, batch_id="b2")
+    # ...the retry returns the identical decision (self-pairs against its
+    # own prior enrollment are excluded) and the STORE holds the same
+    # rows — no second copy
+    assert sorted(r.doc_id for r in k_b.collect()) == sorted(
+        r.doc_id for r in k_a.collect()
+    )
+    assert {(r.id, r.scope) for r in r_b.collect()} == {
+        (r.id, r.scope) for r in r_a.collect()
+    }
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands_after
+    ids = sorted(
+        r.id for r in spark.read.parquet(f"{idx}/bands").select("id").distinct().collect()
+    )
+    assert ids == [1, 2]
+    assert sorted(r.doc_id for r in k_a.collect()) == [2]
+    assert {(r.id, r.scope) for r in r_a.collect()} == {(3, "exact")}
