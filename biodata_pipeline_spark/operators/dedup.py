@@ -1379,7 +1379,7 @@ def incremental_near_dup_filter(
     joined — and the join's stream side is the BATCH (small), so AQE
     broadcasts it against the big stored side; at warehouse scale,
     bucketing the stored side on (band, bucket) removes its shuffle
-    entirely (same layout contract as sources/sinks.py).
+    entirely (the sources/bucketing.py layout contract).
 
     Decision order inside the batch (deterministic):
       1. exact duplicates collapse to their min-id representative

@@ -319,3 +319,54 @@ def test_incremental_shard_export_crash_resume_byte_identical(
         for r in spark.read.parquet(p).collect()
     )
     assert man_key(run["man"]) == man_key(ref["man"])
+
+
+def test_dedup_ingest_stream_gates_across_batches(spark, tmp_path):
+    """The gated ingest end to end: a 2-batch stream where batch 2
+    repeats batch-1 content — accepted corpus holds one copy per
+    distinct content, drops are reported with scopes, and a re-drive of
+    the same source adds nothing."""
+    from biodata_pipeline_spark.streaming.dedup_ingest import run_dedup_ingest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [
+        (1, base),
+        (2, "a first unique document with its own body of words here"),
+    ]
+    b2 = [
+        (10, base),  # exact dup of accepted doc 1, later batch
+        (11, "a second unique document unlike anything else in the set"),
+        (12, "a second unique document unlike anything else in the set"),
+    ]
+    src = str(tmp_path / "din_src")
+    spark.createDataFrame(b1, ["doc_id", "text"]).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    spark.createDataFrame(b2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    dirs = {k: str(tmp_path / f"din_{k}") for k in ("idx", "acc", "rep", "ckpt")}
+    schema = "doc_id long, text string"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_dedup_ingest(
+        stream(), dirs["ckpt"], dirs["idx"], dirs["acc"], dirs["rep"], 0.5
+    )
+    acc = spark.read.parquet(dirs["acc"])
+    assert sorted(r.doc_id for r in acc.collect()) == [1, 2, 11]
+    rep = {r.id: r.scope for r in spark.read.parquet(dirs["rep"]).collect()}
+    assert rep[10] == "index" and rep[12] == "exact"
+    assert set(rep) == {10, 12}
+
+    # re-drive with the same checkpoint: nothing new anywhere
+    run_dedup_ingest(
+        stream(), dirs["ckpt"], dirs["idx"], dirs["acc"], dirs["rep"], 0.5
+    )
+    assert spark.read.parquet(dirs["acc"]).count() == 3
+    assert spark.read.parquet(dirs["rep"]).count() == 2
