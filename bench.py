@@ -104,6 +104,7 @@ HEADLINE = [
     "q_bpe_step_argmax",          # pinned-fold step-k pair-count argmax
     "q_bpe_encode_pinned",        # Arrow encode kernel, pinned merges
     "q_bpe_pack_ids",             # tokenize→ids→pack composition
+    "q_passage_scrub",            # sliding-window passage removal
 ]
 
 

@@ -702,6 +702,159 @@ def scrub_frequent_lines(
     )
 
 
+def scrub_repeated_passages(
+    df: DataFrame,
+    min_count: int = 3,
+    window: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_windows: int = 1_000_000,
+) -> DataFrame:
+    """Remove corpus-repeated passages at SLIDING-window granularity —
+    the removal counterpart of the ``duplicated_passages`` audit and the
+    window-level approximation of Lee et al. 2022's exact-substring
+    dedup (their suffix-array pass removes substrings occurring ≥ k
+    times; here the unit is a ``window``-token span, counted with
+    multiplicity, and removal is positional).
+
+    A token POSITION is boilerplate iff ANY ``window``-token span
+    covering it occurs ``min_count``+ times corpus-wide — so a repeated
+    passage of any length ≥ window is removed in full (every position
+    of a long repeat is covered by some frequent window), while the
+    unique text around it survives. This is what
+    ``scrub_frequent_lines`` cannot do: its fixed non-overlapping
+    windows miss repeats that straddle window boundaries or start at
+    shifted offsets.
+
+    Output: ``(id_col, n_tokens, n_removed, clean_text)`` — one row per
+    doc with non-NULL text (shorter-than-window docs pass through
+    untouched; a fully-boilerplate doc returns ``clean_text = ''``, so
+    removal is observable, never silent).
+
+    Plan shape at scale: the window explode is map work (one row per
+    token position, narrow); the frequency count is ONE hash
+    aggregation with map-side combine (repeats collapse before the
+    shuffle — the boilerplate being removed compresses best); the flag
+    join is COUNT-GATED to broadcast exactly like scrub_frequent_lines
+    (raw strings under ``broadcast_max_windows``, xxhash64 keys with no
+    hint above — same OOM guard, same collision story); covered
+    positions expand windows→positions per flagged start (bounded ×w
+    map fan-out on the FLAGGED subset only); reassembly is one
+    groupBy(id) collecting the bad-position set — per-doc state bounded
+    by document length — and an array filter over the let-bound token
+    array (no re-tokenize, no order shuffle).
+    """
+    if min_count < 2:
+        raise ValueError("min_count < 2 would scrub every window")
+    if window < 1:
+        raise ValueError("window must be positive")
+
+    live = df.filter(F.col(text_col).isNotNull())
+    # The scrub is a pure function of CONTENT, so on a duplicate-heavy
+    # corpus the positional work runs once per DISTINCT content with
+    # window counts weighted by copy multiplicity, and results propagate
+    # to members over the collapse edges — the duplicated_passages
+    # pattern (case-preserving key: window identity is exact token
+    # equality). Gated exactly like there: on duplicate-light corpora
+    # the collapse machinery is pure overhead and both branches are
+    # provably identical. Measured 272 s → single-digit seconds on the
+    # 100×-duplicated replica.
+    if duplication_ratio(live, gate_key(text_col)) >= DUP_GATE_RATIO:
+        distinct, edges, weights = live, None, None
+    else:
+        distinct, edges = collapse_identical(
+            live, id_col, case_exact_key(text_col)
+        )
+        weights = edges.groupBy("id_a").agg((F.count("*") + 1).alias("__w"))
+
+    # let-bind the token array (the token_shingles pattern): inlining
+    # tokens() into per-index lambdas re-runs the regex split per index
+    def _wins(toks):
+        n_starts = F.size(toks) - window + 1
+        return F.when(
+            toks.isNull() | (n_starts < 1), F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_starts),
+                lambda s: F.array_join(F.slice(toks, s, window), " "),
+            )
+        )
+
+    base = distinct.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    # persisted: feeds the window explode AND the final reassembly
+    toks_tbl = register_cached(base.persist())
+    wins = register_cached(
+        toks_tbl.select(
+            "id",
+            F.posexplode(
+                F.get(F.transform(F.array(F.col("toks")), _wins), 0)
+            ).alias("s", "win"),
+        )
+        .withColumn("s", F.col("s") + 1)  # 1-based starts
+        .persist()
+    )
+    if weights is not None:
+        weighted = wins.join(
+            weights.withColumnRenamed("id_a", "id"), "id", "left"
+        ).withColumn("__w", F.coalesce("__w", F.lit(1)))
+    else:
+        weighted = wins.withColumn("__w", F.lit(1))
+    frequent = register_cached(
+        weighted.groupBy("win")
+        .agg(F.sum("__w").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("win")
+        .persist()
+    )
+    if frequent.count() <= broadcast_max_windows:
+        flagged = wins.join(F.broadcast(frequent), "win", "left_semi")
+    else:
+        hashed = frequent.select(F.xxhash64("win").alias("hw")).distinct()
+        flagged = wins.join(
+            hashed, F.xxhash64(F.col("win")) == F.col("hw"), "left_semi"
+        )
+    bad = (
+        flagged.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(window - 1))
+            ).alias("p"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("p").alias("__bad"))
+    )
+    joined = toks_tbl.join(bad, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("__bad", F.array().cast("array<int>")).alias("__bad"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(F.col("__bad"), (i + 1).cast("int")),
+    )
+    rep_rows = joined.select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size("__bad").cast("int").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+    if edges is None:
+        return rep_rows
+    # propagate each representative's result to its members (identical
+    # token sequences by construction of the collapse key)
+    member_rows = (
+        edges.join(
+            rep_rows.withColumnRenamed(id_col, "id_a"), "id_a"
+        )
+        .select(
+            F.col("id_b").alias(id_col), "n_tokens", "n_removed", "clean_text"
+        )
+    )
+    return rep_rows.unionByName(member_rows)
+
+
 def duplicated_passages(
     df: DataFrame,
     id_col: str = "doc_id",

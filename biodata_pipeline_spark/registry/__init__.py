@@ -65,17 +65,19 @@ _ALL_ORACLE = {
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
 # #2 / r6 #3). Round-7 blocks (sizes pinned by tests/test_registry.py):
-#   1-5:   round-7 additions (never driver-checked): the production
+#   1-6:   round-7 additions (never driver-checked): the production
 #          MinHash-banded split guard (rows-only; registry/textops.py),
 #          its hash-checked md5-family recall audit
 #          (registry/audits.py), and the two pinned-merge BPE
 #          promotions — the hash-checked training step
 #          (q_bpe_step_argmax), the hash-checked Arrow encode kernel
 #          (q_bpe_encode_pinned), and the hash-checked tokenize→ids→
-#          pack composition (q_bpe_pack_ids);
-#   6-9:   the four r02-stale hash-checked variants (q09b/q14b/q21b/
+#          pack composition (q_bpe_pack_ids), and the sliding-window
+#          repeated-passage scrub (q_passage_scrub — the removal
+#          counterpart of the q_passage_dedup audit);
+#   7-10:  the four r02-stale hash-checked variants (q09b/q14b/q21b/
 #          q31b) — their last driver rows predate rounds 3-6 code;
-#   10-22: the 13 queries whose last driver row is r04 (VERDICT r6 #3
+#   11-23: the 13 queries whose last driver row is r04 (VERDICT r6 #3
 #          named them): the four by-nature rows-only families
 #          (q_approx_count_distinct, q_cms_heavy_hitters,
 #          q_minhash_lsh_dedup, q_simhash_dedup) and the nine simple
@@ -83,9 +85,9 @@ _ALL_ORACLE = {
 #          q_embed_quantize, q_ntile_distribution,
 #          q_group_weighted_sample, q_fingerprint, q_pii_scrub,
 #          q_lang_guess, q_pivot_priority_matrix, q_media_frame_sample);
-#   23-50: the 28 stalest of the 50 r05-checked queries, in
+#   24-50: the 27 stalest of the 50 r05-checked queries, in
 #          registry-family order (relational core through the set ops).
-# Outside the window this round: the 22 newest r05-checked queries
+# Outside the window this round: the 23 newest r05-checked queries
 # (temporal/vector/textops/audit families refreshed again in r8) and
 # the 50 r06-checked queries — every one has a green driver row within
 # the last two rounds and all are locally re-verified by
@@ -97,6 +99,7 @@ _DRIVER_WINDOW = [
     "q_bpe_step_argmax",
     "q_bpe_encode_pinned",
     "q_bpe_pack_ids",
+    "q_passage_scrub",
     # -- block 2: stale since r02 ----------------------------------------
     "q09b_exact_dedup_text",
     "q14b_sweep_grid_literal",
@@ -144,7 +147,6 @@ _DRIVER_WINDOW = [
     "q_sql_region_revenue",
     "q_upsert_latest",
     "q32_union_all",
-    "q33_except_difference",
 ]
 
 DRIVER_WINDOW_SIZE = 50

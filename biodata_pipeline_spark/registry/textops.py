@@ -145,6 +145,27 @@ def q_split_leakage_lsh(spark, sf_dir):
     )
 
 
+PASSAGE_SCRUB_MIN = 3
+PASSAGE_SCRUB_WINDOW = 6
+
+
+def q_passage_scrub(spark, sf_dir):
+    """Sliding-window repeated-passage REMOVAL (operators/dedup.py::
+    scrub_repeated_passages) — the removal counterpart of the
+    q_passage_dedup audit, approximating Lee et al. 2022's
+    exact-substring dedup at 6-token-window granularity: every token
+    position covered by a corpus-frequent window is scrubbed, so
+    shifted/straddling repeats that q_line_dedup_scrub's fixed
+    non-overlapping windows miss are caught. One row per doc:
+    (doc_id, n_tokens, n_removed, clean_text)."""
+    from biodata_pipeline_spark.operators.dedup import scrub_repeated_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_repeated_passages(
+        docs, min_count=PASSAGE_SCRUB_MIN, window=PASSAGE_SCRUB_WINDOW
+    )
+
+
 LINE_SCRUB_MIN = 3  # a line in 3+ places corpus-wide is boilerplate
 LINE_TOKENS = 8
 
@@ -1183,6 +1204,7 @@ SPARK = {
     "q_ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "q_split_leakage": q_split_leakage,
     "q_split_leakage_lsh": q_split_leakage_lsh,
+    "q_passage_scrub": q_passage_scrub,
     "q_line_dedup_scrub": q_line_dedup_scrub,
     "q_edit_severity": q_edit_severity,
     "q_repetition_stats": q_repetition_stats,
@@ -1834,6 +1856,49 @@ ORACLE = {
                     WHEN jaccard >= 0.5 THEN 'moderate'
                     ELSE 'rewrite' END AS severity
         FROM graded
+    """,
+    "q_passage_scrub": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        wins AS (
+            SELECT doc_id, g.i AS s,
+                   array_to_string(
+                       t[CAST(g.i AS INTEGER):
+                         CAST(g.i AS INTEGER) + {PASSAGE_SCRUB_WINDOW - 1}],
+                       ' ') AS win
+            FROM toks, generate_series(1, 8192) AS g(i)
+            WHERE g.i <= len(t) - {PASSAGE_SCRUB_WINDOW} + 1
+        ),
+        freq AS (
+            SELECT win FROM wins GROUP BY win
+            HAVING count(*) >= {PASSAGE_SCRUB_MIN}
+        ),
+        bad AS (
+            SELECT DISTINCT w.doc_id, w.s + g.o AS p
+            FROM wins w JOIN freq USING (win),
+                 generate_series(0, {PASSAGE_SCRUB_WINDOW - 1}) AS g(o)
+        ),
+        badn AS (SELECT doc_id, count(*) AS n_bad FROM bad GROUP BY doc_id),
+        posl AS (
+            SELECT t.doc_id, g.j AS j, t.t[CAST(g.j AS INTEGER)] AS tok
+            FROM toks t, generate_series(1, 8192) AS g(j)
+            WHERE g.j <= len(t.t)
+        ),
+        keptagg AS (
+            SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.j) AS clean_text
+            FROM posl p LEFT JOIN bad b ON b.doc_id = p.doc_id AND b.p = p.j
+            WHERE b.p IS NULL
+            GROUP BY p.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS INTEGER) AS n_tokens,
+               CAST(coalesce(bn.n_bad, 0) AS INTEGER) AS n_removed,
+               coalesce(k.clean_text, '') AS clean_text
+        FROM toks t
+        LEFT JOIN badn bn ON bn.doc_id = t.doc_id
+        LEFT JOIN keptagg k ON k.doc_id = t.doc_id
     """,
     "q_line_dedup_scrub": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

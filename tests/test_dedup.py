@@ -674,3 +674,95 @@ def test_incremental_near_dup_filter_batch_id_retry_idempotent(spark, tmp_path):
     assert ids == [1, 2]
     assert sorted(r.doc_id for r in k_a.collect()) == [2]
     assert {(r.id, r.scope) for r in r_a.collect()} == {(3, "exact")}
+
+
+def test_scrub_repeated_passages_positional_removal(spark):
+    """The sliding-window property the line scrub lacks: the SAME
+    boilerplate span is removed wherever it starts (any offset), the
+    unique text around it survives, shorter-than-window docs pass
+    through, and a doc of pure boilerplate comes back empty."""
+    from biodata_pipeline_spark.operators.dedup import scrub_repeated_passages
+
+    boiler = "please subscribe to our channel and newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words one {boiler} outro text here"),
+            (2, f"{boiler} and unrelated body two"),
+            (3, f"different prefix stuff {boiler}"),
+            (4, boiler),
+            (5, "totally unique document with no repeats at all"),
+            (6, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_repeated_passages(docs, min_count=3, window=6).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[1].clean_text == "intro words one outro text here"
+    assert out[2].clean_text == "and unrelated body two"
+    assert out[3].clean_text == "different prefix stuff"
+    assert (out[1].n_removed, out[2].n_removed, out[3].n_removed) == (8, 8, 8)
+    assert out[4].clean_text == "" and out[4].n_removed == 8
+    assert out[5].n_removed == 0 and out[6].n_removed == 0
+    assert out[6].clean_text == "tiny doc"
+
+
+def test_scrub_repeated_passages_gate_branch_parity(spark, sf_dir):
+    """The count-gated hash branch produces row-identical output to the
+    broadcast branch (same contract as the line scrub's gate)."""
+    from biodata_pipeline_spark.operators.dedup import scrub_repeated_passages
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "n_tokens", "n_removed", "clean_text"]
+    a = sorted(
+        tuple(r)
+        for r in scrub_repeated_passages(docs, min_count=3).select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in scrub_repeated_passages(
+            docs, min_count=3, broadcast_max_windows=0
+        ).select(*cols).collect()
+    )
+    assert a == b
+    assert any(r[2] > 0 for r in a), "fixture should scrub something"
+
+
+def test_scrub_repeated_passages_collapse_parity(spark, monkeypatch):
+    """On a duplicate-heavy corpus the collapse branch (positional work
+    once per distinct content, multiplicity-weighted counts, results
+    propagated to members) is row-identical to the plain branch."""
+    import biodata_pipeline_spark.operators.dedup as D
+
+    boiler = "please subscribe to our channel and newsletter today"
+    base_rows = [
+        (0, f"intro words one {boiler} outro text here"),
+        (1, f"{boiler} and unrelated body two"),
+        (2, "totally unique document with no repeats at all"),
+    ]
+    replicated = [
+        (copy * 100 + i, t) for copy in range(4) for i, t in base_rows
+    ]
+    docs = spark.createDataFrame(replicated, ["doc_id", "text"])
+
+    # min_count=5: the boilerplate spans 2 docs x 4 copies = 8 >= 5;
+    # each doc's unique windows occur only 4 times (< 5) and survive
+    collapse = sorted(
+        tuple(r)
+        for r in D.scrub_repeated_passages(docs, min_count=5, window=6).collect()
+    )
+    monkeypatch.setattr(D, "DUP_GATE_RATIO", -1.0)  # force the plain branch
+    plain = sorted(
+        tuple(r)
+        for r in D.scrub_repeated_passages(docs, min_count=5, window=6).collect()
+    )
+    assert collapse == plain
+    assert len(collapse) == len(replicated)
+    by_id = {t[0]: t for t in collapse}
+    for copy in range(4):
+        assert by_id[copy * 100 + 0][3] == "intro words one outro text here"
+        assert by_id[copy * 100 + 1][3] == "and unrelated body two"
+        assert by_id[copy * 100 + 2][2] == 0  # unique doc untouched
