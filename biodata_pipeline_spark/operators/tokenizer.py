@@ -389,3 +389,36 @@ def pack_token_ids(
         )
         .withColumn("n_tokens", F.size("ids").cast("long"))
     )
+
+
+def save_tokenizer(
+    spark,
+    merges: list[tuple[str, str]],
+    path: str,
+    vocab: DataFrame | None = None,
+) -> None:
+    """Persist a trained tokenizer: the ordered merge list as parquet
+    (rank, left, right) under ``path/merges`` and, when given, the
+    vocab table under ``path/vocab`` — so training runs once and every
+    encode consumer (batch, streaming, another session) loads the same
+    artifact. Overwrite semantics: a tokenizer is one immutable
+    artifact, not an append log."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    if vocab is not None:
+        vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """The merge list back in application order — the driver-side shape
+    ``bpe_encode_words`` / ``bpe_encode`` consume. Merge lists are
+    tokenizer-vocabulary sized (kBs to low MBs), so the collect is a
+    driver-safe constant, not a corpus read."""
+    rows = (
+        spark.read.parquet(f"{path}/merges")
+        .orderBy("rank")
+        .collect()
+    )
+    return [(r.left, r.right) for r in rows]

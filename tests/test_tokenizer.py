@@ -262,3 +262,29 @@ def test_tokenize_and_pack_reconstructs_token_stream(spark):
     _, seqs2 = tokenize_and_pack(df, seq_len, merges=merges)
     got = {r.seq_id: list(r.ids) for r in seqs2.collect()}
     assert got == {s: list(r.ids) for s, r in seqs.items()}
+
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    """Train → save → load in a fresh frame → encode parity: the
+    persisted artifact reproduces the in-memory tokenizer exactly."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        bpe_encode_words,
+        load_merges,
+        save_tokenizer,
+        vocab_table,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe_train(df, 10)
+    vocab = vocab_table(df, merges)
+    path = str(tmp_path / "tok")
+    save_tokenizer(spark, merges, path, vocab=vocab)
+
+    loaded = load_merges(spark, path)
+    assert loaded == merges
+    words = df.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    a = {r.w: r.syms for r in bpe_encode_words(words, merges).collect()}
+    b = {r.w: r.syms for r in bpe_encode_words(words, loaded).collect()}
+    assert a == b
+    v = {r.sym: r.id for r in spark.read.parquet(f"{path}/vocab").collect()}
+    assert v == {r.sym: r.id for r in vocab.collect()}
