@@ -189,6 +189,8 @@ def build_training_corpus(
     langs: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.7,
     scrub_line_min_count: int | None = None,
+    scrub_passage_min_count: int | None = None,
+    scrub_passage_window: int = 6,
     holdout_fraction: float | None = None,
     leakage_threshold: float = 0.2,
     with_report: bool = False,
@@ -207,7 +209,11 @@ def build_training_corpus(
     ``scrub_line_min_count``: when set, corpus-frequent lines
     (``scrub_frequent_lines``) are removed FIRST — boilerplate would
     otherwise distort quality scores and shingle signatures downstream;
-    docs scrubbed to nothing are dropped. ``holdout_fraction``: when
+    docs scrubbed to nothing are dropped. ``scrub_passage_min_count``:
+    the sliding-window variant (``scrub_repeated_passages``) — catches
+    repeats at any offset, including ones that straddle the line
+    scrub's fixed windows; when both are set the passage scrub runs
+    second, over the line-scrubbed text. ``holdout_fraction``: when
     set, the deterministic md5 holdout split is carved out and the
     returned TRAINING corpus excludes both the held-out docs and any
     train doc whose shingle Jaccard against a held-out doc reaches
@@ -265,6 +271,25 @@ def build_training_corpus(
             for grade in ("trivial", "moderate", "rewrite"):
                 counts.append((f"scrub_edit_{grade}", sev.get(grade, 0)))
         docs = cleaned
+    if scrub_passage_min_count is not None:
+        from biodata_pipeline_spark.operators.dedup import (
+            scrub_repeated_passages,
+        )
+
+        scrubbed_p = scrub_repeated_passages(
+            docs,
+            min_count=scrub_passage_min_count,
+            window=scrub_passage_window,
+        )
+        docs = docs.drop("text").join(
+            scrubbed_p.filter(F.length("clean_text") > 0).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        if with_report:
+            docs = docs.persist()
+            counts.append(("passage_scrub_kept", docs.count()))
     filtered = docs.filter(quality_score("text") >= min_quality)
     if langs:
         filtered = filtered.filter(F.col("lang").isin(*langs))

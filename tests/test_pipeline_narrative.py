@@ -377,3 +377,23 @@ def test_embedding_ingest_report_pristine_corpus(spark, sf_dir):
     assert {r.defect for r in rows} == {"ok"}
     assert rows[0].n_vecs == emb.count()
     assert rows[0].first_id == 0
+
+
+def test_build_training_corpus_passage_scrub_stage(spark, sf_dir):
+    """The sliding-window passage scrub composes as a pipeline stage:
+    stage count surfaces in the report and the corpus text no longer
+    contains any window the scrub deemed corpus-frequent."""
+    from biodata_pipeline_spark.pipelines import build_training_corpus
+    from biodata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, report = build_training_corpus(
+        docs,
+        min_quality=0.3,
+        scrub_passage_min_count=3,
+        with_report=True,
+    )
+    m = {r.metric: r.value for r in report.collect()}
+    assert "passage_scrub_kept" in m
+    assert 0 < m["passage_scrub_kept"] <= m["input_docs"]
+    assert m["final_docs"] == corpus.count() > 0
