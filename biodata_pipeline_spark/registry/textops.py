@@ -337,16 +337,37 @@ def _sep_fold_sql(base_expr: str, merges) -> str:
     """Nested DuckDB ``replace`` chain applying ``merges`` in training
     order to a separator-delimited symbol string. The encoding wraps
     EVERY symbol in chr(31) separators (``␟a␟b␟c␟</w>␟``), so the
-    pattern ``␟a␟b␟ → ␟ab␟`` can only match whole symbols — and SQL
-    replace's left-to-right non-overlapping scan IS the fold's greedy
-    semantics (consecutive occurrences share the boundary separator, so
-    overlaps cannot double-merge: ``␟a␟a␟a␟`` → ``␟aa␟a␟``)."""
+    pattern ``␟a␟b␟ → ␟ab␟`` can only match whole symbols. ONE replace
+    pass is NOT the greedy fold: symbol-disjoint adjacent occurrences
+    share their boundary separator (``erer`` under (e,r) is
+    ``␟e␟r␟e␟r␟`` — the first match consumes the middle ␟, so the
+    string-level scan skips the second occurrence and yields
+    ``[er, e, r]`` where the fold yields ``[er, er]``; the r7 oracle was
+    wrong for any corpus containing such words — ADVICE r8 high). Each
+    merge therefore applies replace TWICE, which is exact for a ≠ b:
+    merging (a,b)→"ab" can never create a new (a,b) symbol adjacency
+    ("ab" ≠ "a" and ≠ "b" since both are non-empty), so matches always
+    correspond to ORIGINAL occurrences; in a chain of symbol-adjacent
+    occurrences pass 1 merges every other one (a match is skipped only
+    when the occurrence immediately before it was just merged), hence
+    the occurrences pass 1 misses are never adjacent to EACH OTHER and
+    pass 2 — where each survivor's neighbours are already-merged
+    symbols with both its separators intact — catches all of them.
+    Self-overlapping pairs (a == b, runs like ``aaa``) have different
+    string-level greedy semantics and are rejected loudly; no trained
+    merge list here contains one (a pair's two symbols exist strictly
+    before the pair is merged, but (x,x) pairs do occur in principle —
+    the assert keeps the oracle honest if one is ever pinned)."""
     s = base_expr
     for a, b in merges:
         assert "'" not in a + b, "merge symbols must not contain quotes"
+        assert a != b, (
+            "self-overlapping merge pair: the 2-pass replace fixpoint "
+            "proof only covers a != b; extend before pinning (a, a)"
+        )
         pat = f"chr(31) || '{a}' || chr(31) || '{b}' || chr(31)"
         rep = f"chr(31) || '{a}{b}' || chr(31)"
-        s = f"replace({s}, {pat}, {rep})"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
     return s
 
 

@@ -213,6 +213,68 @@ def test_bpe_step_argmax_row1_is_last_pinned_merge(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_sep_fold_sql_matches_spark_fold_on_overlap_adjacent_words(spark):
+    """The DuckDB oracle fold (_sep_fold_sql) must reproduce the Spark
+    greedy fold on words where two DISJOINT occurrences of a merge pair
+    are adjacent and share a boundary separator ('erer' under (e, r)):
+    a single replace pass consumes the shared chr(31) and misses the
+    second occurrence ([er, e, r] instead of [er, er]) — the r7 oracle
+    bug (ADVICE r8 high). The 2-pass-per-merge oracle is compared
+    symbol-for-symbol against bpe_encode on adversarial words (every
+    pinned pair doubled/tripled, embedded in real words) plus a seeded
+    fuzz over the merge alphabet."""
+    import random
+
+    import duckdb
+
+    from biodata_pipeline_spark.registry.textops import (
+        BPE_PINNED_MERGES,
+        _SEP_SYMS_SQL,
+        _sep_fold_sql,
+    )
+
+    words = ["wanderer", "erer", "ererer", "erererer", "owow", "stst",
+             "oror", "orator", "powwowow", "ststst", "ererest", "er",
+             "e", "perererest", "lower", "newest", "borderer"]
+    random.seed(8)
+    words += list({
+        "".join(random.choice("erowstn") for _ in range(random.randint(1, 12)))
+        for _ in range(300)
+    } - set(words))
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    fold = {
+        r.w: list(r.syms)
+        for r in df.select(
+            "w", bpe_encode(F.col("w"), BPE_PINNED_MERGES).alias("syms")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words AS SELECT unnest(?) AS w", [words])
+    sql = f"""
+        SELECT w, list_filter(
+            string_split(
+                {_sep_fold_sql('(' + _SEP_SYMS_SQL + ')', BPE_PINNED_MERGES)},
+                chr(31)),
+            x -> x != '') AS l
+        FROM words
+    """
+    oracle = {w: l for w, l in con.execute(sql).fetchall()}
+    assert oracle == fold
+    # the bug's witness case, pinned explicitly: both 'er' occurrences
+    # merge (single-pass replace left the second as ['e', 'r'])
+    assert oracle["wanderer"][-2:] == ["er", "er</w>"]
+
+
+def test_sep_fold_sql_rejects_self_overlapping_pairs():
+    """(a, a) pairs have different string-level greedy semantics (runs);
+    the oracle builder must refuse them loudly rather than emit SQL
+    that silently diverges from the fold."""
+    from biodata_pipeline_spark.registry.textops import _sep_fold_sql
+
+    with pytest.raises(AssertionError, match="self-overlapping"):
+        _sep_fold_sql("w", [("a", "a")])
+
+
 def test_vocab_table_ids_are_contiguous_frequency_ranks(spark):
     """vocab_table ids are 0..V-1, assigned by (corpus count desc, sym
     asc) — computed via the distributed prefix sum, checked against a
