@@ -1490,14 +1490,27 @@ def embedding_dedup_survivors(
     return df.join(dup_ids, id_col, "left_anti")
 
 
-def _read_index_part(spark, index_dir: str, part: str) -> DataFrame | None:
+def _read_index_part(
+    spark, index_dir: str, part: str, exclude_batch_id: str | None = None
+) -> DataFrame | None:
     try:
-        # drop("batch_id") is a no-op for stores written without batching
-        return spark.read.parquet(f"{index_dir}/{part}").drop("batch_id")
+        df = spark.read.parquet(f"{index_dir}/{part}")
     except AnalysisException as e:
         if _is_store_missing(e):
             return None
         raise
+    if exclude_batch_id is not None and "batch_id" in df.columns:
+        # Replay safety: a retried batch must not see its OWN prior
+        # (partial) enrollment as history — decisions must match the
+        # no-crash run, and for transitive chains (a~b, b~c, a≁c) they
+        # would not: seeing the enrolled `a` removes `b` at the index
+        # stage BEFORE batch pairing, so `c` loses its only smaller
+        # match and gets admitted (ADVICE r8 medium). Excluding the
+        # current batch_id partition reproduces the pre-crash state
+        # exactly; dynamic partition overwrite then replaces it.
+        df = df.filter(F.col("batch_id").cast("string") != exclude_batch_id)
+    # drop("batch_id") is a no-op for stores written without batching
+    return df.drop("batch_id")
 
 
 def incremental_near_dup_filter(
@@ -1546,13 +1559,19 @@ def incremental_near_dup_filter(
     are materialized (localCheckpoint) BEFORE the index append — they
     must not lazily re-read the index they are about to grow — and the
     survivors' bands + hash sets are appended last. Pass ``batch_id``
-    to make the index append IDEMPOTENT per batch (each batch's rows
-    land in their own ``batch_id=`` partition via dynamic partition
-    overwrite — the SignatureStore trick), so a foreachBatch retry
-    overwrites its own partition; without it each call appends, and a
-    replay that re-appends duplicate index rows only costs bucket-join
-    width, never correctness (candidates are dropDuplicates'd and
-    verified exactly).
+    to make the whole batch IDEMPOTENT: the batch's index rows land in
+    their own ``batch_id=`` partition via dynamic partition overwrite
+    (the SignatureStore trick), AND the index read EXCLUDES that
+    partition, so a foreachBatch retry sees exactly the pre-crash index
+    state and re-derives bit-identical decisions — including transitive
+    batch chains (a~b, b~c, a≁c keeps exactly ``a`` on every replay;
+    without the exclusion the replay would match ``b`` against its own
+    partial enrollment of ``a`` at the index stage and admit ``c``).
+    Without ``batch_id`` each call appends; a replay then re-appends
+    duplicate index rows (bucket-join width, not a correctness issue —
+    candidates are dropDuplicates'd and verified exactly) but transitive
+    batch decisions can differ from the no-crash run, so streaming
+    ingest always sets it (streaming/dedup_ingest.py).
 
     Reference anchor: the reference's only cross-run dedup is
     skip-if-exists on output filenames
@@ -1604,8 +1623,8 @@ def incremental_near_dup_filter(
         )
 
     # --- step 2: batch reps vs the stored index -------------------------
-    idx_bands = _read_index_part(spark, index_dir, "bands")
-    idx_hashes = _read_index_part(spark, index_dir, "hashes")
+    idx_bands = _read_index_part(spark, index_dir, "bands", batch_id)
+    idx_hashes = _read_index_part(spark, index_dir, "hashes", batch_id)
     if idx_bands is not None and idx_hashes is not None:
         cand_idx = (
             bands.join(
@@ -1613,8 +1632,10 @@ def incremental_near_dup_filter(
                 ["band", "bucket"],
             )
             # self-pairs appear only when a replayed batch meets its own
-            # prior enrollment; excluding them makes a batch_id retry
-            # return the identical decision, not "all index dups"
+            # prior enrollment — impossible in batch_id mode (that
+            # partition is excluded from the read) but still reachable
+            # on a replayed plain append, where this guard keeps the
+            # batch from reporting itself as "all index dups"
             .filter(F.col("id") != F.col("other_id"))
             .select("id", "other_id")
             .dropDuplicates(["id", "other_id"])
@@ -1671,7 +1692,13 @@ def incremental_near_dup_filter(
         .localCheckpoint()
     )
     kept = (
-        distinct.join(dropped.select("id"), F.col(id_col) == F.col("id"), "left_anti")
+        # alias the drop side: with id_col="id" both sides would carry
+        # an "id" column and the join condition turns ambiguous
+        distinct.join(
+            dropped.select(F.col("id").alias("__drop_id")),
+            F.col(id_col) == F.col("__drop_id"),
+            "left_anti",
+        )
         .localCheckpoint()
     )
 

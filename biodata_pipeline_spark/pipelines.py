@@ -241,8 +241,21 @@ def build_training_corpus(
     )
     from biodata_pipeline_spark.operators.layout import length_batched
 
+    from biodata_pipeline_spark.operators.caching import register_cached
+
     spark = docs.sparkSession
     counts: list[tuple[str, int]] = []
+    # report-mode persists are released before returning (and registered
+    # with any active cache_scope): the counts are collected inside this
+    # function, so holding the blocks for the session lifetime would
+    # leak executor storage on every repeated pipeline call
+    persisted: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = register_cached(df.persist())
+        persisted.append(df)
+        return df
+
     if with_report:
         counts.append(("input_docs", docs.count()))
     if scrub_line_min_count is not None:
@@ -259,7 +272,7 @@ def build_training_corpus(
         if with_report:
             from biodata_pipeline_spark.operators.snapshot import edit_severity
 
-            cleaned = cleaned.persist()
+            cleaned = _persist(cleaned)
             counts.append(("scrub_docs_kept", cleaned.count()))
             sev = {
                 r.severity: r.n
@@ -288,19 +301,19 @@ def build_training_corpus(
             "doc_id",
         )
         if with_report:
-            docs = docs.persist()
+            docs = _persist(docs)
             counts.append(("passage_scrub_kept", docs.count()))
     filtered = docs.filter(quality_score("text") >= min_quality)
     if langs:
         filtered = filtered.filter(F.col("lang").isin(*langs))
     if with_report:
-        filtered = filtered.persist()
+        filtered = _persist(filtered)
         counts.append(("quality_lang_kept", filtered.count()))
     distinct = exact_dedup(filtered)
     pairs = minhash_lsh_dup_pairs(distinct, threshold=near_dup_threshold)
     survivors = dedup_survivors(distinct, pairs)
     if with_report:
-        survivors = survivors.persist()
+        survivors = _persist(survivors)
         counts.append(("dedup_survivors", survivors.count()))
     if holdout_fraction is not None:
         from biodata_pipeline_spark.operators.sampling import sample_predicate
@@ -309,7 +322,7 @@ def build_training_corpus(
             survivors, leakage_threshold, test_fraction=holdout_fraction
         ).select(F.col("train_id").alias("doc_id"))
         if with_report:
-            leaked = leaked.persist()
+            leaked = _persist(leaked)
             counts.append(("leaked_train_docs_excluded", leaked.count()))
         survivors = survivors.filter(
             ~sample_predicate("doc_id", holdout_fraction, "split")
@@ -323,6 +336,10 @@ def build_training_corpus(
     if with_report:
         counts.append(("final_docs", corpus.count()))
         report = spark.createDataFrame(counts, "metric string, value long")
+        # every count above is collected; releasing now is lazy-safe
+        # (downstream actions on `corpus` simply recompute)
+        for f in persisted:
+            f.unpersist()
         return corpus, report
     return corpus
 

@@ -11,9 +11,10 @@ performs is scoped to the microbatch's own ``batch_id=`` partition via
 dynamic partition overwrite — the index enrollment (the filter's
 ``batch_id`` mode), the accepted rows, and the drop report. A crashed
 batch replays with the same batch_id, re-derives the SAME decision (the
-filter excludes self-pairs against its own prior enrollment, so seeing
-the partial enrollment does not flip any keep), and overwrites exactly
-its own partitions. The at-least-once → exactly-once-effect pattern of
+filter's index read EXCLUDES the batch's own partition, so the replay
+sees exactly the pre-crash index — even transitive batch chains like
+a~b, b~c, a≁c resolve identically), and overwrites exactly its own
+partitions. The at-least-once → exactly-once-effect pattern of
 ``streaming/export.py``, with partition scoping playing the marker's
 role because every output here is idempotent per batch.
 

@@ -676,6 +676,68 @@ def test_incremental_near_dup_filter_batch_id_retry_idempotent(spark, tmp_path):
     assert {(r.id, r.scope) for r in r_a.collect()} == {(3, "exact")}
 
 
+def test_incremental_near_dup_filter_replay_transitive_chain(spark, tmp_path):
+    """The crash-window replay case (ADVICE r8 medium): a batch with a
+    transitive chain a~b, b~c, a≁c keeps exactly {a}. If the batch
+    crashes AFTER enrolling {a} but before the caller's accepted write,
+    the replay must re-derive the SAME decision — the index read
+    excludes the batch's own partition, so b is still dropped at the
+    BATCH stage (not the index stage) and c still pairs with b. Without
+    the exclusion, b fell to the enrolled a at the index stage before
+    batch pairing, leaving c matchless and wrongly admitted."""
+    from biodata_pipeline_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    idx = str(tmp_path / "nd_idx3")
+    P = " ".join(f"p{i}" for i in range(20))
+    Q = " ".join(f"q{i}" for i in range(60))
+    R = " ".join(f"r{i}" for i in range(60))
+    S = " ".join(f"s{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, f"{P} {Q}"), (2, f"{Q} {R}"), (3, f"{R} {S}")],
+        ["doc_id", "text"],
+    )
+    # r=1 banding (32 bands of one hash) so the moderate-jaccard chain
+    # pairs are found deterministically; a≁c share zero shingles
+    kw = dict(num_hashes=32, n_bands=32, batch_id="7")
+    k1, r1 = incremental_near_dup_filter(docs, idx, 0.3, **kw)
+    assert sorted(r.doc_id for r in k1.collect()) == [1]
+    first = {r.id: (r.matched_id, r.scope) for r in r1.collect()}
+    assert first[2] == (1, "batch") and first[3] == (2, "batch")
+
+    # replay after the crash window: {1} is already enrolled under this
+    # batch_id — the decision must not change
+    k2, r2 = incremental_near_dup_filter(docs, idx, 0.3, **kw)
+    assert sorted(r.doc_id for r in k2.collect()) == [1]
+    assert {r.id: (r.matched_id, r.scope) for r in r2.collect()} == first
+    enrolled = spark.read.parquet(f"{idx}/bands").select("id").distinct()
+    assert [r.id for r in enrolled.collect()] == [1]
+
+
+def test_incremental_near_dup_filter_id_col_named_id(spark, tmp_path):
+    """id_col=\"id\" must not trip an ambiguous self-reference in the
+    kept-docs anti-join (ADVICE r8 low)."""
+    from biodata_pipeline_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    idx = str(tmp_path / "nd_idx4")
+    docs = spark.createDataFrame(
+        [
+            (1, "one document body with plenty of distinct words inside"),
+            (2, "one document body with plenty of distinct words inside"),
+            (3, "a wholly different second text that matches nothing here"),
+        ],
+        ["id", "text"],
+    )
+    kept, rep = incremental_near_dup_filter(docs, idx, 0.5, id_col="id")
+    assert sorted(r.id for r in kept.collect()) == [1, 3]
+    assert {(r.id, r.matched_id, r.scope) for r in rep.collect()} == {
+        (2, 1, "exact")
+    }
+
+
 def test_scrub_repeated_passages_positional_removal(spark):
     """The sliding-window property the line scrub lacks: the SAME
     boilerplate span is removed wherever it starts (any offset), the
