@@ -1490,27 +1490,220 @@ def embedding_dedup_survivors(
     return df.join(dup_ids, id_col, "left_anti")
 
 
-def _read_index_part(
-    spark, index_dir: str, part: str, exclude_batch_id: str | None = None
-) -> DataFrame | None:
+def _read_index_delta(spark, index_dir: str, part: str) -> DataFrame | None:
+    """The raw parquet delta dir of one index component (rows enrolled
+    since the last compaction), batch_id partition column intact;
+    ``None`` when the dir doesn't exist yet."""
     try:
-        df = spark.read.parquet(f"{index_dir}/{part}")
+        return spark.read.parquet(f"{index_dir}/{part}")
     except AnalysisException as e:
         if _is_store_missing(e):
             return None
         raise
-    if exclude_batch_id is not None and "batch_id" in df.columns:
-        # Replay safety: a retried batch must not see its OWN prior
-        # (partial) enrollment as history — decisions must match the
-        # no-crash run, and for transitive chains (a~b, b~c, a≁c) they
-        # would not: seeing the enrolled `a` removes `b` at the index
-        # stage BEFORE batch pairing, so `c` loses its only smaller
-        # match and gets admitted (ADVICE r8 medium). Excluding the
-        # current batch_id partition reproduces the pre-crash state
-        # exactly; dynamic partition overwrite then replaces it.
-        df = df.filter(F.col("batch_id").cast("string") != exclude_batch_id)
-    # drop("batch_id") is a no-op for stores written without batching
-    return df.drop("batch_id")
+
+
+_INDEX_BUCKET_KEYS = {"bands": ["band", "bucket"], "hashes": ["id"]}
+
+
+def _read_index_meta(spark, index_dir: str) -> dict | None:
+    """The index's compaction pointer: a one-line JSON doc (written as a
+    single-file text dir so it works on any filesystem scheme) naming
+    the current bucketed-table version for each component."""
+    import json
+
+    try:
+        rows = spark.read.text(f"{index_dir}/_meta").collect()
+    except AnalysisException as e:
+        if _is_store_missing(e):
+            return None
+        raise
+    if not rows:
+        return None
+    return json.loads("".join(r.value for r in rows))
+
+
+def _write_index_meta(spark, index_dir: str, meta: dict) -> None:
+    import json
+
+    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{index_dir}/_meta")
+
+
+def _index_table_name(index_dir: str, part: str, version: int) -> str:
+    import hashlib
+
+    token = hashlib.md5(index_dir.encode()).hexdigest()[:10]
+    return f"nd_idx_{token}_{part}_v{version}"
+
+
+def _ensure_index_table(spark, meta: dict, part: str) -> None:
+    """Re-register the compacted external bucketed table in THIS
+    session's catalog if absent (a fresh session knows only the meta
+    file; the table definition — schema, bucket spec, location — is
+    reconstructed from it, and the existing bucketed files are picked
+    up as-is)."""
+    name = meta[f"{part}_table"]
+    if spark.catalog.tableExists(name):
+        return
+    keys = ", ".join(_INDEX_BUCKET_KEYS[part])
+    spark.sql(
+        f"CREATE TABLE {name} ({meta[f'{part}_schema']}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+        f"INTO {meta['n_buckets']} BUCKETS "
+        f"LOCATION '{meta[f'{part}_path']}'"
+    )
+
+
+def _index_component_frames(
+    spark,
+    index_dir: str,
+    part: str,
+    exclude_batch_id: str | None = None,
+    keep_batch_id: bool = False,
+) -> list[DataFrame]:
+    """Every live source of one index component, each as its OWN frame:
+    the compacted bucketed table (when a compaction has run) plus the
+    parquet delta dir (batches enrolled since). Deliberately NOT
+    unioned — a union erases the bucketed scan's output partitioning,
+    reintroducing the stored-side shuffle the layout exists to remove;
+    the caller joins each part separately and unions the (small)
+    results."""
+    frames: list[DataFrame] = []
+    meta = _read_index_meta(spark, index_dir)
+    if meta is not None and f"{part}_table" in meta:
+        _ensure_index_table(spark, meta, part)
+        frames.append(spark.table(meta[f"{part}_table"]))
+    delta = _read_index_delta(spark, index_dir, part)
+    if delta is not None:
+        frames.append(delta)
+    out = []
+    for df in frames:
+        if "batch_id" in df.columns:
+            if exclude_batch_id is not None:
+                # Replay safety: a retried batch must not see its OWN
+                # prior (partial) enrollment as history — decisions must
+                # match the no-crash run, and for transitive chains
+                # (a~b, b~c, a≁c) they would not: seeing the enrolled
+                # `a` removes `b` at the index stage BEFORE batch
+                # pairing, so `c` loses its only smaller match and gets
+                # admitted (ADVICE r8 medium). Excluding the batch_id
+                # reproduces the pre-crash state; dynamic partition
+                # overwrite then replaces the delta partition.
+                df = df.filter(
+                    F.col("batch_id").cast("string") != exclude_batch_id
+                )
+            df = (
+                df.withColumn("batch_id", F.col("batch_id").cast("string"))
+                if keep_batch_id
+                else df.drop("batch_id")
+            )
+        elif keep_batch_id:
+            df = df.withColumn("batch_id", F.lit(None).cast("string"))
+        out.append(df)
+    return out
+
+
+def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
+    """Index maintenance for ``incremental_near_dup_filter`` (VERDICT r7
+    #2): fold the accumulated per-batch parquet appends — plus any
+    previous compaction — into ONE bucketed external table per
+    component (``bands`` bucketed+sorted on (band, bucket), ``hashes``
+    on (id)), so a thousand-microbatch index keeps a bounded file count
+    (admit cost stops paying the listing of every historical batch) and
+    the admit-time bands join needs NO shuffle of the stored side (the
+    bucketed scan's output partitioning already matches the join keys —
+    plan-asserted in tests/test_dedup_index.py). ``batch_id`` survives
+    as a plain column, so replay exclusion keeps working across a
+    compaction.
+
+    Returns ``{"version", "bands": {files_before, files_after},
+    "hashes": {...}}``.
+
+    Contract: run BETWEEN batches (e.g. after a streaming availableNow
+    drain). A batch replayed after its rows were compacted still
+    re-derives identical decisions (its batch_id is excluded from reads
+    wherever it lives), but its delta-partition overwrite can no longer
+    replace the compacted copy — the replay then leaves duplicate index
+    rows until the next compaction (decision-neutral: candidates are
+    deduplicated and exactly verified; just wasted join width).
+
+    Crash safety, in write order: new tables first, then the meta
+    pointer flip, then deletion of the folded deltas and the previous
+    version. A crash before the flip leaves the old state fully live; a
+    crash after it leaves stale deltas that are both re-read and already
+    folded — duplicate rows, decision-neutral as above — and the next
+    compaction clears them.
+    """
+    meta = _read_index_meta(spark, index_dir)
+    version = (int(meta["version"]) + 1) if meta else 1
+    new_meta: dict = {"version": version, "n_buckets": n_buckets}
+    stats: dict = {"version": version}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _file_count(p: str) -> int:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(hconf)
+        if not fs.exists(hp):
+            return 0
+        return fs.getContentSummary(hp).getFileCount()
+
+    def _delete(p: str) -> None:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).delete(hp, True)
+
+    to_delete: list[str] = []
+    for part, keys in _INDEX_BUCKET_KEYS.items():
+        frames = _index_component_frames(
+            spark, index_dir, part, keep_batch_id=True
+        )
+        if not frames:
+            raise ValueError(
+                f"nothing to compact: no index state under {index_dir}/{part}"
+            )
+        full = frames[0]
+        for f in frames[1:]:
+            full = full.unionByName(f)
+        files_before = _file_count(f"{index_dir}/{part}") + (
+            _file_count(meta[f"{part}_path"]) if meta else 0
+        )
+        path = f"{index_dir}/{part}_v{version}"
+        name = _index_table_name(index_dir, part, version)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")  # crashed prior attempt
+        (
+            # pre-partition on the bucket keys: repartition's pmod(hash)
+            # placement matches the bucket assignment, so each task
+            # writes exactly one bucket file — without it every task
+            # writes up to n_buckets files and the "compaction" would
+            # multiply the file count it exists to bound
+            full.repartition(n_buckets, *[F.col(k) for k in keys])
+            .write.bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        new_meta[f"{part}_table"] = name
+        new_meta[f"{part}_path"] = path
+        new_meta[f"{part}_schema"] = ", ".join(
+            f"{fld.name} {fld.dataType.simpleString()}"
+            for fld in full.schema.fields
+        )
+        stats[part] = {
+            "files_before": files_before,
+            "files_after": _file_count(path),
+        }
+        to_delete.append(f"{index_dir}/{part}")
+        if meta:
+            to_delete.append(meta[f"{part}_path"])
+    _write_index_meta(spark, index_dir, new_meta)
+    for p in to_delete:
+        _delete(p)
+    if meta:
+        for part in _INDEX_BUCKET_KEYS:
+            spark.sql(f"DROP TABLE IF EXISTS {meta[f'{part}_table']}")
+    return stats
 
 
 def incremental_near_dup_filter(
@@ -1543,9 +1736,12 @@ def incremental_near_dup_filter(
     one equi-join of the batch's bands against the stored bands + exact
     verify on candidates only. History is never re-scanned, only
     joined — and the join's stream side is the BATCH (small), so AQE
-    broadcasts it against the big stored side; at warehouse scale,
-    bucketing the stored side on (band, bucket) removes its shuffle
-    entirely (the sources/bucketing.py layout contract).
+    broadcasts it against the big stored side. Long-running ingests
+    periodically fold the per-batch appends into bucketed tables with
+    ``compact_dedup_index`` — bounded file count, and past the
+    broadcast threshold the bands join needs no stored-side shuffle at
+    all (the bucketed scan's partitioning already matches (band,
+    bucket)); this filter reads both layouts transparently.
 
     Decision order inside the batch (deterministic):
       1. exact duplicates collapse to their min-id representative
@@ -1623,23 +1819,34 @@ def incremental_near_dup_filter(
         )
 
     # --- step 2: batch reps vs the stored index -------------------------
-    idx_bands = _read_index_part(spark, index_dir, "bands", batch_id)
-    idx_hashes = _read_index_part(spark, index_dir, "hashes", batch_id)
-    if idx_bands is not None and idx_hashes is not None:
-        cand_idx = (
-            bands.join(
-                idx_bands.withColumnRenamed("id", "other_id"),
-                ["band", "bucket"],
+    # each index part (compacted bucketed table / parquet delta) is
+    # joined SEPARATELY: the bucketed scan's output partitioning then
+    # satisfies the join's distribution with no stored-side Exchange
+    # (a pre-join union of the parts would erase it); the per-part
+    # candidate frames are small and union cheaply
+    band_parts = _index_component_frames(spark, index_dir, "bands", batch_id)
+    hash_parts = _index_component_frames(spark, index_dir, "hashes", batch_id)
+    if band_parts and hash_parts:
+        cand_idx = None
+        for bp in band_parts:
+            c = (
+                bands.join(
+                    bp.withColumnRenamed("id", "other_id"),
+                    ["band", "bucket"],
+                )
+                # self-pairs appear only when a replayed batch meets its
+                # own prior enrollment — impossible in batch_id mode
+                # (those rows are excluded from the read) but still
+                # reachable on a replayed plain append, where this guard
+                # keeps the batch from reporting itself "all index dups"
+                .filter(F.col("id") != F.col("other_id"))
+                .select("id", "other_id")
             )
-            # self-pairs appear only when a replayed batch meets its own
-            # prior enrollment — impossible in batch_id mode (that
-            # partition is excluded from the read) but still reachable
-            # on a replayed plain append, where this guard keeps the
-            # batch from reporting itself as "all index dups"
-            .filter(F.col("id") != F.col("other_id"))
-            .select("id", "other_id")
-            .dropDuplicates(["id", "other_id"])
-        )
+            cand_idx = c if cand_idx is None else cand_idx.unionByName(c)
+        cand_idx = cand_idx.dropDuplicates(["id", "other_id"])
+        idx_hashes = hash_parts[0]
+        for hp in hash_parts[1:]:
+            idx_hashes = idx_hashes.unionByName(hp)
         vs_index = verified(cand_idx, idx_hashes)
     else:
         id_type = dict(base.dtypes)["id"]

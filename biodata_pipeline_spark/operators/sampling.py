@@ -249,6 +249,10 @@ def interleave_schedule(
         .orderBy("vtime", group_order, "rank_in_group")
         .limit(k)
     )
+    # single-partition WindowExec is BENIGN here: the frame is the
+    # post-limit schedule — at most k rows by construction — so the
+    # "No Partition Defined" warning never sees an unbounded input
+    # (plan-audit note, VERDICT r7 #6)
     w_pos = Window.orderBy("vtime", group_order, "rank_in_group")
     return sched.withColumn(
         "position", F.row_number().over(w_pos)

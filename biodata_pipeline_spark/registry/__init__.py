@@ -64,89 +64,81 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3). Round-7 blocks (sizes pinned by tests/test_registry.py):
-#   1-6:   round-7 additions (never driver-checked): the production
-#          MinHash-banded split guard (rows-only; registry/textops.py),
-#          its hash-checked md5-family recall audit
-#          (registry/audits.py), and the two pinned-merge BPE
-#          promotions — the hash-checked training step
-#          (q_bpe_step_argmax), the hash-checked Arrow encode kernel
-#          (q_bpe_encode_pinned), and the hash-checked tokenize→ids→
-#          pack composition (q_bpe_pack_ids), and the sliding-window
-#          repeated-passage scrub (q_passage_scrub — the removal
-#          counterpart of the q_passage_dedup audit);
-#   7-10:  the four r02-stale hash-checked variants (q09b/q14b/q21b/
-#          q31b) — their last driver rows predate rounds 3-6 code;
-#   11-23: the 13 queries whose last driver row is r04 (VERDICT r6 #3
-#          named them): the four by-nature rows-only families
-#          (q_approx_count_distinct, q_cms_heavy_hitters,
-#          q_minhash_lsh_dedup, q_simhash_dedup) and the nine simple
-#          plans that ceded their r6 slots (q_hash_sample,
-#          q_embed_quantize, q_ntile_distribution,
-#          q_group_weighted_sample, q_fingerprint, q_pii_scrub,
-#          q_lang_guess, q_pivot_priority_matrix, q_media_frame_sample);
-#   24-50: the 27 stalest of the 50 r05-checked queries, in
-#          registry-family order (relational core through the set ops).
-# Outside the window this round: the 23 newest r05-checked queries
-# (temporal/vector/textops/audit families refreshed again in r8) and
-# the 50 r06-checked queries — every one has a green driver row within
-# the last two rounds and all are locally re-verified by
-# tools/check_oracle.py on current code each round.
+# #2 / r6 #3 / r7 #3). Round-8 blocks (sizes pinned by
+# tests/test_registry.py). Round 8 declares no new queries (the round's
+# additions — in-memory BPE training, dedup-index compaction — are
+# operator/pipeline-level, pytest- and probe-covered), so the window is
+# pure rotation, stalest-first as computed from the CORRECTNESS_r01-r07
+# union (max driver round per key):
+#   1-23:  every query whose last driver row is r05 — the set-op pair
+#          evicted from the r7 window at the last minute (q33/q34,
+#          VERDICT r7 #3 named them first), the temporal quartet
+#          (q28/q29/q35/q36), the flagship rank detail (q26), the
+#          vector/embedding family (q_embedding_stats,
+#          q_embed_cosine_dedup, q_lsh_similarity_join), the BM25/
+#          hybrid retrieval family, corpus diff / quality percentile,
+#          q_bpe_merge_pairs, and the five r5 audit queries;
+#   24-50: the 27 stalest of the 50 r06-checked queries, in
+#          registry-family order (relational aggregates through the
+#          dedup/cluster textops).
+# Outside the window this round: the 23 newest r06-checked queries
+# (analytic/media/export families) and the 50 r07-checked queries —
+# every one has a green driver row within the last two rounds and all
+# are locally re-verified by tools/check_oracle.py on current code each
+# round.
 _DRIVER_WINDOW = [
-    # -- block 1: round-7 additions (no prior CORRECTNESS row) -----------
-    "q_split_leakage_lsh",
-    "q_leakage_recall_audit",
-    "q_bpe_step_argmax",
-    "q_bpe_encode_pinned",
-    "q_bpe_pack_ids",
-    "q_passage_scrub",
-    # -- block 2: stale since r02 ----------------------------------------
-    "q09b_exact_dedup_text",
-    "q14b_sweep_grid_literal",
-    "q21b_salted_pricing",
-    "q31b_collect_ordered",
-    # -- block 3: stale since r04 ----------------------------------------
-    "q_approx_count_distinct",
-    "q_cms_heavy_hitters",
-    "q_minhash_lsh_dedup",
-    "q_simhash_dedup",
-    "q_hash_sample",
-    "q_embed_quantize",
-    "q_ntile_distribution",
-    "q_group_weighted_sample",
-    "q_fingerprint",
-    "q_pii_scrub",
-    "q_lang_guess",
-    "q_pivot_priority_matrix",
-    "q_media_frame_sample",
-    # -- block 4: stale since r05 — relational core / sets ---------------
-    "q01_text_scan_blank_filter",
-    "q02_delimited_comment_filter",
-    "q03_prompt_template_projection",
-    "q04_alpaca_projection",
-    "q05_suffix_marker_predicate",
-    "q06_regex_suffix_strip",
-    "q07_word_boundary_match",
-    "q08_comment_prefix_filter",
-    "q10_broadcast_dim_join",
-    "q12_semi_join",
-    "q13_anti_join_manifest",
-    "q14_cross_join_grid",
-    "q15_range_join_price_bands",
-    "q17_left_outer_sentinel",
-    "q18_global_avg",
-    "q19_avg_of_group_min",
-    "q20_grouped_count_distinct",
-    "q_salted_join_parity",
-    "q21c_percentiles",
-    "q22_length_bucket_group",
-    "q23_rollup_revenue",
-    "q27_row_number_rank",
-    "q30_orderby_limit_topk",
-    "q31_per_group_topk",
-    "q_sql_region_revenue",
-    "q_upsert_latest",
-    "q32_union_all",
+    # -- block 1: stale since r05 ----------------------------------------
+    "q33_except_difference",
+    "q34_intersect",
+    "q28_lag_prev_event",
+    "q29_sliding_frame_avg",
+    "q35_tumbling_window",
+    "q36_sliding_window",
+    "q26_retrieval_rank_detail",
+    "q_embedding_stats",
+    "q_embed_cosine_dedup",
+    "q_lsh_similarity_join",
+    "q_bpe_merge_pairs",
+    "q_bm25_topk",
+    "q_bm25_multi_topk",
+    "q_hybrid_rrf",
+    "q_corpus_diff",
+    "q_quality_percentile_filter",
+    "q_lsh_recall_audit",
+    "q_simhash_recall_audit",
+    "q_dedup_cc_audit",
+    "q_dedup_survivors_best",
+    "q_dup_source_matrix",
+    "q_ann_bucket_recall",
+    "q_lsh_pair_recall_audit",
+    # -- block 2: the 27 stalest r06-checked, registry-family order ------
+    "q09_exact_dedup",
+    "q11_multiway_join_revenue",
+    "q21_pricing_summary",
+    "q21d_approx_percentiles",
+    "q_percentile_accuracy_audit",
+    "q16_asof_join",
+    "q35b_cascade_hourly",
+    "q37_session_window",
+    "q_embedding_validate",
+    "q24_cosine_topk",
+    "q25_similarity_join",
+    "q26b_retrieval_rank_summary",
+    "q_kmeans_clusters",
+    "q_semantic_dedup",
+    "q_pca_projection",
+    "q_ivf_ann",
+    "q_chunk_documents",
+    "q_token_stats",
+    "q_bpe_token_count",
+    "q_quality_score",
+    "q_ngram_jaccard_dedup",
+    "q_split_leakage",
+    "q_line_dedup_scrub",
+    "q_edit_severity",
+    "q_repetition_stats",
+    "q_word_freq_topk",
+    "q_bpe_train_merges",
 ]
 
 DRIVER_WINDOW_SIZE = 50

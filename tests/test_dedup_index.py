@@ -1,0 +1,174 @@
+"""Incremental near-dup index maintenance (VERDICT r7 #2): compaction
+folds per-batch appends into bucketed tables, decisions are
+bit-identical across the fold, file counts are bounded, and the
+stored-side shuffle disappears on the bucketed layout."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.dedup import (
+    _index_component_frames,
+    _read_index_meta,
+    compact_dedup_index,
+    incremental_near_dup_filter,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BODIES = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "one completely different document body with its own words here",
+    "yet another unrelated piece of training text entirely present",
+    "fourth body of text sharing nothing with any other body listed",
+    "fifth distinct narrative string with a unique vocabulary again",
+    "sixth standalone document text unlike every preceding entry",
+]
+
+
+def _enroll(spark, idx, n_batches=4):
+    """n_batches single-doc batches of distinct texts + one near-dup."""
+    for i in range(n_batches):
+        incremental_near_dup_filter(
+            _batch(spark, [(100 + i, BODIES[i % len(BODIES)])]),
+            idx,
+            0.5,
+            batch_id=str(i),
+        )
+
+
+def _decide(spark, idx, probe_rows):
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, probe_rows), idx, 0.5, batch_id="probe"
+    )
+    return (
+        sorted(r.doc_id for r in kept.collect()),
+        sorted((r.id, r.matched_id, r.scope) for r in rep.collect()),
+    )
+
+
+PROBE = [
+    (900, BODIES[0]),                                   # exact dup of enrolled
+    (901, BODIES[1].replace("words", "terms")),         # near dup of enrolled
+    (902, "a wholly novel probe document matching nothing in the index"),
+]
+
+
+def test_compaction_preserves_decisions_and_bounds_files(spark, tmp_path):
+    idx = str(tmp_path / "nd_idx")
+    _enroll(spark, idx, 4)
+    # snapshot the uncompacted index: same logical state, two layouts
+    idx_copy = str(tmp_path / "nd_idx_copy")
+    shutil.copytree(idx, idx_copy)
+
+    before = _decide(spark, idx_copy, PROBE)
+    stats = compact_dedup_index(spark, idx, n_buckets=4)
+    after = _decide(spark, idx, PROBE)
+    assert after == before
+    assert before[0] == [901, 902] or before[0] == [902]
+
+    assert stats["version"] == 1
+    for part in ("bands", "hashes"):
+        # bounded by the bucket count (+_SUCCESS marker), independent of
+        # how many batches were folded — the whole point; with only 4
+        # single-doc batches the before-count is small too, so the probe
+        # (tools/probe_stream_ingest.py) carries the 100-batch shrink
+        assert stats[part]["files_after"] <= 4 + 1
+        assert stats[part]["files_before"] >= 4
+    meta = _read_index_meta(spark, idx)
+    assert meta["version"] == 1 and spark.catalog.tableExists(
+        meta["bands_table"]
+    )
+    # the folded delta dirs are gone; the probe batch re-created them
+    # with only its own enrollment
+    delta_ids = {
+        r.id
+        for r in spark.read.parquet(f"{idx}/bands").select("id").collect()
+    }
+    assert delta_ids <= {901, 902}
+
+
+def test_second_compaction_folds_table_plus_deltas(spark, tmp_path):
+    idx = str(tmp_path / "nd_idx2")
+    _enroll(spark, idx, 3)
+    compact_dedup_index(spark, idx, n_buckets=4)
+    # post-compaction batches append parquet deltas again
+    incremental_near_dup_filter(
+        _batch(spark, [(300, BODIES[4])]), idx, 0.5, batch_id="4"
+    )
+    stats2 = compact_dedup_index(spark, idx, n_buckets=4)
+    assert stats2["version"] == 2
+    meta = _read_index_meta(spark, idx)
+    assert meta["bands_table"].endswith("_v2")
+    # v1 table dropped and its files deleted
+    assert not spark.catalog.tableExists(meta["bands_table"][:-1] + "1")
+    # all four enrolled docs are still history: re-offering any drops it
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, [(400, BODIES[0]), (401, BODIES[4])]),
+        idx,
+        0.5,
+        batch_id="5",
+    )
+    assert kept.count() == 0
+    assert {r.scope for r in rep.collect()} == {"index"}
+
+
+def test_fresh_session_catalog_reregistration(spark, tmp_path):
+    """A session that never wrote the table (simulated by dropping it
+    from the catalog) re-registers it from the meta file and reads the
+    same rows."""
+    idx = str(tmp_path / "nd_idx3")
+    _enroll(spark, idx, 2)
+    compact_dedup_index(spark, idx, n_buckets=2)
+    meta = _read_index_meta(spark, idx)
+    before = _decide(spark, idx, PROBE)
+    spark.sql(f"DROP TABLE {meta['bands_table']}")
+    spark.sql(f"DROP TABLE {meta['hashes_table']}")
+    assert not spark.catalog.tableExists(meta["bands_table"])
+    assert _decide(spark, idx, PROBE) == before
+    assert spark.catalog.tableExists(meta["bands_table"])
+
+
+def test_bucketed_layout_removes_stored_side_shuffle(spark, tmp_path):
+    """The layout's scale claim, plan-asserted: joining batch bands
+    against the compacted table on (band, bucket) adds NO Exchange for
+    the stored side — only the batch side shuffles — while the plain
+    parquet delta layout shuffles both sides (broadcast disabled so the
+    shuffle strategy is actually exercised)."""
+    from biodata_pipeline_spark.plans.inspect import count_shuffles
+
+    idx = str(tmp_path / "nd_idx4")
+    _enroll(spark, idx, 3)
+    plain = _index_component_frames(spark, idx, "bands")[0]
+    compact_dedup_index(spark, idx, n_buckets=4)
+    bucketed = _index_component_frames(spark, idx, "bands")[0]
+
+    batch = spark.createDataFrame(
+        [(1, 0, 42), (2, 1, 43)], "id long, band int, bucket bigint"
+    ).withColumn("bucket", F.col("bucket").cast("long"))
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh_plain = count_shuffles(
+            batch.join(plain.withColumnRenamed("id", "other_id"),
+                       ["band", "bucket"])
+        )
+        sh_bucketed = count_shuffles(
+            batch.join(bucketed.withColumnRenamed("id", "other_id"),
+                       ["band", "bucket"])
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert sh_plain == 2  # both sides exchange
+    assert sh_bucketed == 1  # batch side only; stored side scan is enough
+
+
+def test_compact_empty_index_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_dedup_index(spark, str(tmp_path / "missing"))

@@ -73,6 +73,45 @@ def test_bpe_train_matches_reference(spark):
     assert len(got) >= 8  # the corpus supports a real merge sequence
 
 
+def test_bpe_train_inmemory_matches_distributed_loop(spark):
+    """The count-gated fast path (VERDICT r7 #1): the driver-side merge
+    loop must reproduce the distributed per-merge loop MERGE-FOR-MERGE —
+    on the toy corpus, on the sf0.01 pin corpus at 20 merges, and when
+    the gate forces the distributed path the result is identical too."""
+    from biodata_pipeline_spark.operators.tokenizer import (
+        bpe_train_distributed,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    assert bpe_train(df, 12) == bpe_train_distributed(df, 12)
+    # forcing the gate past the vocabulary size takes the distributed
+    # path inside bpe_train itself — same merges
+    assert bpe_train(df, 12, max_inmemory_words=0) == bpe_train(df, 12)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert bpe_train(docs, 20) == bpe_train_distributed(docs, 20)
+
+
+def test_bpe_train_inmemory_deep_merges_stay_consistent(spark):
+    """Past the toy range: 60 in-memory merges on the pin corpus are a
+    prefix-extension of the 20-merge list (greedy BPE is prefix-stable)
+    and every merge's two symbols already exist when it is applied."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    m20 = bpe_train(docs, 20)
+    m60 = bpe_train(docs, 60)
+    assert m60[:20] == m20
+    assert len(m60) == 60
+    known = None
+
+    def buildable(sym, vocab):
+        return len(sym) == 1 or sym == END_OF_WORD or sym in vocab
+
+    known = set()
+    for a, b in m60:
+        assert buildable(a, known) and buildable(b, known), (a, b)
+        known.add(a + b)
+
+
 def test_bpe_train_early_stop_and_validation(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     # all pairs are singletons below min_pair_count=2 -> no merges
