@@ -1635,12 +1635,22 @@ def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
     folded — duplicate rows, decision-neutral as above — and the next
     compaction clears them.
     """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    # Qualify the index dir to an absolute URI FIRST: Spark resolves a
+    # RELATIVE table-location against the WAREHOUSE dir while the
+    # parquet writers and the Hadoop FS calls here resolve against the
+    # process working dir — with a relative index_dir the compacted
+    # table would silently land under spark-warehouse/ and every file
+    # count / delete would point at a path that does not exist (caught
+    # by the r8 streaming probe; the pytest's absolute tmp_path never
+    # hit it).
+    _hp = jvm.org.apache.hadoop.fs.Path(index_dir)
+    index_dir = _hp.getFileSystem(hconf).makeQualified(_hp).toString()
     meta = _read_index_meta(spark, index_dir)
     version = (int(meta["version"]) + 1) if meta else 1
     new_meta: dict = {"version": version, "n_buckets": n_buckets}
     stats: dict = {"version": version}
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
 
     def _file_count(p: str) -> int:
         hp = jvm.org.apache.hadoop.fs.Path(p)

@@ -420,3 +420,81 @@ def export_training_shards(
         F.count("*").alias("n_docs"),
         F.sum("__n_tok").cast("long").alias("shard_tokens"),
     )
+
+
+def run_pretraining_pipeline(
+    docs: DataFrame,
+    work_dir: str,
+    seq_len: int = 256,
+    n_merges: int = 32,
+    merges: list[tuple[str, str]] | None = None,
+    token_budget: int = 1 << 20,
+    **corpus_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The full pretraining-data lifecycle as ONE declarative chain
+    (VERDICT r7 #8) — the three separately-tested paths composed:
+
+        build_training_corpus  (scrub → filter → dedup → [leak guard])
+      → tokenize_and_pack      (BPE induction → ids → fixed-len packing)
+      → export_packed_sequences (token-budgeted shards + delta-log
+                                 manifest commit)
+
+    ``corpus_kwargs`` pass through to ``build_training_corpus`` (scrub
+    gates, language allow-list, holdout fraction, ...). Artifacts land
+    under ``work_dir``: ``corpus/`` (Alpaca-formatted parquet),
+    ``sequences/`` (packed token-id arrays), ``shards/`` +
+    ``shard_manifest/`` (the loader's worker map). Returns
+    ``(manifest, report)`` where ``report`` is the per-stage census the
+    corpus build starts — (metric, value) — EXTENDED through the
+    tokenizer and export stages (vocab_size, packed_sequences,
+    packed_tokens, shards, shard_tokens), so one frame audits the whole
+    run the way the reference's driver script echoes stage counts
+    (run_data_generation_sophia.sh:61,65).
+    """
+    from biodata_pipeline_spark.streaming.export import (
+        export_packed_sequences,
+    )
+
+    spark = docs.sparkSession
+    corpus, report = build_training_corpus(
+        docs, sink_dir=f"{work_dir}/corpus", with_report=True, **corpus_kwargs
+    )
+    train_docs = corpus.select(
+        "doc_id", F.col("training_text").alias("text")
+    )
+    vocab, _ = tokenize_and_pack(
+        train_docs,
+        seq_len,
+        merges=merges,
+        n_merges=n_merges,
+        sink_dir=f"{work_dir}/sequences",
+    )
+    # the packed sequences were materialized by the sink write — read
+    # them back rather than recomputing the tokenize chain for the
+    # export and the census counts
+    seqs = spark.read.parquet(f"{work_dir}/sequences")
+    manifest = export_packed_sequences(
+        seqs,
+        f"{work_dir}/shards",
+        f"{work_dir}/shard_manifest",
+        token_budget=token_budget,
+    )
+    packed = seqs.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    mrow = manifest.agg(
+        F.count("*").alias("n"), F.sum("shard_tokens").alias("t")
+    ).collect()[0]
+    extra = [
+        ("vocab_size", vocab.count()),
+        ("packed_sequences", packed["n"]),
+        ("packed_tokens", packed["t"] or 0),
+        ("shards", mrow["n"]),
+        ("shard_tokens", mrow["t"] or 0),
+    ]
+    report = report.unionByName(
+        spark.createDataFrame(
+            [(m, int(v)) for m, v in extra], "metric string, value long"
+        )
+    )
+    return manifest, report

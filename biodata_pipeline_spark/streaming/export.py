@@ -172,3 +172,44 @@ def run_incremental_shard_export(
     )
     q.awaitTermination()
     return q
+
+
+def export_packed_sequences(
+    seqs: DataFrame,
+    sink_dir: str,
+    manifest_dir: str,
+    token_budget: int = 1 << 22,
+    batch_id: int = 0,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Token-budgeted shard export of PACKED training sequences —
+    ``pack_token_ids`` output ``(seq_id, ids, n_tokens)`` — through the
+    same delta-log commit protocol as the streaming text export: shard
+    rows land under ``(batch_id, shard_id)`` partitions via dynamic
+    overwrite, the manifest delta appends LAST as the commit marker,
+    and a replay of an already-committed ``batch_id`` is a no-op.
+    Weights are the EXACT packed token counts (no re-tokenization — the
+    sequences already know their length). Returns the aggregated shard
+    manifest (shard_id, n_docs, shard_tokens).
+
+    This is the last stage of the pretraining data lifecycle
+    (``pipelines.run_pretraining_pipeline`` composes it after
+    build_training_corpus → tokenize_and_pack); the reference's
+    directory-order consumption (train_adapters/
+    RAG-eval-create_model.py:96-117) is replaced by budget-balanced,
+    manifest-described, restart-safe shards.
+    """
+    spark = seqs.sparkSession
+    deltas = _try_read(spark, manifest_dir)
+    if (
+        deltas is not None
+        and deltas.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+    ):
+        return read_shard_manifest(spark, manifest_dir)
+    weighted = seqs.withColumn("__n_tok", F.col("n_tokens").cast("long"))
+    plan = incremental_shard_plan(
+        weighted, deltas, "seq_id", "__n_tok", token_budget, salt=salt
+    ).localCheckpoint()
+    _write_shards(plan, batch_id, sink_dir, "seq_id")
+    _append_manifest(plan, batch_id, manifest_dir)
+    return read_shard_manifest(spark, manifest_dir)

@@ -6,6 +6,8 @@ second run plans zero work."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from biodata_pipeline_spark.pipelines import narrative_generation
 from biodata_pipeline_spark.sources.manifest import Manifest
 
@@ -258,6 +260,54 @@ def test_export_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(sink2).collect()
     )
     assert a == b
+
+
+def test_run_pretraining_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The full lifecycle in one chain (VERDICT r7 #8): corpus build →
+    tokenize+pack → token-budgeted shard export with the delta-log
+    manifest; the census report carries counts through ALL stages and
+    the manifest's token totals reconcile exactly with the packed
+    sequences."""
+    from biodata_pipeline_spark.pipelines import run_pretraining_pipeline
+    from biodata_pipeline_spark.streaming.export import (
+        export_packed_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = str(tmp_path / "run")
+    manifest, report = run_pretraining_pipeline(
+        docs, work, seq_len=64, n_merges=8, token_budget=2000,
+        min_quality=0.3,
+    )
+    rep = {r.metric: r.value for r in report.collect()}
+    for k in (
+        "input_docs", "quality_lang_kept", "dedup_survivors", "final_docs",
+        "vocab_size", "packed_sequences", "packed_tokens", "shards",
+        "shard_tokens",
+    ):
+        assert k in rep, k
+    assert rep["input_docs"] >= rep["final_docs"] > 0
+    # token conservation: every packed token lands in exactly one shard
+    assert rep["shard_tokens"] == rep["packed_tokens"] > 0
+    seqs = spark.read.parquet(f"{work}/sequences")
+    n_partial = seqs.filter(F.col("n_tokens") != 64).count()
+    assert n_partial <= 1  # only the trailing sequence may be short
+    assert seqs.count() == rep["packed_sequences"]
+    # the shard files on disk hold every sequence once
+    shards = spark.read.parquet(f"{work}/shards")
+    assert shards.count() == rep["packed_sequences"]
+    assert shards.select("seq_id").distinct().count() == rep[
+        "packed_sequences"
+    ]
+    # the delta-log commit makes a replayed export a no-op
+    m2 = export_packed_sequences(
+        seqs, f"{work}/shards", f"{work}/shard_manifest", token_budget=2000
+    )
+    assert sorted(
+        (r.shard_id, r.n_docs, r.shard_tokens) for r in m2.collect()
+    ) == sorted(
+        (r.shard_id, r.n_docs, r.shard_tokens) for r in manifest.collect()
+    )
 
 
 def test_build_training_corpus_with_guards(spark, sf_dir):
