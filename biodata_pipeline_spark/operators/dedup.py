@@ -1395,30 +1395,31 @@ class SignatureStore:
         shingles, bands = self._state_for(new_docs, id_col, text_col)
         shingles = register_cached(shingles.persist())
         bands = register_cached(bands.persist())
-        try:
-            # drop("batch_id") is a no-op for stores written pre-batching
-            old_bands = spark.read.parquet(self._bands_path()).drop("batch_id")
-            old_shingles = spark.read.parquet(self._shingles_path()).drop(
-                "batch_id"
+        # every live source of stored state: the compacted bucketed
+        # table (after a .compact()) plus the parquet delta appends —
+        # each joined separately, like incremental_near_dup_filter, so
+        # the bucketed scan keeps its shuffle-free partitioning (a
+        # missing store yields empty lists = first batch; a CORRUPT
+        # store still raises inside the read, by design)
+        stored_bands = _index_component_frames(spark, self.path, "bands")
+        stored_shingles = _index_component_frames(spark, self.path, "shingles")
+        cands = None
+        for side in [bands] + stored_bands:  # new-vs-new first
+            c = (
+                bands.alias("a")
+                .join(side.alias("b"), ["band", "bucket"])
+                .filter(F.col("a.id") != F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_new"),
+                    F.col("b.id").alias("id_old"),
+                )
+                .filter(F.col("id_new") > F.col("id_old"))  # canonical
             )
-            all_bands = old_bands.unionByName(bands)
-            all_shingles = old_shingles.unionByName(shingles)
-        except AnalysisException as e:
-            # Only a MISSING store means "first batch". A corrupt or
-            # unreadable store must raise: silently treating it as empty
-            # would admit the batch blind to all history AND append on top,
-            # compounding the inconsistency.
-            if not _is_store_missing(e):
-                raise
-            all_bands, all_shingles = bands, shingles
-        cands = (
-            bands.alias("a")
-            .join(all_bands.alias("b"), ["band", "bucket"])
-            .filter(F.col("a.id") != F.col("b.id"))
-            .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_old"))
-            .filter(F.col("id_new") > F.col("id_old"))  # canonical orientation
-            .dropDuplicates(["id_new", "id_old"])
-        )
+            cands = c if cands is None else cands.unionByName(c)
+        cands = cands.dropDuplicates(["id_new", "id_old"])
+        all_shingles = shingles
+        for s in stored_shingles:
+            all_shingles = all_shingles.unionByName(s)
         verified = cands.join(
             shingles.select(F.col("id").alias("id_new"), F.col("hs").alias("__sa")),
             "id_new",
@@ -1444,6 +1445,19 @@ class SignatureStore:
             self._write_batch(spark, bands, self._bands_path(), batch_id)
             self._write_batch(spark, shingles, self._shingles_path(), batch_id)
         return result
+
+    def compact(self, spark, n_buckets: int = 16) -> dict:
+        """Fold this store's per-batch appends into bucketed tables —
+        ``compact_dedup_index`` with this store's layout (``bands`` on
+        (band, bucket), ``shingles`` on (id)). Same contract: run
+        between batches; decisions identical across the fold; file
+        count bounded by the bucket count."""
+        return compact_dedup_index(
+            spark,
+            self.path,
+            n_buckets=n_buckets,
+            parts={"bands": ["band", "bucket"], "shingles": ["id"]},
+        )
 
     @staticmethod
     def _write_batch(spark, df: DataFrame, path: str, batch_id: str) -> None:
@@ -1546,7 +1560,7 @@ def _ensure_index_table(spark, meta: dict, part: str) -> None:
     name = meta[f"{part}_table"]
     if spark.catalog.tableExists(name):
         return
-    keys = ", ".join(_INDEX_BUCKET_KEYS[part])
+    keys = ", ".join(meta.get(f"{part}_keys") or _INDEX_BUCKET_KEYS[part])
     spark.sql(
         f"CREATE TABLE {name} ({meta[f'{part}_schema']}) USING PARQUET "
         f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
@@ -1604,7 +1618,12 @@ def _index_component_frames(
     return out
 
 
-def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
+def compact_dedup_index(
+    spark,
+    index_dir: str,
+    n_buckets: int = 16,
+    parts: dict[str, list[str]] | None = None,
+) -> dict:
     """Index maintenance for ``incremental_near_dup_filter`` (VERDICT r7
     #2): fold the accumulated per-batch parquet appends — plus any
     previous compaction — into ONE bucketed external table per
@@ -1618,7 +1637,10 @@ def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
     compaction.
 
     Returns ``{"version", "bands": {files_before, files_after},
-    "hashes": {...}}``.
+    "hashes": {...}}``. ``parts`` overrides the component→bucket-key
+    map for stores with a different layout (``SignatureStore.compact``
+    passes ``{"bands": [...], "shingles": ["id"]}``); the keys are
+    recorded in the meta file so re-registration stays layout-correct.
 
     Contract: run BETWEEN batches (e.g. after a streaming availableNow
     drain). A batch replayed after its rows were compacted still
@@ -1664,7 +1686,7 @@ def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
         hp.getFileSystem(hconf).delete(hp, True)
 
     to_delete: list[str] = []
-    for part, keys in _INDEX_BUCKET_KEYS.items():
+    for part, keys in (parts or _INDEX_BUCKET_KEYS).items():
         frames = _index_component_frames(
             spark, index_dir, part, keep_batch_id=True
         )
@@ -1696,6 +1718,7 @@ def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
         )
         new_meta[f"{part}_table"] = name
         new_meta[f"{part}_path"] = path
+        new_meta[f"{part}_keys"] = keys
         new_meta[f"{part}_schema"] = ", ".join(
             f"{fld.name} {fld.dataType.simpleString()}"
             for fld in full.schema.fields
@@ -1711,7 +1734,7 @@ def compact_dedup_index(spark, index_dir: str, n_buckets: int = 16) -> dict:
     for p in to_delete:
         _delete(p)
     if meta:
-        for part in _INDEX_BUCKET_KEYS:
+        for part in (parts or _INDEX_BUCKET_KEYS):
             spark.sql(f"DROP TABLE IF EXISTS {meta[f'{part}_table']}")
     return stats
 

@@ -172,3 +172,40 @@ def test_bucketed_layout_removes_stored_side_shuffle(spark, tmp_path):
 def test_compact_empty_index_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="nothing to compact"):
         compact_dedup_index(spark, str(tmp_path / "missing"))
+
+
+def test_signature_store_compaction_preserves_pairs(spark, tmp_path):
+    """SignatureStore.compact folds its bands/shingles layout the same
+    way: a batch admitted after the fold reports the identical pair set
+    as one admitted against an uncompacted copy of the store."""
+    from biodata_pipeline_spark.operators.dedup import SignatureStore
+
+    store_dir = str(tmp_path / "sig")
+    s = SignatureStore(store_dir)
+    s.admit(
+        _batch(spark, [(1, BODIES[0]), (2, BODIES[1])]), 0.5, batch_id="1"
+    ).collect()
+    s.admit(_batch(spark, [(3, BODIES[0])]), 0.5, batch_id="2").collect()
+
+    copy_dir = str(tmp_path / "sig_copy")
+    shutil.copytree(store_dir, copy_dir)
+    stats = s.compact(spark, n_buckets=2)
+    assert stats["version"] == 1 and "shingles" in stats
+
+    b3 = _batch(
+        spark,
+        [(4, BODIES[0]),
+         (5, "an entirely new body of text with no relatives anywhere")],
+    )
+    got = sorted(
+        (r.id_new, r.id_old, r.jaccard)
+        for r in s.admit(b3, 0.5, batch_id="3").collect()
+    )
+    want = sorted(
+        (r.id_new, r.id_old, r.jaccard)
+        for r in SignatureStore(copy_dir)
+        .admit(b3, 0.5, batch_id="3")
+        .collect()
+    )
+    assert got == want
+    assert {(n, o) for n, o, _ in got} >= {(4, 1), (4, 3)}
