@@ -31,6 +31,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from biodata_pipeline_spark import get_spark  # noqa: E402
 from biodata_pipeline_spark.operators.caching import cache_scope  # noqa: E402
 from biodata_pipeline_spark.operators.dedup import (  # noqa: E402
+    compact_dedup_index,
     incremental_near_dup_filter,
 )
 
@@ -108,11 +109,34 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
                 shutil.rmtree(probe_idx, ignore_errors=True)
+            # same admit against the COMPACTED layout (r8): fold the
+            # copy into bucketed tables first, then time the admit —
+            # decisions must match the parquet-layout run
+            best_c, admitted_c, compact_secs = None, None, None
+            for _ in range(2):
+                probe_idx = tempfile.mkdtemp(prefix="ndprobe_runc_")
+                shutil.rmtree(probe_idx)
+                shutil.copytree(idx, probe_idx)
+                t0 = time.time()
+                compact_dedup_index(spark, probe_idx, n_buckets=16)
+                compact_secs = round(time.time() - t0, 2)
+                t0 = time.time()
+                with cache_scope():
+                    k, r = incremental_near_dup_filter(
+                        batch, probe_idx, THRESHOLD
+                    )
+                    admitted_c = (k.count(), r.count())
+                dt = time.time() - t0
+                best_c = dt if best_c is None else min(best_c, dt)
+                shutil.rmtree(probe_idx, ignore_errors=True)
+            assert admitted_c == admitted, "compacted decisions diverged"
             results[n] = {
                 "enroll_secs": enroll_secs,
                 "n_enrolled": n_enrolled,
                 "index_band_rows": idx_rows,
                 "admit_secs": round(best, 2),
+                "admit_secs_compacted": round(best_c, 2),
+                "compact_secs": compact_secs,
                 "batch_kept": admitted[0],
                 "batch_dropped": admitted[1],
             }
