@@ -1,0 +1,214 @@
+"""Persistent incremental IVF index — similarity search's counterpart
+of the dedup ``SignatureStore``.
+
+At 100 TB you never re-cluster the historical embedding corpus to make
+new vectors searchable: the index at ``path`` persists the trained
+centroids (a k×dim artifact, kBs) and the cell-assigned vectors
+(``assignments/``: one (vec_id, embedding, cell) row per vector,
+appended per batch), so
+
+  * ``add`` costs one broadcast-centroid assignment map over the NEW
+    batch only — history untouched;
+  * ``query`` probes each query's ``n_probe`` nearest cells and ranks
+    only those vectors — an equi-join on cell id, scanning
+    ~n_probe/k of the corpus, never all of it;
+  * ``compact`` folds the per-batch appends into a bucketed table on
+    (cell) via the shared index-maintenance machinery
+    (``compact_dedup_index``), so a thousand-batch index keeps a
+    bounded file count and the probe join needs no stored-side shuffle
+    past the broadcast threshold;
+  * ``cell_stats`` reports per-cell occupancy — the drift signal that
+    tells an operator when the frozen centroids have stopped fitting
+    the data and a re-``build`` is due (the standard IVF maintenance
+    trade: adds are cheap because the coarse quantizer is frozen).
+
+Everything is deterministic: centroids come from ``kmeans_fit``
+(md5-seeded, no RNG), assignment is ``assign_clusters``'s argmin with
+its tie-break, ranking reuses the 9dp-rounded cosine with id
+tie-breaks.
+
+Reference anchor: the reference embeds chunks and brute-force ranks the
+whole corpus per query (rag_evaluation/RAG-eval-test_model.py:119-153);
+this is the layout that keeps that query answerable when the corpus no
+longer fits a scan per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.functions.vector import dot, l2_norm
+from biodata_pipeline_spark.operators.dedup import (
+    SignatureStore,
+    _index_component_frames,
+    compact_dedup_index,
+)
+from biodata_pipeline_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+)
+from biodata_pipeline_spark.operators.similarity import (
+    SIM_ROUND,
+    matrix_literal,
+)
+
+
+class VectorIndexStore:
+    """Persistent IVF state under ``path``: ``centroids/`` (the trained
+    coarse quantizer) + ``assignments/`` (cell-assigned vectors,
+    appended per batch, compactable)."""
+
+    def __init__(self, path: str, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        self.path = path
+        self.id_col, self.emb_col = id_col, emb_col
+
+    # -- build / maintain -------------------------------------------------
+    def build(
+        self,
+        vecs: DataFrame,
+        k: int = 16,
+        iters: int = 4,
+        batch_id: str | None = "0",
+    ) -> list[list[float]]:
+        """Train the coarse quantizer on ``vecs`` and enroll them as the
+        index's first batch. Overwrites any previous centroids — a
+        rebuild invalidates stored assignments, so it also expects the
+        caller to start from a fresh ``path`` (asserted)."""
+        spark = vecs.sparkSession
+        cents = kmeans_fit(vecs, k=k, iters=iters,
+                           id_col=self.id_col, emb_col=self.emb_col)
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("error").parquet(f"{self.path}/centroids")
+        self.add(vecs, batch_id=batch_id)
+        return cents
+
+    def centroids(self, spark) -> list[list[float]]:
+        rows = (
+            spark.read.parquet(f"{self.path}/centroids")
+            .orderBy("cell")
+            .collect()
+        )  # k rows — the coarse quantizer is driver-sized by design
+        return [list(r.centroid) for r in rows]
+
+    def add(self, vecs: DataFrame, batch_id: str | None = None) -> int:
+        """Assign NEW vectors to their nearest stored centroid and
+        append them — one broadcast-assignment map, no history read.
+        ``batch_id`` gives the same per-batch idempotent overwrite as
+        the dedup index. Returns rows enrolled (null embeddings are
+        excluded by the assignment's geometry contract)."""
+        spark = vecs.sparkSession
+        cents = self.centroids(spark)
+        assigned = assign_clusters(
+            vecs, cents, self.id_col, self.emb_col
+        ).select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.emb_col).cast("array<double>").alias("emb"),
+            F.col("cluster").alias("cell"),
+        ).localCheckpoint()  # materialize before mutating the store
+        if batch_id is None:
+            assigned.write.mode("append").parquet(f"{self.path}/assignments")
+        else:
+            SignatureStore._write_batch(
+                spark, assigned, f"{self.path}/assignments", batch_id
+            )
+        return assigned.count()
+
+    def compact(self, spark, n_buckets: int = 16) -> dict:
+        """Fold per-batch assignment appends into ONE bucketed table on
+        (cell) — bounded file count, shuffle-free probe join past the
+        broadcast threshold. Same contract as the dedup index: run
+        between batches; query results identical across the fold."""
+        return compact_dedup_index(
+            spark, self.path, n_buckets=n_buckets,
+            parts={"assignments": ["cell"]},
+        )
+
+    def cell_stats(self, spark) -> DataFrame:
+        """(cell, n_vecs) occupancy — the drift report. A cell running
+        hot (≫ corpus/k) means the frozen quantizer no longer fits the
+        incoming distribution and probe cost for queries near that cell
+        degrades toward a scan: time to re-``build``."""
+        parts = _index_component_frames(spark, self.path, "assignments")
+        if not parts:
+            raise ValueError(f"no index at {self.path}")
+        full = parts[0].select("cell")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("cell"))
+        return full.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+
+    # -- search -----------------------------------------------------------
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+        query_id: str = "query_id",
+        query_emb: str = "query_emb",
+    ) -> DataFrame:
+        """Top-``k`` per query over the stored index: rank stored
+        centroids per query (one driver-sized matrix literal), probe
+        the ``n_probe`` best cells, equi-join candidates on cell —
+        each index part joined separately so the compacted bucketed
+        scan keeps its partitioning — exact cosine on candidates, then
+        the per-query rank window. Returns (query_id, vec_id, rank,
+        sim) with the engine's standard tie-breaks."""
+        from pyspark.sql import Window
+
+        spark = queries.sparkSession
+        import math
+
+        cents = self.centroids(spark)
+        n_cells = len(cents)
+        n_probe = min(n_probe, n_cells)
+        # rank cells by cosine == dot against unit-normalized centroids
+        unit = []
+        for c in cents:
+            nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+            unit.append([x / nrm for x in c])
+        cmat = matrix_literal(unit)
+        idx = F.lit(list(range(n_cells)))
+
+        def best_cells(emb):
+            sims = F.transform(
+                cmat, lambda c: F.round(dot(emb, c), SIM_ROUND)
+            )
+            zipped = F.zip_with(
+                sims, idx,
+                lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+            )
+            top = F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe)
+            return F.transform(top, lambda st: st["cell"])
+
+        qcells = queries.select(
+            F.col(query_id),
+            F.col(query_emb).cast("array<double>").alias("__qe"),
+            l2_norm(F.col(query_emb)).alias("__nq"),
+            F.explode(best_cells(F.col(query_emb))).alias("cell"),
+        )
+        parts = _index_component_frames(spark, self.path, "assignments")
+        if not parts:
+            raise ValueError(f"no index at {self.path}")
+        scored = None
+        for p in parts:
+            s = p.join(F.broadcast(qcells), "cell").select(
+                query_id,
+                F.col("id").alias(self.id_col),
+                F.round(
+                    dot(F.col("__qe"), F.col("emb"))
+                    / (F.col("__nq") * l2_norm(F.col("emb"))),
+                    SIM_ROUND,
+                ).alias("sim"),
+            )
+            scored = s if scored is None else scored.unionByName(s)
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("sim").desc(), F.col(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, self.id_col, "rank", "sim")
+        )

@@ -1,0 +1,128 @@
+"""Persistent incremental IVF index (VectorIndexStore): build → add →
+query → compact, with recall against the exact ranker and identical
+results across the compaction fold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodata_pipeline_spark.operators.ann_store import VectorIndexStore
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _queries(spark, n=5):
+    # held-out queries: the first n vectors re-labeled, so each query's
+    # rank-1 neighbor should be its own identical twin in the index
+    return (
+        _emb(spark)
+        .orderBy("vec_id")
+        .limit(n)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_emb"),
+        )
+    )
+
+
+def test_build_query_recall_and_incremental_add(spark, tmp_path):
+    from biodata_pipeline_spark.operators.similarity import brute_force_ann
+
+    store = VectorIndexStore(str(tmp_path / "ivf"))
+    base = _emb(spark).filter(F.col("vec_id") < 150)
+    n = store.build(base, k=8, iters=2)
+    assert len(n) == 8
+    q = _queries(spark)
+
+    got = store.query(q, k=5, n_probe=8).collect()  # n_probe=k_cells ⇒ exact
+    assert {r.query_id for r in got} == {r.query_id for r in q.collect()}
+    # probing every cell is exhaustive: must equal the exact ranker
+    exact = brute_force_ann(q, base, 5).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in got} == {
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    }
+    # each query's own twin ranks first at sim 1.0
+    top = {r.query_id: r for r in got if r.rank == 1}
+    for qid, r in top.items():
+        assert r.vec_id == qid and r.sim == pytest.approx(1.0)
+
+    # narrow probe still finds the identical twin (it shares the cell)
+    narrow = store.query(q, k=1, n_probe=1).collect()
+    assert all(r.vec_id == r.query_id for r in narrow)
+
+    # incremental add: new vectors become searchable without rebuild
+    extra = _emb(spark).filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 160)
+    )
+    assert store.add(extra, batch_id="1") == 10
+    probe = extra.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    found = store.query(probe, k=1, n_probe=8).collect()
+    assert all(r.vec_id == r.query_id and r.rank == 1 for r in found)
+
+
+def test_add_batch_id_retry_idempotent(spark, tmp_path):
+    store = VectorIndexStore(str(tmp_path / "ivf2"))
+    base = _emb(spark).filter(F.col("vec_id") < 100)
+    store.build(base, k=4, iters=1)
+    extra = _emb(spark).filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    )
+    store.add(extra, batch_id="7")
+    store.add(extra, batch_id="7")  # replay overwrites its own partition
+    n_rows = spark.read.parquet(f"{store.path}/assignments").count()
+    assert n_rows == 110
+    stats = {r.cell: r.n_vecs for r in store.cell_stats(spark).collect()}
+    assert sum(stats.values()) == 110
+
+
+def test_compaction_preserves_query_results(spark, tmp_path):
+    store = VectorIndexStore(str(tmp_path / "ivf3"))
+    base = _emb(spark).filter(F.col("vec_id") < 120)
+    store.build(base, k=4, iters=1)
+    store.add(
+        _emb(spark).filter(
+            (F.col("vec_id") >= 120) & (F.col("vec_id") < 140)
+        ),
+        batch_id="1",
+    )
+    q = _queries(spark)
+    before = sorted(
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, k=5, n_probe=4).collect()
+    )
+    stats = store.compact(spark, n_buckets=4)
+    assert stats["assignments"]["files_after"] <= 5
+    after = sorted(
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, k=5, n_probe=4).collect()
+    )
+    assert after == before
+    # occupancy survives the fold
+    assert sum(
+        r.n_vecs for r in store.cell_stats(spark).collect()
+    ) == 140
+    # post-compaction adds land in the delta dir and are queried too
+    store.add(
+        _emb(spark).filter(
+            (F.col("vec_id") >= 140) & (F.col("vec_id") < 145)
+        ),
+        batch_id="2",
+    )
+    probe = (
+        _emb(spark)
+        .filter((F.col("vec_id") >= 140) & (F.col("vec_id") < 145))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_emb"),
+        )
+    )
+    found = store.query(probe, k=1, n_probe=4).collect()
+    assert all(r.vec_id == r.query_id for r in found)
