@@ -45,13 +45,72 @@ from biodata_pipeline_spark.operators.dedup import (
     compact_dedup_index,
 )
 from biodata_pipeline_spark.operators.kmeans import (
-    assign_clusters,
-    kmeans_fit,
+    SUM_GRAIN,
+    _update_centroids,
+    seed_centroids,
 )
 from biodata_pipeline_spark.operators.similarity import (
     SIM_ROUND,
     matrix_literal,
 )
+
+
+def _assign_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    emb_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment built for LARGE k: the centroid
+    matrix rides as ONE parsed literal and distances are a single
+    ``transform`` of array folds, so a k=64..1024 quantizer stays one
+    compact expression. ``kmeans.assign_clusters`` inlines k separate
+    per-dimension SQL chains — correct and oracle-pinned for the
+    declared small-k queries, but at k=64 the expression's codegen
+    compile alone cost ~50 s (measured by tools/probe_ann_store.py
+    before this path). Same decision semantics: squared L2 rounded at
+    SUM_GRAIN, argmin ties → lowest index; null embeddings excluded
+    (the geometry contract). Adds ``cluster``."""
+    cmat = matrix_literal(cents)
+    emb = F.col(emb_col).cast("array<double>")
+    d2 = F.transform(
+        cmat,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            SUM_GRAIN,
+        ),
+    )
+    picked = F.get(
+        F.transform(
+            F.array(d2),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        ),
+        0,
+    )
+    return df.filter(F.col(emb_col).isNotNull()).withColumn(
+        "cluster", picked
+    )
+
+
+def _fit_quantizer(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    emb_col: str,
+) -> list[list[float]]:
+    """Lloyd's loop with the large-k assignment path: deterministic md5
+    seeds, per-iteration assignment + one k×(dim+1) aggregate (the
+    shared ``_update_centroids`` update rule, carry-forward for emptied
+    cells)."""
+    cents = seed_centroids(df, k, id_col, emb_col)
+    for _ in range(iters):
+        assigned = _assign_cells(df, cents, emb_col)
+        cents = _update_centroids(assigned, cents, emb_col)
+    return cents
 
 
 class VectorIndexStore:
@@ -77,8 +136,7 @@ class VectorIndexStore:
         rebuild invalidates stored assignments, so it also expects the
         caller to start from a fresh ``path`` (asserted)."""
         spark = vecs.sparkSession
-        cents = kmeans_fit(vecs, k=k, iters=iters,
-                           id_col=self.id_col, emb_col=self.emb_col)
+        cents = _fit_quantizer(vecs, k, iters, self.id_col, self.emb_col)
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, centroid array<double>",
@@ -102,9 +160,7 @@ class VectorIndexStore:
         excluded by the assignment's geometry contract)."""
         spark = vecs.sparkSession
         cents = self.centroids(spark)
-        assigned = assign_clusters(
-            vecs, cents, self.id_col, self.emb_col
-        ).select(
+        assigned = _assign_cells(vecs, cents, self.emb_col).select(
             F.col(self.id_col).alias("id"),
             F.col(self.emb_col).cast("array<double>").alias("emb"),
             F.col("cluster").alias("cell"),
@@ -188,13 +244,27 @@ class VectorIndexStore:
             F.col(query_emb).cast("array<double>").alias("__qe"),
             l2_norm(F.col(query_emb)).alias("__nq"),
             F.explode(best_cells(F.col(query_emb))).alias("cell"),
+        ).localCheckpoint()  # reused: the probed-cell list + the join side
+        # push the probed-cell set into the scan as an IN filter: the
+        # list is ≤ queries × n_probe values (driver-bounded by the
+        # query batch the caller chose), and the compacted layout is
+        # sorted by cell, so parquet row-group stats prune everything
+        # outside the probed cells — without this the scan read the
+        # WHOLE index and the join did the filtering (measured at 1M
+        # vectors: the bucketed scan was 2× slower than parquet because
+        # its 16 files capped parallelism on a full scan it never
+        # needed to do)
+        probed = sorted(
+            {r["cell"] for r in qcells.select("cell").distinct().collect()}
         )
         parts = _index_component_frames(spark, self.path, "assignments")
         if not parts:
             raise ValueError(f"no index at {self.path}")
         scored = None
         for p in parts:
-            s = p.join(F.broadcast(qcells), "cell").select(
+            s = p.filter(F.col("cell").isin(probed)).join(
+                F.broadcast(qcells), "cell"
+            ).select(
                 query_id,
                 F.col("id").alias(self.id_col),
                 F.round(

@@ -1,0 +1,110 @@
+"""Scale probe for the persistent IVF index (VectorIndexStore): add and
+query cost as the enrolled corpus grows.
+
+The store's scale claims: ``add`` is a broadcast-assignment map over
+the NEW batch only (flat in index size); ``query`` scans ~n_probe/k of
+the corpus via the cell equi-join (grows with per-cell occupancy, i.e.
+linearly in corpus size at fixed k — the IVF trade; raise k to hold
+per-cell size). This probe enrolls deterministic synthetic vectors at
+three sizes, then times: adding the SAME 1k-vector batch, and a
+20-query top-10 search at n_probe=4/k=64, on both the parquet-append
+and compacted layouts (results asserted identical).
+
+Usage: python tools/probe_ann_store.py [sizes ...]
+       (default: 20000 200000 1000000)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from biodata_pipeline_spark import get_spark  # noqa: E402
+from biodata_pipeline_spark.operators.ann_store import (  # noqa: E402
+    VectorIndexStore,
+)
+
+DIM = 64
+K_CELLS = 64
+N_PROBE = 4
+BATCH = 1000
+N_QUERIES = 20
+
+
+def synth_vecs(spark, n: int, id_base: int = 0):
+    """Deterministic dense vectors: component j of vector i =
+    (xxhash64(i, j) % 1000) / 500 - 1 — cheap, reproducible, spread."""
+    vid = (F.col("id") + id_base).alias("vec_id")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)).cast("double")
+            / 500.0
+            - 1.0
+        ).cast("float"),
+    ).alias("embedding")
+    return spark.range(n).select(vid, emb).repartition(32)
+
+
+def main() -> None:
+    sizes = [int(s) for s in sys.argv[1:]] or [20_000, 200_000, 1_000_000]
+    spark = get_spark("probe-ann-store")
+    results = {}
+    for n in sizes:
+        path = tempfile.mkdtemp(prefix="annprobe_")
+        shutil.rmtree(path)
+        store = VectorIndexStore(path)
+        base = synth_vecs(spark, n).localCheckpoint()
+        t0 = time.time()
+        store.build(base, k=K_CELLS, iters=2)
+        build_secs = round(time.time() - t0, 2)
+
+        batch = synth_vecs(spark, BATCH, id_base=10_000_000).localCheckpoint()
+        t0 = time.time()
+        store.add(batch, batch_id="b1")
+        add_secs = round(time.time() - t0, 2)
+
+        q = synth_vecs(spark, N_QUERIES, id_base=20_000_000).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_emb"),
+        ).localCheckpoint()
+        t0 = time.time()
+        plain = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in store.query(q, k=10, n_probe=N_PROBE).collect()
+        )
+        query_secs = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        store.compact(spark, n_buckets=16)
+        compact_secs = round(time.time() - t0, 2)
+        t0 = time.time()
+        compacted = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in store.query(q, k=10, n_probe=N_PROBE).collect()
+        )
+        query_secs_c = round(time.time() - t0, 2)
+        assert compacted == plain, "compacted query results diverged"
+
+        results[n] = {
+            "build_secs": build_secs,
+            "add_1k_secs": add_secs,
+            "query_20x10_secs": query_secs,
+            "query_20x10_secs_compacted": query_secs_c,
+            "compact_secs": compact_secs,
+        }
+        print(json.dumps({n: results[n]}), flush=True)
+        shutil.rmtree(path, ignore_errors=True)
+    print(json.dumps({"probe": "ann_store", "k_cells": K_CELLS,
+                      "n_probe": N_PROBE, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
