@@ -498,3 +498,38 @@ def run_pretraining_pipeline(
         )
     )
     return manifest, report
+
+
+def build_vector_index(
+    emb: DataFrame,
+    index_path: str,
+    dim: int,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple["DataFrame", "DataFrame"]:
+    """Embedding-side lifecycle entry: ingest-gate census → index ONLY
+    the geometrically valid vectors → report cell occupancy. Returns
+    ``(census, cell_stats)`` — the before/after accounting for the
+    similarity side, mirroring what ``build_training_corpus`` reports
+    for text. Vectors with any defect (null / wrong_dim / null_element
+    / non_finite / zero_norm) are excluded from the index the same way
+    the similarity operators exclude them, and the census is where a
+    pipeline measures what it lost. The index then serves
+    ``VectorIndexStore.query`` / ``add`` for the retrieval stage
+    (reference anchor: rag_evaluation/RAG-eval-test_model.py:119-153 —
+    whole-corpus ranking, here answerable per-cell at any corpus
+    size)."""
+    from biodata_pipeline_spark.functions.vector import embedding_defect
+    from biodata_pipeline_spark.operators.ann_store import VectorIndexStore
+
+    spark = emb.sparkSession
+    census = embedding_ingest_report(emb, dim, vec_col=emb_col,
+                                     id_col=id_col)
+    clean = emb.filter(
+        embedding_defect(emb_col, dim) == F.lit("ok")
+    )
+    store = VectorIndexStore(index_path, id_col=id_col, emb_col=emb_col)
+    store.build(clean, k=k, iters=iters)
+    return census, store.cell_stats(spark)

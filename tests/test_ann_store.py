@@ -83,6 +83,43 @@ def test_add_batch_id_retry_idempotent(spark, tmp_path):
     assert sum(stats.values()) == 110
 
 
+def test_query_scan_prunes_to_probed_cells(spark, tmp_path):
+    """The probed-cell IN filter must reach the assignments scan as a
+    pushed parquet filter — without it the query reads the whole index
+    and the join does the filtering (the 1M-vector probe measured the
+    full scan 2× slower on the compacted layout)."""
+    from biodata_pipeline_spark.plans.inspect import formatted_plan
+
+    store = VectorIndexStore(str(tmp_path / "ivf_plan"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 100), k=4, iters=1)
+    plan = formatted_plan(store.query(_queries(spark, 2), k=3, n_probe=1))
+    assert "PushedFilters: [" in plan
+    assert "cell" in plan.split("PushedFilters: [", 1)[1][:80]
+
+
+def test_build_vector_index_pipeline_gates_defective_vectors(
+    spark, tmp_path
+):
+    """The embedding-side lifecycle entry: defective vectors are
+    censused and EXCLUDED from the index; cell occupancy covers exactly
+    the clean ones."""
+    from biodata_pipeline_spark.pipelines import build_vector_index
+
+    clean = _emb(spark).filter(F.col("vec_id") < 80)
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    emb = clean.select("vec_id", "embedding").unionByName(bad)
+    census, cells = build_vector_index(
+        emb, str(tmp_path / "ivf_pipe"), dim=64, k=4, iters=1
+    )
+    by_defect = {r.defect: r.n_vecs for r in census.collect()}
+    assert by_defect["ok"] == 80
+    assert by_defect["null"] == 1 and by_defect["wrong_dim"] == 1
+    assert sum(r.n_vecs for r in cells.collect()) == 80
+
+
 def test_compaction_preserves_query_results(spark, tmp_path):
     store = VectorIndexStore(str(tmp_path / "ivf3"))
     base = _emb(spark).filter(F.col("vec_id") < 120)
