@@ -45,7 +45,6 @@ from biodata_pipeline_spark.operators.dedup import (
     compact_dedup_index,
 )
 from biodata_pipeline_spark.operators.kmeans import (
-    SUM_GRAIN,
     _update_centroids,
     seed_centroids,
 )
@@ -67,20 +66,20 @@ def _assign_cells(
     per-dimension SQL chains — correct and oracle-pinned for the
     declared small-k queries, but at k=64 the expression's codegen
     compile alone cost ~50 s (measured by tools/probe_ann_store.py
-    before this path). Same decision semantics: squared L2 rounded at
-    SUM_GRAIN, argmin ties → lowest index; null embeddings excluded
-    (the geometry contract). Adds ``cluster``."""
+    before this path). Same decision semantics as ``assign_clusters``:
+    argmin of the UNROUNDED in-order float64 squared-L2 fold (rounding
+    before the argmin would flip assignments whose two nearest
+    centroids differ by <0.5e-6 — ADVICE r9; parity is pytest-pinned),
+    ties → lowest index; null embeddings excluded (the geometry
+    contract). Adds ``cluster``."""
     cmat = matrix_literal(cents)
     emb = F.col(emb_col).cast("array<double>")
     d2 = F.transform(
         cmat,
-        lambda c: F.round(
-            F.aggregate(
-                F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            SUM_GRAIN,
+        lambda c: F.aggregate(
+            F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         ),
     )
     picked = F.get(
@@ -232,11 +231,16 @@ class VectorIndexStore:
             sims = F.transform(
                 cmat, lambda c: F.round(dot(emb, c), SIM_ROUND)
             )
+            # sort on (-sim, cell) ascending so a similarity tie prefers
+            # the LOWEST cell index — the engine-wide tie-break (argmin,
+            # id ranks); reverse(array_sort) would prefer the highest
+            # and probe a different cell set when a tie straddles the
+            # n_probe cutoff (ADVICE r9)
             zipped = F.zip_with(
                 sims, idx,
-                lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+                lambda s, i: F.struct((-s).alias("ns"), i.alias("cell")),
             )
-            top = F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe)
+            top = F.slice(F.array_sort(zipped), 1, n_probe)
             return F.transform(top, lambda st: st["cell"])
 
         qcells = queries.select(
@@ -277,8 +281,17 @@ class VectorIndexStore:
         w = Window.partitionBy(query_id).orderBy(
             F.col("sim").desc(), F.col(self.id_col)
         )
+        # The shared compaction contract tolerates duplicate index rows
+        # (crash-stale deltas, a batch replayed post-compaction) as
+        # "decision-neutral: candidates are deduplicated and exactly
+        # verified" — make that true HERE too, as the dedup path does:
+        # without this a duplicated vector occupies two adjacent ranks
+        # and displaces a legitimate top-k result (ADVICE r9). Duplicate
+        # rows are byte-identical by contract, so any survivor carries
+        # the same sim.
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            scored.dropDuplicates([query_id, self.id_col])
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, self.id_col, "rank", "sim")
         )

@@ -1519,13 +1519,46 @@ def _read_index_delta(spark, index_dir: str, part: str) -> DataFrame | None:
 _INDEX_BUCKET_KEYS = {"bands": ["band", "bucket"], "hashes": ["id"]}
 
 
-def _read_index_meta(spark, index_dir: str) -> dict | None:
-    """The index's compaction pointer: a one-line JSON doc (written as a
-    single-file text dir so it works on any filesystem scheme) naming
-    the current bucketed-table version for each component."""
-    import json
+_META_RE = r"^_meta_v(\d+)\.json$"
 
-    try:
+
+def _fs_path(spark, p: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+
+def _read_index_meta(spark, index_dir: str) -> dict | None:
+    """The index's compaction pointer: a one-line JSON doc naming the
+    current bucketed-table version for each component. Stored as
+    versioned single files ``_meta_v{N}.json`` — the read takes the
+    HIGHEST committed version, so a crash mid-flip (new version absent
+    or half-written under its ``.tmp`` name) falls back to the previous
+    pointer, never to "no meta" (ADVICE r9: the old overwrite-mode text
+    dir deleted the live pointer before committing the new one, and a
+    crash in that window made the compacted history silently invisible).
+    Legacy ``_meta`` text dirs from pre-r9 indexes are still read when
+    no versioned file exists."""
+    import json
+    import re
+
+    fs, base = _fs_path(spark, index_dir)
+    if fs.exists(base):
+        best = None
+        for st in fs.listStatus(base):
+            m = re.match(_META_RE, st.getPath().getName())
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), st.getPath())
+        if best is not None:
+            stream = fs.open(best[1])
+            try:
+                text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            return json.loads(text)
+    try:  # legacy layout: a one-file text dir written by overwrite mode
         rows = spark.read.text(f"{index_dir}/_meta").collect()
     except AnalysisException as e:
         if _is_store_missing(e):
@@ -1537,11 +1570,35 @@ def _read_index_meta(spark, index_dir: str) -> dict | None:
 
 
 def _write_index_meta(spark, index_dir: str, meta: dict) -> None:
+    """Atomic pointer flip: the new meta is written to a ``.tmp`` name
+    and RENAMED into place (single-file rename — atomic on HDFS and
+    local), then older versions and any legacy ``_meta`` dir are pruned
+    only after the new pointer is durable. No window exists in which a
+    reader sees neither the old nor the new pointer."""
     import json
+    import re
 
-    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(
-        1
-    ).write.mode("overwrite").text(f"{index_dir}/_meta")
+    version = int(meta["version"])
+    fs, base = _fs_path(spark, index_dir)
+    _, tmp = _fs_path(spark, f"{index_dir}/_meta_v{version}.json.tmp")
+    _, final = _fs_path(spark, f"{index_dir}/_meta_v{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final):  # crashed prior attempt at this same version
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"meta pointer flip failed: {tmp} -> {final}")
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        m = re.match(_META_RE, name)
+        if m and int(m.group(1)) < version:
+            fs.delete(st.getPath(), False)
+    legacy = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/_meta")
+    if fs.exists(legacy):
+        fs.delete(legacy, True)
 
 
 def _index_table_name(index_dir: str, part: str, version: int) -> str:
@@ -1603,9 +1660,17 @@ def _index_component_frames(
                 # pairing, so `c` loses its only smaller match and gets
                 # admitted (ADVICE r8 medium). Excluding the batch_id
                 # reproduces the pre-crash state; dynamic partition
-                # overwrite then replaces the delta partition.
+                # overwrite then replaces the delta partition. The
+                # inequality MUST be null-safe: plain-append history
+                # folded by compact_dedup_index carries batch_id NULL
+                # (keep_batch_id adds lit(None)), and `NULL != x` is
+                # NULL → row dropped → the entire compacted index would
+                # vanish from the read and enrolled exact dups would be
+                # re-admitted (ADVICE r9 high).
                 df = df.filter(
-                    F.col("batch_id").cast("string") != exclude_batch_id
+                    ~F.col("batch_id").cast("string").eqNullSafe(
+                        exclude_batch_id
+                    )
                 )
             df = (
                 df.withColumn("batch_id", F.col("batch_id").cast("string"))
@@ -1651,11 +1716,16 @@ def compact_dedup_index(
     deduplicated and exactly verified; just wasted join width).
 
     Crash safety, in write order: new tables first, then the meta
-    pointer flip, then deletion of the folded deltas and the previous
-    version. A crash before the flip leaves the old state fully live; a
-    crash after it leaves stale deltas that are both re-read and already
-    folded — duplicate rows, decision-neutral as above — and the next
-    compaction clears them.
+    pointer flip — a single-file RENAME of ``_meta_v{N}.json`` into
+    place, with readers taking the highest committed version, so a
+    crash before OR DURING the flip leaves the previous pointer fully
+    live (ADVICE r9: the old overwrite-mode write deleted the live
+    pointer before the new one was durable) — then deletion of the
+    folded deltas and the previous version. A crash after the flip
+    leaves stale deltas that are both re-read and already folded —
+    duplicate rows, decision-neutral as above — and the next compaction
+    clears them (the previous version's table files stay orphaned on
+    disk in that window; storage-only, never read).
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

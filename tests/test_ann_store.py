@@ -163,3 +163,89 @@ def test_compaction_preserves_query_results(spark, tmp_path):
     )
     found = store.query(probe, k=1, n_probe=4).collect()
     assert all(r.vec_id == r.query_id for r in found)
+
+
+def test_assign_cells_parity_with_kmeans_argmin(spark):
+    """ADVICE r9 (low): the large-k assignment must argmin the UNROUNDED
+    fold exactly as kmeans.assign_clusters does. The crafted vector sits
+    2e-8 closer to centroid 1 — rounding at SUM_GRAIN before the argmin
+    made the two distances tie and flipped it to centroid 0."""
+    from biodata_pipeline_spark.operators.ann_store import _assign_cells
+    from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        seed_centroids,
+    )
+
+    cents = [[0.0, 0.0], [1.0, 0.0]]
+    near_tie = spark.createDataFrame(
+        [(1, [0.50000002, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = _assign_cells(near_tie, cents, "embedding").collect()[0]
+    want = assign_clusters(near_tie, cents).collect()[0]
+    assert got.cluster == want.cluster == 1
+
+    # and row-for-row parity on real embeddings with fitted seeds
+    emb = _emb(spark).filter(F.col("vec_id") < 200)
+    cents = seed_centroids(emb, 6, "vec_id", "embedding")
+    a = _assign_cells(emb, cents, "embedding").select(
+        "vec_id", F.col("cluster").alias("c_store")
+    )
+    b = assign_clusters(emb, cents).select(
+        "vec_id", F.col("cluster").alias("c_kmeans")
+    )
+    diff = a.join(b, "vec_id").filter(F.col("c_store") != F.col("c_kmeans"))
+    assert diff.count() == 0
+
+
+def _manual_store(spark, path, cents, assignments):
+    store = VectorIndexStore(path)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        assignments, "id long, emb array<double>, cell int"
+    ).write.parquet(f"{path}/assignments")
+    return store
+
+
+def test_probe_tie_break_prefers_lowest_cell(spark, tmp_path):
+    """ADVICE r9 (low): identical centroids tie on query similarity; the
+    probed cell must be the LOWEST index (engine-wide convention) — the
+    old reverse(array_sort) probed the highest."""
+    store = _manual_store(
+        spark,
+        str(tmp_path / "ivf_tie"),
+        [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],  # cells 0 and 1 identical
+        [(10, [1.0, 0.0], 0), (20, [1.0, 0.0], 1), (30, [0.0, 1.0], 2)],
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_emb array<double>"
+    )
+    got = store.query(q, k=5, n_probe=1).collect()
+    assert [r.vec_id for r in got] == [10]
+
+
+def test_query_dedups_duplicate_index_rows(spark, tmp_path):
+    """ADVICE r9 (medium): duplicate index rows (stale deltas after a
+    crash, a batch replayed post-compaction) are decision-neutral for
+    the dedup path; the IVF query must dedupe candidates too, or a
+    duplicated vector takes two adjacent ranks and displaces a
+    legitimate top-k result."""
+    store = _manual_store(
+        spark,
+        str(tmp_path / "ivf_dup"),
+        [[1.0, 0.0]],
+        [
+            (10, [1.0, 0.0], 0),
+            (10, [1.0, 0.0], 0),  # byte-identical duplicate row
+            (11, [0.9, 0.1], 0),
+        ],
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_emb array<double>"
+    )
+    got = sorted(
+        (r.rank, r.vec_id) for r in store.query(q, k=2, n_probe=1).collect()
+    )
+    assert got == [(1, 10), (2, 11)]

@@ -209,3 +209,67 @@ def test_signature_store_compaction_preserves_pairs(spark, tmp_path):
     )
     assert got == want
     assert {(n, o) for n, o, _ in got} >= {(4, 1), (4, 3)}
+
+
+def test_mixed_mode_replay_exclusion_is_null_safe(spark, tmp_path):
+    """ADVICE r9 (high): plain-append history folded by compaction has
+    batch_id NULL; batch_id-mode reads must still see it. With the
+    non-null-safe `!=` the whole compacted index vanished from the read
+    and an exact duplicate of enrolled history was admitted."""
+    idx = str(tmp_path / "nd_idx_mixed")
+    # enroll WITHOUT batch_id: plain appends, no batch_id partition
+    for i in range(3):
+        incremental_near_dup_filter(
+            _batch(spark, [(100 + i, BODIES[i])]), idx, 0.5
+        )
+    compact_dedup_index(spark, idx, n_buckets=2)
+    # batch_id mode against the compacted (all-NULL batch_id) history
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, [(900, BODIES[0]), (901, BODIES[4])]),
+        idx,
+        0.5,
+        batch_id="b1",
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [901]
+    dropped = {(r.id, r.matched_id, r.scope) for r in rep.collect()}
+    assert dropped == {(900, 100, "index")}
+
+
+def test_meta_pointer_flip_is_crash_safe(spark, tmp_path):
+    """ADVICE r9 (medium): the pointer is now a versioned single file
+    renamed into place — a half-written next version (.tmp) or a crash
+    mid-flip leaves the previous pointer live, and a legacy `_meta`
+    text dir migrates on the next compaction."""
+    import json
+    import pathlib
+
+    idx_py = tmp_path / "nd_idx_meta"
+    idx = str(idx_py)
+    _enroll(spark, idx, 2)
+    before = _decide(spark, idx, PROBE)
+    compact_dedup_index(spark, idx, n_buckets=2)
+    meta1 = _read_index_meta(spark, idx)
+    assert meta1["version"] == 1
+    assert (idx_py / "_meta_v1.json").is_file()
+    assert not (idx_py / "_meta").exists()
+
+    # crash mid-flip: a partial tmp for v2 must be invisible to readers
+    (idx_py / "_meta_v2.json.tmp").write_text('{"version": 2, "trunc')
+    assert _read_index_meta(spark, idx) == meta1
+    assert _decide(spark, idx, PROBE) == before
+    (idx_py / "_meta_v2.json.tmp").unlink()
+
+    # legacy layout: pre-r9 indexes wrote a `_meta` text DIR — readable,
+    # and the next compaction migrates it to the versioned file
+    (idx_py / "_meta_v1.json").unlink()
+    (idx_py / "_meta").mkdir()
+    (idx_py / "_meta" / "part-00000").write_text(json.dumps(meta1))
+    assert _read_index_meta(spark, idx) == meta1
+    assert _decide(spark, idx, PROBE) == before
+    # a probe batch left deltas, so there is something to fold
+    stats = compact_dedup_index(spark, idx, n_buckets=2)
+    assert stats["version"] == 2
+    assert (idx_py / "_meta_v2.json").is_file()
+    assert not (idx_py / "_meta").exists()
+    assert not (idx_py / "_meta_v1.json").exists()
+    assert _decide(spark, idx, PROBE) == before
