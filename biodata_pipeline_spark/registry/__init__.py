@@ -64,81 +64,81 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3 / r7 #3). Round-8 blocks (sizes pinned by
-# tests/test_registry.py). Round 8 declares no new queries (the round's
-# additions — in-memory BPE training, dedup-index compaction — are
-# operator/pipeline-level, pytest- and probe-covered), so the window is
-# pure rotation, stalest-first as computed from the CORRECTNESS_r01-r07
+# #2 / r6 #3 / r7 #3). Round-9 blocks (sizes pinned by
+# tests/test_registry.py). Round 9 declares no new queries (the round's
+# additions — ADVICE index/IVF edge-case fixes, store maintenance — are
+# operator-level, pytest- and probe-covered), so the window is pure
+# rotation, stalest-first as computed from the CORRECTNESS_r01-r08
 # union (max driver round per key):
-#   1-23:  every query whose last driver row is r05 — the set-op pair
-#          evicted from the r7 window at the last minute (q33/q34,
-#          VERDICT r7 #3 named them first), the temporal quartet
-#          (q28/q29/q35/q36), the flagship rank detail (q26), the
-#          vector/embedding family (q_embedding_stats,
-#          q_embed_cosine_dedup, q_lsh_similarity_join), the BM25/
-#          hybrid retrieval family, corpus diff / quality percentile,
-#          q_bpe_merge_pairs, and the five r5 audit queries;
-#   24-50: the 27 stalest of the 50 r06-checked queries, in
-#          registry-family order (relational aggregates through the
-#          dedup/cluster textops).
-# Outside the window this round: the 23 newest r06-checked queries
-# (analytic/media/export families) and the 50 r07-checked queries —
-# every one has a green driver row within the last two rounds and all
-# are locally re-verified by tools/check_oracle.py on current code each
-# round.
+#   1-23:  every query whose last driver row is r06 — the analytic/
+#          media/export tail (packing, TF-IDF, contamination, OOV,
+#          dedup clusters, unigram LM, mixture/stratified/weighted
+#          sampling, token entropy, passage dedup, quality classifier,
+#          corpus profile, winnowing, cube/grouping-sets, corr, media
+#          inventory, LSH precision audit, corpus shuffle, shard
+#          manifest, mixture schedule) plus q_bpe_encode_corpus (now on
+#          the kernel path — its first driver row since the re-point);
+#   24-50: the 27 stalest of the 50 r07-checked queries, in
+#          registry-family order (the relational scan/filter/join/agg
+#          block q01-q31).
+# Outside the window this round: the 23 newest r07-checked queries
+# (q31b through the temporal/vector/textops families) and the 50
+# r08-checked queries — every one has a green driver row within the
+# last two rounds and all are locally re-verified by
+# tools/check_oracle.py on current code each round.
 _DRIVER_WINDOW = [
-    # -- block 1: stale since r05 ----------------------------------------
-    "q33_except_difference",
-    "q34_intersect",
-    "q28_lag_prev_event",
-    "q29_sliding_frame_avg",
-    "q35_tumbling_window",
-    "q36_sliding_window",
-    "q26_retrieval_rank_detail",
-    "q_embedding_stats",
-    "q_embed_cosine_dedup",
-    "q_lsh_similarity_join",
-    "q_bpe_merge_pairs",
-    "q_bm25_topk",
-    "q_bm25_multi_topk",
-    "q_hybrid_rrf",
-    "q_corpus_diff",
-    "q_quality_percentile_filter",
-    "q_lsh_recall_audit",
-    "q_simhash_recall_audit",
-    "q_dedup_cc_audit",
-    "q_dedup_survivors_best",
-    "q_dup_source_matrix",
-    "q_ann_bucket_recall",
-    "q_lsh_pair_recall_audit",
-    # -- block 2: the 27 stalest r06-checked, registry-family order ------
-    "q09_exact_dedup",
-    "q11_multiway_join_revenue",
-    "q21_pricing_summary",
-    "q21d_approx_percentiles",
-    "q_percentile_accuracy_audit",
-    "q16_asof_join",
-    "q35b_cascade_hourly",
-    "q37_session_window",
-    "q_embedding_validate",
-    "q24_cosine_topk",
-    "q25_similarity_join",
-    "q26b_retrieval_rank_summary",
-    "q_kmeans_clusters",
-    "q_semantic_dedup",
-    "q_pca_projection",
-    "q_ivf_ann",
-    "q_chunk_documents",
-    "q_token_stats",
-    "q_bpe_token_count",
-    "q_quality_score",
-    "q_ngram_jaccard_dedup",
-    "q_split_leakage",
-    "q_line_dedup_scrub",
-    "q_edit_severity",
-    "q_repetition_stats",
-    "q_word_freq_topk",
-    "q_bpe_train_merges",
+    # -- block 1: stale since r06 ----------------------------------------
+    "q_bpe_encode_corpus",
+    "q_pack_sequences",
+    "q_tfidf_top_terms",
+    "q_contamination_check",
+    "q_vocab_oov_rate",
+    "q_dedup_clusters",
+    "q_unigram_logprob",
+    "q_mixture_allocation",
+    "q_stratified_split",
+    "q_token_entropy",
+    "q_weighted_sample",
+    "q_passage_dedup",
+    "q_quality_classifier",
+    "q_corpus_profile",
+    "q_winnow_fingerprints",
+    "q_cube_pricing",
+    "q_grouping_sets_revenue",
+    "q_stats_corr",
+    "q_media_inventory",
+    "q_lsh_precision_audit",
+    "q_corpus_shuffle",
+    "q_shard_manifest",
+    "q_mixture_schedule",
+    # -- block 2: the 27 stalest r07-checked, registry-family order ------
+    "q01_text_scan_blank_filter",
+    "q02_delimited_comment_filter",
+    "q03_prompt_template_projection",
+    "q04_alpaca_projection",
+    "q05_suffix_marker_predicate",
+    "q06_regex_suffix_strip",
+    "q07_word_boundary_match",
+    "q08_comment_prefix_filter",
+    "q09b_exact_dedup_text",
+    "q10_broadcast_dim_join",
+    "q12_semi_join",
+    "q13_anti_join_manifest",
+    "q14_cross_join_grid",
+    "q14b_sweep_grid_literal",
+    "q15_range_join_price_bands",
+    "q17_left_outer_sentinel",
+    "q18_global_avg",
+    "q19_avg_of_group_min",
+    "q20_grouped_count_distinct",
+    "q21b_salted_pricing",
+    "q_salted_join_parity",
+    "q21c_percentiles",
+    "q22_length_bucket_group",
+    "q23_rollup_revenue",
+    "q27_row_number_rank",
+    "q30_orderby_limit_topk",
+    "q31_per_group_topk",
 ]
 
 DRIVER_WINDOW_SIZE = 50
