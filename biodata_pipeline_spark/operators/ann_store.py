@@ -129,13 +129,52 @@ class VectorIndexStore:
         k: int = 16,
         iters: int = 4,
         batch_id: str | None = "0",
+        train_sample: int | None = None,
     ) -> list[list[float]]:
         """Train the coarse quantizer on ``vecs`` and enroll them as the
         index's first batch. Overwrites any previous centroids — a
         rebuild invalidates stored assignments, so it also expects the
-        caller to start from a fresh ``path`` (asserted)."""
+        caller to start from a fresh ``path`` (asserted).
+
+        ``train_sample`` is the 100 TB shape: Lloyd's loop iterates
+        ``iters`` times, and running every iteration over the full
+        corpus re-scans 100 TB per iteration for a quantizer whose
+        quality saturates at a bounded training set (FAISS trains IVF
+        coarse quantizers on ~max(10k, 50·k) points for exactly this
+        reason). With ``train_sample=n`` the full corpus is scanned
+        ONCE for a deterministic sample — the n rows with the smallest
+        ``(md5(id), id)``, the same order-stable rule as
+        ``seed_centroids``, a distributed partial top-n, no RNG — the
+        sample is cached and the merge loop iterates over it alone;
+        only the final enrollment assignment touches every vector
+        (unavoidable: each one needs a cell). Queries stay exactly as
+        correct — candidate scoring is exact cosine regardless of where
+        the centroids came from; n_probe=k remains exhaustive-exact —
+        only cell-boundary placement (recall at small n_probe) can
+        differ, measured by tools/probe_ann_store.py's recall ladder.
+        """
         spark = vecs.sparkSession
-        cents = _fit_quantizer(vecs, k, iters, self.id_col, self.emb_col)
+        if train_sample is not None:
+            sample = (
+                vecs.filter(F.col(self.emb_col).isNotNull())
+                .select(self.id_col, self.emb_col)
+                .orderBy(
+                    F.md5(F.col(self.id_col).cast("string")),
+                    F.col(self.id_col),
+                )
+                .limit(train_sample)
+                .persist()  # Lloyd re-reads it iters+1 times; bounded rows
+            )
+            try:
+                cents = _fit_quantizer(
+                    sample, k, iters, self.id_col, self.emb_col
+                )
+            finally:
+                sample.unpersist()
+        else:
+            cents = _fit_quantizer(
+                vecs, k, iters, self.id_col, self.emb_col
+            )
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, centroid array<double>",

@@ -1798,8 +1798,18 @@ def compact_dedup_index(
             "files_after": _file_count(path),
         }
         to_delete.append(f"{index_dir}/{part}")
-        if meta:
-            to_delete.append(meta[f"{part}_path"])
+        # sweep EVERY older version dir, not just the one the previous
+        # meta names: a crash between a past flip and its deletes can
+        # leave a version the pointer no longer references (storage-only
+        # orphans — never read — but they'd otherwise persist forever)
+        import re as _re
+
+        fs, base = _fs_path(spark, index_dir)
+        for st in fs.listStatus(base):
+            nm = st.getPath().getName()
+            m = _re.match(rf"^{_re.escape(part)}_v(\d+)$", nm)
+            if m and int(m.group(1)) < version:
+                to_delete.append(f"{index_dir}/{nm}")
     _write_index_meta(spark, index_dir, new_meta)
     for p in to_delete:
         _delete(p)

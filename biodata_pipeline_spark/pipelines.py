@@ -508,6 +508,7 @@ def build_vector_index(
     iters: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> tuple["DataFrame", "DataFrame"]:
     """Embedding-side lifecycle entry: ingest-gate census → index ONLY
     the geometrically valid vectors → report cell occupancy. Returns
@@ -520,7 +521,9 @@ def build_vector_index(
     ``VectorIndexStore.query`` / ``add`` for the retrieval stage
     (reference anchor: rag_evaluation/RAG-eval-test_model.py:119-153 —
     whole-corpus ranking, here answerable per-cell at any corpus
-    size)."""
+    size). At warehouse scale pass ``train_sample`` so Lloyd's loop
+    iterates over a bounded deterministic sample instead of re-scanning
+    the full corpus per iteration (see VectorIndexStore.build)."""
     from biodata_pipeline_spark.functions.vector import embedding_defect
     from biodata_pipeline_spark.operators.ann_store import VectorIndexStore
 
@@ -531,5 +534,5 @@ def build_vector_index(
         embedding_defect(emb_col, dim) == F.lit("ok")
     )
     store = VectorIndexStore(index_path, id_col=id_col, emb_col=emb_col)
-    store.build(clean, k=k, iters=iters)
+    store.build(clean, k=k, iters=iters, train_sample=train_sample)
     return census, store.cell_stats(spark)

@@ -249,3 +249,33 @@ def test_query_dedups_duplicate_index_rows(spark, tmp_path):
         (r.rank, r.vec_id) for r in store.query(q, k=2, n_probe=1).collect()
     )
     assert got == [(1, 10), (2, 11)]
+
+
+def test_sample_trained_build_parity_and_exactness(spark, tmp_path):
+    """train_sample trains the quantizer on the deterministic md5-top-n
+    sample (bit-identical to fitting that subset directly), enrolls the
+    FULL corpus, and stays exhaustive-exact at n_probe=k."""
+    from biodata_pipeline_spark.operators.ann_store import _fit_quantizer
+    from biodata_pipeline_spark.operators.similarity import brute_force_ann
+
+    base = _emb(spark).filter(F.col("vec_id") < 150)
+    store = VectorIndexStore(str(tmp_path / "ivf_sample"))
+    cents = store.build(base, k=8, iters=2, train_sample=60)
+
+    sub = (
+        base.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(60)
+    )
+    assert _fit_quantizer(sub, 8, 2, "vec_id", "embedding") == cents
+
+    # every vector is enrolled regardless of the training subset
+    assert spark.read.parquet(f"{store.path}/assignments").count() == 150
+    # exhaustive probing is exact no matter where the centroids came from
+    q = _queries(spark)
+    got = store.query(q, k=5, n_probe=8).collect()
+    exact = brute_force_ann(q, base, 5).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in got} == {
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    }

@@ -273,3 +273,23 @@ def test_meta_pointer_flip_is_crash_safe(spark, tmp_path):
     assert not (idx_py / "_meta").exists()
     assert not (idx_py / "_meta_v1.json").exists()
     assert _decide(spark, idx, PROBE) == before
+
+
+def test_compaction_sweeps_orphaned_version_dirs(spark, tmp_path):
+    """A crash between a past flip and its deletes can orphan a version
+    dir the pointer no longer references; the next compaction sweeps
+    every older version, not just the one named in the meta."""
+    idx_py = tmp_path / "nd_idx_orphan"
+    idx = str(idx_py)
+    _enroll(spark, idx, 2)
+    compact_dedup_index(spark, idx, n_buckets=2)
+    # simulate the orphan: an unreferenced older version dir
+    (idx_py / "bands_v0").mkdir()
+    (idx_py / "bands_v0" / "stale.parquet").write_bytes(b"junk")
+    before = _decide(spark, idx, PROBE)  # also re-creates deltas to fold
+    stats = compact_dedup_index(spark, idx, n_buckets=2)
+    assert stats["version"] == 2
+    assert not (idx_py / "bands_v0").exists()
+    assert not (idx_py / "bands_v1").exists()
+    assert (idx_py / "bands_v2").is_dir()
+    assert _decide(spark, idx, PROBE) == before

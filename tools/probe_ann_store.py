@@ -10,6 +10,12 @@ three sizes, then times: adding the SAME 1k-vector batch, and a
 20-query top-10 search at n_probe=4/k=64, on both the parquet-append
 and compacted layouts (results asserted identical).
 
+Round 9 adds the sample-trained build comparison: quantizer trained on
+the md5-top-25k deterministic sample vs the full corpus (same k/iters),
+reporting both build times and recall@10 of each against the exact
+brute-force top-10 — the claim under test is that build cost stops
+growing with corpus size while recall holds.
+
 Usage: python tools/probe_ann_store.py [sizes ...]
        (default: 20000 200000 1000000)
 """
@@ -66,10 +72,21 @@ def main() -> None:
         store.build(base, k=K_CELLS, iters=2)
         build_secs = round(time.time() - t0, 2)
 
+        # the sample-trained build: quantizer from the md5-top-25k
+        # sample (FAISS-style bounded training set), full corpus only
+        # assigned once — the cost that should stop growing with n
+        spath = tempfile.mkdtemp(prefix="annprobe_s_")
+        shutil.rmtree(spath)
+        sstore = VectorIndexStore(spath)
+        t0 = time.time()
+        sstore.build(base, k=K_CELLS, iters=2, train_sample=25_000)
+        build_secs_sampled = round(time.time() - t0, 2)
+
         batch = synth_vecs(spark, BATCH, id_base=10_000_000).localCheckpoint()
         t0 = time.time()
         store.add(batch, batch_id="b1")
         add_secs = round(time.time() - t0, 2)
+        sstore.add(batch, batch_id="b1")  # same corpus in both stores
 
         q = synth_vecs(spark, N_QUERIES, id_base=20_000_000).select(
             F.col("vec_id").alias("query_id"),
@@ -81,6 +98,30 @@ def main() -> None:
             for r in store.query(q, k=10, n_probe=N_PROBE).collect()
         )
         query_secs = round(time.time() - t0, 2)
+
+        # recall of each quantizer at the probe setting vs exact top-10
+        # (brute force over the enrolled corpus) — the number that tells
+        # whether the bounded training set cost any result quality
+        from biodata_pipeline_spark.operators.similarity import (
+            brute_force_ann,
+        )
+
+        enrolled = base.unionByName(batch)
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_ann(q, enrolled, 10).collect()
+        }
+        sampled = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in sstore.query(q, k=10, n_probe=N_PROBE).collect()
+        )
+        recall_full = round(
+            len({(a, b) for a, b, _ in plain} & exact) / len(exact), 4
+        )
+        recall_sampled = round(
+            len({(a, b) for a, b, _ in sampled} & exact) / len(exact), 4
+        )
+        shutil.rmtree(spath, ignore_errors=True)
 
         t0 = time.time()
         store.compact(spark, n_buckets=16)
@@ -95,6 +136,9 @@ def main() -> None:
 
         results[n] = {
             "build_secs": build_secs,
+            "build_secs_sampled": build_secs_sampled,
+            "recall_at_10_full_train": recall_full,
+            "recall_at_10_sample_train": recall_sampled,
             "add_1k_secs": add_secs,
             "query_20x10_secs": query_secs,
             "query_20x10_secs_compacted": query_secs_c,
