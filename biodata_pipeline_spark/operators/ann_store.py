@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from biodata_pipeline_spark.functions.vector import dot, l2_norm
 from biodata_pipeline_spark.operators.dedup import (
@@ -128,13 +129,18 @@ class VectorIndexStore:
         vecs: DataFrame,
         k: int = 16,
         iters: int = 4,
-        batch_id: str | None = "0",
+        batch_id: str | None = "build",
         train_sample: int | None = None,
     ) -> list[list[float]]:
         """Train the coarse quantizer on ``vecs`` and enroll them as the
         index's first batch. Overwrites any previous centroids — a
         rebuild invalidates stored assignments, so it also expects the
-        caller to start from a fresh ``path`` (asserted).
+        caller to start from a fresh ``path`` (asserted). The default
+        enrollment label is the non-numeric ``"build"``: streaming
+        epochs count 0, 1, 2, ... and a numeric default collided with
+        epoch 0 — the stream's first microbatch would silently
+        partition-overwrite the entire initial enrollment (caught by
+        the vector-ingest streaming test).
 
         ``train_sample`` is the 100 TB shape: Lloyd's loop iterates
         ``iters`` times, and running every iteration over the full
@@ -183,11 +189,21 @@ class VectorIndexStore:
         return cents
 
     def centroids(self, spark) -> list[list[float]]:
-        rows = (
-            spark.read.parquet(f"{self.path}/centroids")
-            .orderBy("cell")
-            .collect()
-        )  # k rows — the coarse quantizer is driver-sized by design
+        from biodata_pipeline_spark.operators.dedup import _is_store_missing
+
+        try:
+            rows = (
+                spark.read.parquet(f"{self.path}/centroids")
+                .orderBy("cell")
+                .collect()
+            )  # k rows — the coarse quantizer is driver-sized by design
+        except AnalysisException as e:
+            if _is_store_missing(e):
+                raise ValueError(
+                    f"no index at {self.path}: build() trains the coarse "
+                    "quantizer before add/query can run"
+                ) from e
+            raise
         return [list(r.centroid) for r in rows]
 
     def add(self, vecs: DataFrame, batch_id: str | None = None) -> int:

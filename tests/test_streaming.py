@@ -370,3 +370,87 @@ def test_dedup_ingest_stream_gates_across_batches(spark, tmp_path):
     )
     assert spark.read.parquet(dirs["acc"]).count() == 3
     assert spark.read.parquet(dirs["rep"]).count() == 2
+
+
+def test_vector_ingest_stream_enrolls_clean_batches(spark, tmp_path):
+    """The embedding-side gated ingest end to end: a 2-batch stream
+    where batch 2 carries defective vectors — only geometrically valid
+    vectors enroll, the per-batch census reports what was lost, newly
+    enrolled vectors are immediately searchable, and a re-drive of the
+    same source adds nothing."""
+    from biodata_pipeline_spark.operators.ann_store import VectorIndexStore
+    from biodata_pipeline_spark.streaming.vector_ingest import (
+        process_vector_ingest_batch,
+        run_vector_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = VectorIndexStore(str(tmp_path / "vin_idx"))
+    store.build(emb.filter(F.col("vec_id") < 100), k=4, iters=1)
+
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    b2 = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    ).unionByName(
+        emb.filter((F.col("vec_id") >= 110) & (F.col("vec_id") < 115)).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+    )
+    src = str(tmp_path / "vin_src")
+    b1.coalesce(1).write.parquet(src, mode="overwrite")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    rep = str(tmp_path / "vin_rep")
+    ckpt = str(tmp_path / "vin_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_vector_ingest(stream(), ckpt, store.path, rep, dim=64)
+    assert spark.read.parquet(f"{store.path}/assignments").count() == 115
+    census = {
+        (r.batch_id, r.defect): r.n_vecs
+        for r in spark.read.parquet(rep).collect()
+    }
+    # one batch is all-ok, the other carries the two defects
+    assert sum(n for (_, d), n in census.items() if d == "ok") == 15
+    assert sum(n for (_, d), n in census.items() if d == "null") == 1
+    assert sum(n for (_, d), n in census.items() if d == "wrong_dim") == 1
+
+    # a newly enrolled vector is searchable as its own nearest neighbor
+    probe = emb.filter(F.col("vec_id") == 112).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    got = store.query(probe, k=1, n_probe=4).collect()
+    assert [r.vec_id for r in got] == [112]
+
+    # re-drive with the same checkpoint: nothing new anywhere
+    run_vector_ingest(stream(), ckpt, store.path, rep, dim=64)
+    assert spark.read.parquet(f"{store.path}/assignments").count() == 115
+
+    # direct crash-replay of one batch id: partition overwrite, no dupes
+    process_vector_ingest_batch(b1, 0, store.path, rep, 64)
+    process_vector_ingest_batch(b1, 0, store.path, rep, 64)
+    assert spark.read.parquet(f"{store.path}/assignments").count() == 115
+
+
+def test_vector_ingest_requires_built_store(spark, tmp_path):
+    from biodata_pipeline_spark.streaming.vector_ingest import (
+        process_vector_ingest_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(3)
+    with pytest.raises(ValueError, match="build\\(\\) trains"):
+        process_vector_ingest_batch(
+            emb, 0, str(tmp_path / "missing_idx"), str(tmp_path / "r"), 64
+        )
