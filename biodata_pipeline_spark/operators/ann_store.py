@@ -237,11 +237,54 @@ class VectorIndexStore:
             parts={"assignments": ["cell"]},
         )
 
+    def vectors(self, spark) -> DataFrame:
+        """Every enrolled vector as (id, emb) — compacted table plus
+        deltas, with crash-stale duplicates dropped (byte-identical by
+        the replay contract, so any survivor is the row)."""
+        parts = _index_component_frames(spark, self.path, "assignments")
+        if not parts:
+            raise ValueError(f"no index at {self.path}")
+        full = parts[0].select("id", "emb")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("id", "emb"))
+        return full.dropDuplicates(["id"])
+
+    def rebuild(
+        self,
+        spark,
+        new_path: str,
+        k: int = 16,
+        iters: int = 4,
+        train_sample: int | None = None,
+    ) -> "VectorIndexStore":
+        """The maintenance action ``cell_stats`` drift points at:
+        retrain the coarse quantizer on the enrolled corpus (bounded
+        sample via ``train_sample`` — at scale always) and re-enroll
+        every vector under the new centroids, into a NEW store at
+        ``new_path``. This store stays fully live throughout — a
+        rebuild at 100 TB runs for hours alongside serving, so the
+        switch is the caller's pointer flip from old path to new, and
+        batches enrolled here after the rebuild started must be
+        re-``add``-ed to the new store before the flip (the same
+        run-behind contract as any reindex). Returns the new store."""
+        new = VectorIndexStore(
+            new_path, id_col=self.id_col, emb_col=self.emb_col
+        )
+        corpus = self.vectors(spark).select(
+            F.col("id").alias(self.id_col),
+            F.col("emb").alias(self.emb_col),
+        )
+        new.build(
+            corpus, k=k, iters=iters, train_sample=train_sample
+        )
+        return new
+
     def cell_stats(self, spark) -> DataFrame:
         """(cell, n_vecs) occupancy — the drift report. A cell running
         hot (≫ corpus/k) means the frozen quantizer no longer fits the
         incoming distribution and probe cost for queries near that cell
-        degrades toward a scan: time to re-``build``."""
+        degrades toward a scan: time to ``rebuild`` into a fresh path
+        (bigger k, current data distribution)."""
         parts = _index_component_frames(spark, self.path, "assignments")
         if not parts:
             raise ValueError(f"no index at {self.path}")

@@ -279,3 +279,44 @@ def test_sample_trained_build_parity_and_exactness(spark, tmp_path):
     assert {(r.query_id, r.vec_id, r.rank) for r in got} == {
         (r.query_id, r.vec_id, r.rank) for r in exact
     }
+
+
+def test_rebuild_retrains_and_reenrolls_full_corpus(spark, tmp_path):
+    """rebuild: the drift answer — new quantizer (bigger k) over the
+    enrolled corpus into a fresh path; the old store stays live, every
+    vector is re-enrolled, and the new store is exhaustive-exact."""
+    from biodata_pipeline_spark.operators.similarity import brute_force_ann
+
+    store = VectorIndexStore(str(tmp_path / "ivf_old"))
+    base = _emb(spark).filter(F.col("vec_id") < 120)
+    store.build(base, k=4, iters=1)
+    store.add(
+        _emb(spark).filter(
+            (F.col("vec_id") >= 120) & (F.col("vec_id") < 140)
+        ),
+        batch_id="1",
+    )
+    q = _queries(spark)
+    old_results = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in store.query(q, k=5, n_probe=4).collect()
+    )
+
+    new = store.rebuild(spark, str(tmp_path / "ivf_new"), k=8, iters=2)
+    assert spark.read.parquet(f"{new.path}/assignments").count() == 140
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in new.query(q, k=5, n_probe=8).collect()
+    }
+    full = _emb(spark).filter(F.col("vec_id") < 140)
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_ann(q, full, 5).collect()
+    }
+    assert got == exact
+    # the old store is untouched and still serves identical results
+    again = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in store.query(q, k=5, n_probe=4).collect()
+    )
+    assert again == old_results
