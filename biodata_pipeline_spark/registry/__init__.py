@@ -65,12 +65,14 @@ _ALL_ORACLE = {
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
 # #2 / r6 #3 / r7 #3). Round-9 blocks (sizes pinned by
-# tests/test_registry.py). Round 9 declares no new queries (the round's
-# additions — ADVICE index/IVF edge-case fixes, store maintenance — are
-# operator-level, pytest- and probe-covered), so the window is pure
-# rotation, stalest-first as computed from the CORRECTNESS_r01-r08
-# union (max driver round per key):
-#   1-23:  every query whose last driver row is r06 — the analytic/
+# tests/test_registry.py). Round 9 declares ONE new query —
+# q_ivf_cell_assign, the IVF store's large-k matrix-literal assignment,
+# hash-checked against the kmeans oracle now that the r9 ADVICE parity
+# fix makes the two assignment paths decision-identical — which leads
+# the window; the rest is rotation, stalest-first as computed from the
+# CORRECTNESS_r01-r08 union (max driver round per key):
+#   1:     q_ivf_cell_assign (new in r9, never driver-checked);
+#   2-24:  every query whose last driver row is r06 — the analytic/
 #          media/export tail (packing, TF-IDF, contamination, OOV,
 #          dedup clusters, unigram LM, mixture/stratified/weighted
 #          sampling, token entropy, passage dedup, quality classifier,
@@ -78,15 +80,17 @@ _ALL_ORACLE = {
 #          inventory, LSH precision audit, corpus shuffle, shard
 #          manifest, mixture schedule) plus q_bpe_encode_corpus (now on
 #          the kernel path — its first driver row since the re-point);
-#   24-50: the 27 stalest of the 50 r07-checked queries, in
+#   25-50: the 26 stalest of the 50 r07-checked queries, in
 #          registry-family order (the relational scan/filter/join/agg
-#          block q01-q31).
-# Outside the window this round: the 23 newest r07-checked queries
-# (q31b through the temporal/vector/textops families) and the 50
+#          block q01-q30).
+# Outside the window this round: the 24 newest r07-checked queries
+# (q31 through the temporal/vector/textops families) and the 50
 # r08-checked queries — every one has a green driver row within the
 # last two rounds and all are locally re-verified by
 # tools/check_oracle.py on current code each round.
 _DRIVER_WINDOW = [
+    # -- block 0: new this round -----------------------------------------
+    "q_ivf_cell_assign",
     # -- block 1: stale since r06 ----------------------------------------
     "q_bpe_encode_corpus",
     "q_pack_sequences",
@@ -138,7 +142,6 @@ _DRIVER_WINDOW = [
     "q23_rollup_revenue",
     "q27_row_number_rank",
     "q30_orderby_limit_topk",
-    "q31_per_group_topk",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -245,6 +245,32 @@ def q_kmeans_clusters(spark, sf_dir):
     return _empty_fallback(spark, build, "vec_id long, cluster int, dist2 double")
 
 
+def q_ivf_cell_assign(spark, sf_dir):
+    """The IVF store's large-k assignment path (operators/ann_store.py
+    ``_assign_cells``): the centroid matrix rides as ONE parsed literal
+    and the k distance folds are a single ``transform`` — the shape
+    that keeps a k=64..1024 coarse quantizer compilable (the unrolled
+    per-centroid SQL chains of ``assign_clusters`` cost ~50 s of
+    codegen at k=64). Hash-checked against the SAME unrolled Lloyd
+    oracle as q_kmeans_clusters: after the r9 parity fix (argmin of the
+    UNROUNDED in-order fold) the two assignment implementations are
+    decision-identical, so the kmeans SQL covers this path too. Fit
+    runs the standard eager seed+update jobs; the assignment itself is
+    a zero-shuffle map against the matrix literal."""
+    from biodata_pipeline_spark.operators.ann_store import _assign_cells
+    from biodata_pipeline_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def build():
+        cents = kmeans_fit(emb)
+        return _assign_cells(emb, cents, "embedding").select(
+            "vec_id", F.col("cluster").alias("cell")
+        )
+
+    return _empty_fallback(spark, build, "vec_id long, cell int")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic dedup: k-means-cluster the corpus, then drop
     vectors whose within-cluster cosine to a smaller id rounds to >=
@@ -401,6 +427,7 @@ SPARK = {
     "q_embed_quantize": q_embed_quantize,
     "q_embed_cosine_dedup": q_embed_cosine_dedup,
     "q_kmeans_clusters": q_kmeans_clusters,
+    "q_ivf_cell_assign": q_ivf_cell_assign,
     "q_semantic_dedup": q_semantic_dedup,
     "q_pca_projection": q_pca_projection,
     "q_lsh_similarity_join": q_lsh_similarity_join,
@@ -765,6 +792,13 @@ ORACLE = {
         ),
         {_kmeans_sql('vecs')}
         SELECT vec_id, cl AS cluster, round(dist, 6) AS dist2 FROM a2
+    """,
+    "q_ivf_cell_assign": f"""
+        WITH vecs AS (
+            SELECT * FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        {_kmeans_sql('vecs')}
+        SELECT vec_id, cl AS cell FROM a2
     """,
     "q_pca_projection": f"""
         WITH {_pca_sql('embeddings')}
