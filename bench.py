@@ -105,6 +105,12 @@ HEADLINE = [
     "q_bpe_encode_pinned",        # Arrow encode kernel, pinned merges
     "q_bpe_pack_ids",             # tokenize→ids→pack composition
     "q_passage_scrub",            # sliding-window passage removal
+    # round 9 additions (the >1 s policy, applied to the kmeans family
+    # after the matrix-literal assignment rewire — before it these ran
+    # 5-6 s and were missing from the headline entirely):
+    "q_kmeans_clusters",          # 1.7 s — Lloyd fit + matrix assignment
+    "q_ivf_cell_assign",          # 1.5 s — IVF large-k assignment path
+    "q_semantic_dedup",           # 2.3 s — SemDeDup within-cluster dedup
 ]
 
 

@@ -46,8 +46,8 @@ from biodata_pipeline_spark.operators.dedup import (
     compact_dedup_index,
 )
 from biodata_pipeline_spark.operators.kmeans import (
-    _update_centroids,
-    seed_centroids,
+    assign_clusters_matrix,
+    kmeans_fit,
 )
 from biodata_pipeline_spark.operators.similarity import (
     SIM_ROUND,
@@ -60,39 +60,17 @@ def _assign_cells(
     cents: list[list[float]],
     emb_col: str,
 ) -> DataFrame:
-    """Nearest-centroid assignment built for LARGE k: the centroid
-    matrix rides as ONE parsed literal and distances are a single
-    ``transform`` of array folds, so a k=64..1024 quantizer stays one
-    compact expression. ``kmeans.assign_clusters`` inlines k separate
-    per-dimension SQL chains — correct and oracle-pinned for the
-    declared small-k queries, but at k=64 the expression's codegen
-    compile alone cost ~50 s (measured by tools/probe_ann_store.py
-    before this path). Same decision semantics as ``assign_clusters``:
-    argmin of the UNROUNDED in-order float64 squared-L2 fold (rounding
-    before the argmin would flip assignments whose two nearest
-    centroids differ by <0.5e-6 — ADVICE r9; parity is pytest-pinned),
-    ties → lowest index; null embeddings excluded (the geometry
-    contract). Adds ``cluster``."""
-    cmat = matrix_literal(cents)
-    emb = F.col(emb_col).cast("array<double>")
-    d2 = F.transform(
-        cmat,
-        lambda c: F.aggregate(
-            F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    picked = F.get(
-        F.transform(
-            F.array(d2),
-            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
-        ),
-        0,
-    )
-    return df.filter(F.col(emb_col).isNotNull()).withColumn(
-        "cluster", picked
-    )
+    """Nearest-centroid assignment built for LARGE k — since r9 the
+    engine-wide matrix-literal path ``kmeans.assign_clusters_matrix``
+    (this module contributed it: at k=64 the unrolled per-centroid
+    chains cost ~50 s of codegen compile, measured by
+    tools/probe_ann_store.py). Decision-identical to
+    ``assign_clusters``: argmin of the UNROUNDED in-order float64
+    squared-L2 fold (rounding before the argmin would flip assignments
+    whose two nearest centroids differ by <0.5e-6 — ADVICE r9; parity
+    is pytest-pinned), ties → lowest index; null embeddings excluded
+    (the geometry contract). Adds ``cluster``."""
+    return assign_clusters_matrix(df, cents, emb_col=emb_col)
 
 
 def _fit_quantizer(
@@ -102,15 +80,10 @@ def _fit_quantizer(
     id_col: str,
     emb_col: str,
 ) -> list[list[float]]:
-    """Lloyd's loop with the large-k assignment path: deterministic md5
-    seeds, per-iteration assignment + one k×(dim+1) aggregate (the
-    shared ``_update_centroids`` update rule, carry-forward for emptied
-    cells)."""
-    cents = seed_centroids(df, k, id_col, emb_col)
-    for _ in range(iters):
-        assigned = _assign_cells(df, cents, emb_col)
-        cents = _update_centroids(assigned, cents, emb_col)
-    return cents
+    """Lloyd's loop with the large-k assignment path — identical to
+    ``kmeans_fit`` now that the fit iterates through the matrix-literal
+    assignment everywhere; kept as the store's internal name."""
+    return kmeans_fit(df, k, iters, id_col, emb_col)
 
 
 class VectorIndexStore:

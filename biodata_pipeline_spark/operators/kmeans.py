@@ -97,7 +97,14 @@ def assign_clusters(
     and ``dist2`` (min squared distance, 6 dp). Pure map stage, zero
     shuffle: the k distance chains ride in ONE parsed expression (see
     ``_sqdist_sql``), let-bound through a 1-element transform so the k
-    chains evaluate once per row, argmin/round reading the bound array."""
+    chains evaluate once per row, argmin/round reading the bound array.
+
+    This is the unrolled REFERENCE implementation — its expression tree
+    is the textual mirror of the DuckDB oracle's CTE chain. The engine
+    itself assigns through ``assign_clusters_matrix`` (bit-identical
+    distances and decisions, parity-pinned) because the unrolled k×dim
+    chains pay codegen compile per construction and fall out of
+    whole-stage codegen as k×dim grows."""
     # Null-embedding contract (null probe, round 6): a NULL vector has
     # NULL distance to every centroid — argmin NULL would then crash the
     # centroid update's nxt[cluster] indexing. Geometry-less rows are
@@ -114,6 +121,63 @@ def assign_clusters(
     return df.select(
         "*", picked["cluster"].alias("cluster"), picked["dist2"].alias("dist2")
     )
+
+
+def assign_clusters_matrix(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    with_dist2: bool = False,
+) -> DataFrame:
+    """``assign_clusters`` with the centroid matrix riding as ONE parsed
+    literal and the k distance folds as a single ``transform`` —
+    decision-IDENTICAL (same unrounded in-order float64 fold, hence
+    bit-identical distances; same argmin lowest-index tie-break; same
+    6dp ``dist2`` when requested — parity pytest-pinned and covered by
+    the q_kmeans_clusters / q_ivf_cell_assign oracle hashes), but the
+    expression stays COMPACT: the unrolled per-centroid chains grow as
+    k×dim arithmetic nodes, whose codegen compile dominates small
+    inputs (~50 s at k=64×64d, the r8 ann-store probe) and whose size
+    falls out of whole-stage codegen entirely as k×dim grows (measured
+    r9: at 200k vectors, k=8×64d, the matrix fold assigns ~5× faster).
+    ``kmeans_fit``'s iterations and the IVF store assign through this
+    path; ``assign_clusters`` remains the unrolled reference
+    implementation whose SQL the DuckDB oracle mirrors textually."""
+    from biodata_pipeline_spark.operators.similarity import matrix_literal
+
+    cmat = matrix_literal(centroids)
+    emb = F.col(emb_col).cast("array<double>")
+    d2 = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # let-bind the k-fold array through a 1-element transform (the
+    # CollapseProject trap — see assign_clusters) so it evaluates once
+    picked = F.get(
+        F.transform(
+            F.array(d2),
+            lambda d: F.struct(
+                (F.array_position(d, F.array_min(d)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.round(F.array_min(d), SUM_GRAIN).alias("dist2"),
+            ),
+        ),
+        0,
+    )
+    base = df.filter(F.col(emb_col).isNotNull())
+    if with_dist2:
+        return base.select(
+            "*",
+            picked["cluster"].alias("cluster"),
+            picked["dist2"].alias("dist2"),
+        )
+    return base.select("*", picked["cluster"].alias("cluster"))
 
 
 def _update_centroids(
@@ -153,7 +217,10 @@ def kmeans_fit(
     k-row shuffle of partials)."""
     cents = seed_centroids(df, k, id_col, emb_col)
     for _ in range(iters):
-        assigned = assign_clusters(df, cents, id_col, emb_col)
+        # the matrix-literal assignment: decision-identical to
+        # assign_clusters (parity-pinned) at a fraction of its
+        # construction + compile cost per iteration
+        assigned = assign_clusters_matrix(df, cents, id_col, emb_col)
         cents = _update_centroids(assigned, cents, emb_col)
     return cents
 
@@ -185,7 +252,7 @@ def semantic_dedup_survivors(
     import pandas as pd
 
     cents = kmeans_fit(df, k, iters, id_col, emb_col)
-    a = assign_clusters(df, cents, id_col, emb_col)
+    a = assign_clusters_matrix(df, cents, id_col, emb_col)
     margin = threshold - 1e-6
     max_pair = MAX_CLUSTER_PAIRWISE  # closure-bound: ships to workers
     empty = pd.DataFrame(

@@ -233,14 +233,23 @@ def q_kmeans_clusters(spark, sf_dir):
     bit-identical ANSI SQL, unrolled as CTEs. Fit runs 3 small eager
     jobs at construction (a k-row TakeOrdered + 2 k×65-cell aggregates);
     assignment itself is a zero-shuffle map stage against a broadcast
-    centroid literal."""
-    from biodata_pipeline_spark.operators.kmeans import assign_clusters, kmeans_fit
+    centroid matrix literal (``assign_clusters_matrix`` since r9 —
+    bit-identical distances/decisions to the unrolled chains the oracle
+    SQL mirrors, at a fraction of the codegen compile cost; parity
+    pytest-pinned, and THIS query's value hash is the cross-engine
+    proof)."""
+    from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters_matrix,
+        kmeans_fit,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def build():
         cents = kmeans_fit(emb)
-        return assign_clusters(emb, cents).select("vec_id", "cluster", "dist2")
+        return assign_clusters_matrix(emb, cents, with_dist2=True).select(
+            "vec_id", "cluster", "dist2"
+        )
 
     return _empty_fallback(spark, build, "vec_id long, cluster int, dist2 double")
 

@@ -184,16 +184,27 @@ def test_assign_cells_parity_with_kmeans_argmin(spark):
     want = assign_clusters(near_tie, cents).collect()[0]
     assert got.cluster == want.cluster == 1
 
-    # and row-for-row parity on real embeddings with fitted seeds
+    # and row-for-row parity (cluster AND 6dp dist2) on real embeddings
+    from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters_matrix,
+    )
+
     emb = _emb(spark).filter(F.col("vec_id") < 200)
     cents = seed_centroids(emb, 6, "vec_id", "embedding")
-    a = _assign_cells(emb, cents, "embedding").select(
-        "vec_id", F.col("cluster").alias("c_store")
+    a = assign_clusters_matrix(emb, cents, with_dist2=True).select(
+        "vec_id",
+        F.col("cluster").alias("c_store"),
+        F.col("dist2").alias("d_store"),
     )
     b = assign_clusters(emb, cents).select(
-        "vec_id", F.col("cluster").alias("c_kmeans")
+        "vec_id",
+        F.col("cluster").alias("c_kmeans"),
+        F.col("dist2").alias("d_kmeans"),
     )
-    diff = a.join(b, "vec_id").filter(F.col("c_store") != F.col("c_kmeans"))
+    diff = a.join(b, "vec_id").filter(
+        (F.col("c_store") != F.col("c_kmeans"))
+        | (F.col("d_store") != F.col("d_kmeans"))
+    )
     assert diff.count() == 0
 
 
