@@ -46,7 +46,7 @@ from biodata_pipeline_spark.operators.dedup import (
     compact_dedup_index,
 )
 from biodata_pipeline_spark.operators.kmeans import (
-    assign_clusters_matrix,
+    assign_clusters_kernel,
     kmeans_fit,
 )
 from biodata_pipeline_spark.operators.similarity import (
@@ -61,16 +61,17 @@ def _assign_cells(
     emb_col: str,
 ) -> DataFrame:
     """Nearest-centroid assignment built for LARGE k — since r9 the
-    engine-wide matrix-literal path ``kmeans.assign_clusters_matrix``
-    (this module contributed it: at k=64 the unrolled per-centroid
-    chains cost ~50 s of codegen compile, measured by
-    tools/probe_ann_store.py). Decision-identical to
+    engine-wide bulk path ``kmeans.assign_clusters_kernel`` (this
+    module's matrix-literal fold seeded the family: at k=64 the
+    unrolled per-centroid chains cost ~50 s of codegen compile,
+    measured by tools/probe_ann_store.py; the Arrow kernel then beat
+    the fold 3-10× at 200k vectors). Decision-identical to
     ``assign_clusters``: argmin of the UNROUNDED in-order float64
     squared-L2 fold (rounding before the argmin would flip assignments
     whose two nearest centroids differ by <0.5e-6 — ADVICE r9; parity
     is pytest-pinned), ties → lowest index; null embeddings excluded
     (the geometry contract). Adds ``cluster``."""
-    return assign_clusters_matrix(df, cents, emb_col=emb_col)
+    return assign_clusters_kernel(df, cents, emb_col=emb_col)
 
 
 def _fit_quantizer(
@@ -81,8 +82,8 @@ def _fit_quantizer(
     emb_col: str,
 ) -> list[list[float]]:
     """Lloyd's loop with the large-k assignment path — identical to
-    ``kmeans_fit`` now that the fit iterates through the matrix-literal
-    assignment everywhere; kept as the store's internal name."""
+    ``kmeans_fit`` now that the fit iterates through the Arrow
+    assignment kernel everywhere; kept as the store's internal name."""
     return kmeans_fit(df, k, iters, id_col, emb_col)
 
 

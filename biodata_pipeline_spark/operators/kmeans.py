@@ -9,7 +9,9 @@ search is within-cluster pairwise instead of all-pairs O(n²).
 
 Spark shape (the 100 TB plan):
  - **fit** is the classic iterate-collect loop: assignment is a pure map
-   stage against a broadcast centroid literal (no join, no shuffle), and
+   stage against the broadcast centroid matrix (no join, no shuffle —
+   since r9 the Arrow kernel, bit-identical to the unrolled reference
+   expression), and
    the centroid update is ONE hash aggregate producing k×(dim+1) cells —
    map-side combined, so each iteration shuffles k rows of partials, not
    data. Centroids (k×dim floats) live driver-side between iterations,
@@ -180,6 +182,69 @@ def assign_clusters_matrix(
     return base.select("*", picked["cluster"].alias("cluster"))
 
 
+def assign_clusters_kernel(
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    with_dist2: bool = False,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``assign_clusters_matrix`` for BULK
+    assignment maps — the interpreted array fold costs ~35 µs/row/core
+    at k=8×64d, and at warehouse scale the one full-corpus assignment
+    pass is the kmeans family's dominant stage. Bit-parity contract
+    (the ``similarity_join_vectorized`` discipline): distances
+    accumulate per dimension in ASCENDING order (``acc += d*d`` — the
+    same left-assoc float64 sequence as the JVM fold, so d² is
+    bit-identical), ``np.argmin``'s first-occurrence rule IS the
+    lowest-index tie-break, and the 6dp ``dist2`` rounding stays
+    JVM-side (numpy rounds half-to-even, Java half-up). Parity with
+    the matrix path is pytest-pinned on real embeddings. Measured
+    (SCALING r9): 3-10× over the matrix fold at 200k vectors,
+    depending on how many columns ride through Arrow. All input
+    columns are carried; adds ``cluster`` (+ ``dist2``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType
+
+    C = np.array(centroids, dtype=np.float64)
+    base = df.filter(F.col(emb_col).isNotNull())
+    out_fields = list(base.schema.fields) + [
+        StructField("cluster", IntegerType())
+    ]
+    if with_dist2:
+        out_fields.append(StructField("__d2_raw", DoubleType()))
+    emb_name, want_d2 = emb_col, with_dist2
+
+    def kern(it):
+        for pdf in it:
+            res = pdf.copy()
+            if not len(pdf):
+                res["cluster"] = pd.Series([], dtype="int32")
+                if want_d2:
+                    res["__d2_raw"] = pd.Series([], dtype="float64")
+                yield res
+                continue
+            mat = np.array(pdf[emb_name].tolist(), dtype=np.float64)
+            n = mat.shape[0]
+            acc = np.zeros((n, C.shape[0]))
+            for i in range(mat.shape[1]):  # ascending-dim: JVM bit-parity
+                d = mat[:, i][:, None] - C[None, :, i]
+                acc += d * d
+            cl = np.argmin(acc, axis=1)  # first occurrence = lowest index
+            res["cluster"] = cl.astype("int32")
+            if want_d2:
+                res["__d2_raw"] = acc[np.arange(n), cl]
+            yield res
+
+    out = base.mapInPandas(kern, StructType(out_fields))
+    if with_dist2:
+        out = out.withColumn(
+            "dist2", F.round(F.col("__d2_raw"), SUM_GRAIN)
+        ).drop("__d2_raw")
+    return out
+
+
 def _update_centroids(
     assigned: DataFrame,
     prev: list[list[float]],
@@ -217,10 +282,11 @@ def kmeans_fit(
     k-row shuffle of partials)."""
     cents = seed_centroids(df, k, id_col, emb_col)
     for _ in range(iters):
-        # the matrix-literal assignment: decision-identical to
-        # assign_clusters (parity-pinned) at a fraction of its
-        # construction + compile cost per iteration
-        assigned = assign_clusters_matrix(df, cents, id_col, emb_col)
+        # the Arrow assignment kernel: decision-identical to
+        # assign_clusters / assign_clusters_matrix (parity-pinned,
+        # centroid trajectories list-identical) and the fastest bulk
+        # path at every measured scale (SCALING r9)
+        assigned = assign_clusters_kernel(df, cents, emb_col)
         cents = _update_centroids(assigned, cents, emb_col)
     return cents
 
@@ -252,7 +318,7 @@ def semantic_dedup_survivors(
     import pandas as pd
 
     cents = kmeans_fit(df, k, iters, id_col, emb_col)
-    a = assign_clusters_matrix(df, cents, id_col, emb_col)
+    a = assign_clusters_kernel(df, cents, emb_col)
     margin = threshold - 1e-6
     max_pair = MAX_CLUSTER_PAIRWISE  # closure-bound: ships to workers
     empty = pd.DataFrame(

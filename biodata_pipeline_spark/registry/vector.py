@@ -239,7 +239,7 @@ def q_kmeans_clusters(spark, sf_dir):
     pytest-pinned, and THIS query's value hash is the cross-engine
     proof)."""
     from biodata_pipeline_spark.operators.kmeans import (
-        assign_clusters_matrix,
+        assign_clusters_kernel,
         kmeans_fit,
     )
 
@@ -247,7 +247,7 @@ def q_kmeans_clusters(spark, sf_dir):
 
     def build():
         cents = kmeans_fit(emb)
-        return assign_clusters_matrix(emb, cents, with_dist2=True).select(
+        return assign_clusters_kernel(emb, cents, with_dist2=True).select(
             "vec_id", "cluster", "dist2"
         )
 

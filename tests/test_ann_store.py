@@ -184,28 +184,32 @@ def test_assign_cells_parity_with_kmeans_argmin(spark):
     want = assign_clusters(near_tie, cents).collect()[0]
     assert got.cluster == want.cluster == 1
 
-    # and row-for-row parity (cluster AND 6dp dist2) on real embeddings
+    # and THREE-WAY row-for-row parity (cluster AND 6dp dist2) on real
+    # embeddings: unrolled chains (the oracle's textual mirror), the
+    # matrix-literal fold, and the Arrow kernel must be bit-identical
     from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters_kernel,
         assign_clusters_matrix,
     )
 
     emb = _emb(spark).filter(F.col("vec_id") < 200)
     cents = seed_centroids(emb, 6, "vec_id", "embedding")
-    a = assign_clusters_matrix(emb, cents, with_dist2=True).select(
-        "vec_id",
-        F.col("cluster").alias("c_store"),
-        F.col("dist2").alias("d_store"),
-    )
     b = assign_clusters(emb, cents).select(
         "vec_id",
-        F.col("cluster").alias("c_kmeans"),
-        F.col("dist2").alias("d_kmeans"),
+        F.col("cluster").alias("c_ref"),
+        F.col("dist2").alias("d_ref"),
     )
-    diff = a.join(b, "vec_id").filter(
-        (F.col("c_store") != F.col("c_kmeans"))
-        | (F.col("d_store") != F.col("d_kmeans"))
-    )
-    assert diff.count() == 0
+    for impl in (assign_clusters_matrix, assign_clusters_kernel):
+        a = impl(emb, cents, with_dist2=True).select(
+            "vec_id",
+            F.col("cluster").alias("c_got"),
+            F.col("dist2").alias("d_got"),
+        )
+        diff = a.join(b, "vec_id").filter(
+            (F.col("c_got") != F.col("c_ref"))
+            | (F.col("d_got") != F.col("d_ref"))
+        )
+        assert diff.count() == 0, impl.__name__
 
 
 def _manual_store(spark, path, cents, assignments):
