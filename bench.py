@@ -111,6 +111,21 @@ HEADLINE = [
     "q_kmeans_clusters",          # 1.7 s — Lloyd fit + matrix assignment
     "q_ivf_cell_assign",          # 1.5 s — IVF large-k assignment path
     "q_semantic_dedup",           # 2.3 s — SemDeDup within-cluster dedup
+    # round 9 policy sweep: ALL remaining declared queries were timed at
+    # sf0.1 (fresh JVM, min-of-2) and every one over the ~1 s line joins
+    # the headline — this is how the kmeans gap above was found, run to
+    # closure. The 57 declared queries not listed here all measured
+    # under 1 s.
+    "q_winnow_fingerprints",      # 3.6 s — rolling-hash winnowing
+    "q_lsh_precision_audit",      # 2.7 s — LSH precision vs exact
+    "q_percentile_accuracy_audit",  # 2.7 s — GK sketch vs exact ranks
+    "q26b_retrieval_rank_summary",  # 2.8 s — flagship corpus summary
+    "q_stats_corr",               # 2.4 s — grouped Pearson corr matrix
+    "q21c_percentiles",           # 2.1 s — exact grouped percentiles
+    "q_embed_cosine_dedup",       # 2.0 s — embedding-cosine dedup
+    "q21d_approx_percentiles",    # 1.4 s — approx-sketch percentile swap
+    "q_dup_source_matrix",        # 1.1 s — cross-source dup matrix
+    "q_ivf_ann",                  # 1.2 s — IVF ANN probe path
 ]
 
 
@@ -364,6 +379,17 @@ def main() -> None:
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         compact.pop("shared_with_r5", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        # drop sub-0.3s keys from the per-query dict (their totals are
+        # already inside "value" / the shared subtotals; the fat payload
+        # and SCALING.md keep full detail) — gentler than losing the
+        # round-over-round comparison blocks or whole expensive keys
+        compact["queries"] = {
+            k: v for k, v in compact["queries"].items() if v >= 0.3
+        }
+        compact["queries_floor"] = 0.3
+        compact["n_queries_total"] = len(timings)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         compact.pop("shared_with_prev", None)

@@ -143,9 +143,10 @@ def assign_clusters_matrix(
     inputs (~50 s at k=64×64d, the r8 ann-store probe) and whose size
     falls out of whole-stage codegen entirely as k×dim grows (measured
     r9: at 200k vectors, k=8×64d, the matrix fold assigns ~5× faster).
-    ``kmeans_fit``'s iterations and the IVF store assign through this
-    path; ``assign_clusters`` remains the unrolled reference
-    implementation whose SQL the DuckDB oracle mirrors textually."""
+    The JVM-expression option of the family; the engine's bulk default
+    is ``assign_clusters_kernel`` (another 3-10× at scale), and
+    ``assign_clusters`` remains the unrolled reference implementation
+    whose SQL the DuckDB oracle mirrors textually."""
     from biodata_pipeline_spark.operators.similarity import matrix_literal
 
     cmat = matrix_literal(centroids)
