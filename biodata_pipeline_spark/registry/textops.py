@@ -1102,26 +1102,44 @@ WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # winnowing window (guarantee: shared substrings ≥ k+w-1 hit)
 
 
+def _winnow_horner_sql() -> str:
+    """DuckDB mirror of the polynomial gram hash (textfn.POLY_BASE/MOD
+    Horner over codepoints): Spark ``ascii()`` == DuckDB ``ord()`` per
+    character (full codepoints, astral included — probed r9), so the
+    unrolled chain computes the exact same int64s as the Arrow kernel."""
+    from biodata_pipeline_spark.functions.textfn import POLY_BASE, POLY_MOD
+
+    h = "CAST(0 AS BIGINT)"  # seed BIGINT: bare 0 is INT32 and overflows
+    for j in range(WINNOW_K):
+        h = (
+            f"(({h}) * {POLY_BASE} + "
+            f"ord(substr(text, CAST(i + {j} AS INTEGER), 1))) % {POLY_MOD}"
+        )
+    return h
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (the MOSS algorithm, Schleimer et
     al. SIGMOD'03): per document, the distinct window-minima of char
     8-gram hashes — the position-robust fingerprint set plagiarism /
-    near-dup scanners index. One row per (doc_id, fingerprint); pure
-    per-row array HOFs + explode (functions/textfn.py:
-    winnow_fingerprints), fingerprinted once per distinct content via
-    ``per_content`` (the gram-hash pass is ~400 md5s per document —
-    measured 336 s re-fingerprinting every copy of a 100×-duplicated
-    corpus vs 1× work + edge propagation)."""
+    near-dup scanners index. One row per (doc_id, fingerprint), via the
+    Arrow kernel (operators/fingerprint.py: winnow_fingerprint_rows —
+    polynomial codepoint Horner hash, bit-parity with the
+    winnow_fingerprints_poly expression, ~15× the interpreted gram
+    pass at sf0.1 and already exploded so the interpreted Generate is
+    skipped too); fingerprinted once per distinct content via
+    ``per_content`` (measured 336 s re-fingerprinting every copy of a
+    100×-duplicated corpus vs 1× work + edge propagation)."""
     from biodata_pipeline_spark.operators.dedup import per_content
+    from biodata_pipeline_spark.operators.fingerprint import (
+        winnow_fingerprint_rows,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
 
     def fp_frame(base):
-        return base.select(
-            "doc_id",
-            F.explode(
-                textfn.winnow_fingerprints("text", WINNOW_K, WINNOW_W)
-            ).alias("fp"),
+        return winnow_fingerprint_rows(
+            base, "text", "doc_id", WINNOW_K, WINNOW_W
         )
 
     # char-level fingerprints see raw bytes, so the collapse key must be
@@ -2064,9 +2082,7 @@ ORACLE = {
             SELECT doc_id,
                    list_transform(
                        generate_series(1, length(text) - {WINNOW_K} + 1),
-                       i -> CAST(concat('0x',
-                            substr(md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 8))
-                            AS BIGINT)) AS gh
+                       i -> {_winnow_horner_sql()}) AS gh
             FROM documents
             WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
         ),

@@ -233,3 +233,74 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
         ).collect()
     }
     assert fps == again
+
+
+def test_winnow_poly_kernel_bit_parity(spark):
+    """The Arrow winnowing kernel must produce the exact (doc_id, fp)
+    multiset of the winnow_fingerprints_poly expression — same Horner
+    integers, same window minima, same distinct/sort — across ASCII,
+    Latin-1, CJK, astral codepoints, the k+w-1 length boundary, NULL
+    text, and gram-collapsing repeats."""
+    from biodata_pipeline_spark.functions.textfn import (
+        winnow_fingerprints_poly,
+    )
+    from biodata_pipeline_spark.operators.fingerprint import (
+        winnow_fingerprint_rows,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "tiny"),
+            (3, None),
+            (4, "exactly11ch"),  # len == k + w - 1: smallest non-empty
+            (5, "unicode: é€中𝕏 mixed with ascii text here"),
+            (6, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # identical grams collapse
+            (7, "ten chars!"),  # one short of the boundary -> no rows
+        ],
+        ["doc_id", "text"],
+    )
+    exp = df.select(
+        "doc_id", F.explode(winnow_fingerprints_poly("text", 8, 4)).alias("fp")
+    )
+    ker = winnow_fingerprint_rows(df, "text", "doc_id", 8, 4)
+    assert sorted(map(tuple, exp.collect())) == sorted(
+        map(tuple, ker.collect())
+    )
+    # doc 7 (10 chars) and NULL produce nothing on either path
+    ids = {r.doc_id for r in ker.collect()}
+    assert 3 not in ids and 7 not in ids and 2 not in ids
+
+
+def test_winnow_poly_hash_matches_python_reference(spark):
+    """Pin the polynomial gram hash itself (not just cross-path parity):
+    h = fold(h*31 + codepoint) mod 2^31-1 over each 8-gram, window-4
+    minima, distinct+sorted — computed independently in plain Python."""
+    from biodata_pipeline_spark.functions.textfn import (
+        POLY_BASE,
+        POLY_MOD,
+        winnow_fingerprints_poly,
+    )
+    from biodata_pipeline_spark.operators.fingerprint import (
+        winnow_fingerprint_rows,
+    )
+
+    text, k, w = "winnowing parity: é€中𝕏 fingerprints!", 8, 4
+    grams = []
+    for i in range(len(text) - k + 1):
+        h = 0
+        for ch in text[i : i + k]:
+            h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+        grams.append(h)
+    want = sorted(
+        {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got_expr = df.select(
+        winnow_fingerprints_poly("text", k, w).alias("fps")
+    ).collect()[0].fps
+    got_kernel = sorted(
+        r.fp for r in winnow_fingerprint_rows(df, "text", "doc_id", k, w).collect()
+    )
+    assert got_expr == want
+    assert got_kernel == want
