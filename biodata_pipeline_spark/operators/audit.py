@@ -88,7 +88,33 @@ def md5_int60(col: F.Column) -> F.Column:
 
 
 def _lane_hash(lane_col, shingle_col) -> F.Column:
+    """Legacy per-lane md5 (md5 of "lane:shingle") — superseded in the
+    signature hot path by the affine family below (one md5 per shingle
+    instead of num_lanes); kept as the definition older docs cite."""
     return md5_int60(F.concat_ws(":", lane_col, shingle_col))
+
+
+# Carter-Wegman affine minhash family: lane_i(x) = (a_i*h(x) + b_i) mod p
+# over one shared base hash h = md5_int60(shingle) mod p. Pairwise
+# independence of (a*x+b) mod p is the textbook assumption minhash's
+# collision analysis rests on — a STRONGER guarantee than "md5 with a
+# lane prefix looks random", at 1/num_lanes the md5 cost (measured r9:
+# the 32-lane signature was the audit family's dominant stage). The
+# a/b constants derive from md5 of the lane index, so both engines
+# embed the same literals (oracle: registry/audits.py _MINHASH_CAND).
+MINHASH_P = 2147483647  # 2^31 - 1 (prime; keeps a*h + b < 2^62, ANSI-safe)
+
+
+def minhash_affine_params(num_lanes: int) -> tuple[list[int], list[int]]:
+    import hashlib
+
+    a, b = [], []
+    for i in range(num_lanes):
+        ha = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16)
+        hb = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16)
+        a.append(ha % (MINHASH_P - 1) + 1)
+        b.append(hb % MINHASH_P)
+    return a, b
 
 
 def minhash_candidate_pairs_md5(
@@ -100,20 +126,27 @@ def minhash_candidate_pairs_md5(
     rows_per_band: int = 4,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs with the md5 hash family — the
+    """MinHash-LSH candidate pairs with the md5-affine hash family — the
     cross-engine-reproducible twin of ``minhash_lsh_dup_pairs``'s
-    xxhash64 banding (same 32-lane / 8-band / 4-row geometry).
+    xxhash64 banding (same 32-lane / 8-band / 4-row geometry). Lane
+    hashes are Carter-Wegman affine transforms ``(a_i*h + b_i) mod p``
+    of ONE md5 base hash per shingle (see ``minhash_affine_params``):
+    pairwise-independent per lane, and num_lanes× fewer md5 evaluations
+    than the per-lane-md5 formulation it replaced (r9: the 32-lane
+    signature was the audit family's dominant stage — the affine mins
+    are plain codegen'd arithmetic).
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` — every pair
     sharing at least one band bucket.
 
-    Plan shape: the signature is ONE groupBy(id) carrying all lanes as
-    separate min() aggregates — map-side partial combine reduces each
-    partition to |docs| rows before the shuffle, vs exploding a
-    (doc, lane) row per lane (num_lanes× the shuffle volume for the same
-    result). Band keys are then literal column concats in lane order —
-    matching the oracle's ``string_agg(lpad(lane,2,'0')||':'||m ORDER BY
-    lane)`` without any collect_list/sort machinery.
+    Plan shape: the signature is ONE groupBy(id) over a narrow
+    ``(id, base_hash)`` projection carrying all lanes as separate min()
+    aggregates — map-side partial combine reduces each partition to
+    |docs| rows before the shuffle, vs exploding a (doc, lane) row per
+    lane (num_lanes× the shuffle volume for the same result). Band keys
+    are then literal column concats in lane order — matching the
+    oracle's ``string_agg(lpad(lane,2,'0')||':'||m ORDER BY lane)``
+    without any collect_list/sort machinery.
 
     ``shingles``: optionally a precomputed ``_exploded_shingles`` frame
     (persist it when the caller also feeds it to the exact-Jaccard side,
@@ -128,9 +161,12 @@ def minhash_candidate_pairs_md5(
         if shingles is not None
         else _audit_shingles(df, id_col, text_col, n)
     )
-    sig = sh.groupBy("id").agg(
+    la, lb = minhash_affine_params(num_lanes)
+    base_h = (md5_int60(F.col("sh")) % MINHASH_P).alias("__h")
+    sig = sh.select("id", base_h).groupBy("id").agg(
         *[
-            F.min(_lane_hash(F.lit(i), F.col("sh"))).alias(f"m{i}")
+            F.min((F.lit(la[i]) * F.col("__h") + F.lit(lb[i])) % MINHASH_P)
+            .alias(f"m{i}")
             for i in range(num_lanes)
         ]
     )

@@ -250,15 +250,30 @@ def _sign_band_key_sql(b: int, rows: int = 4) -> str:
         for j in range(rows)
     ) + " AS BIGINT)"
 
-# md5-family MinHash banding (32 lanes / 8 bands x 4 rows — the
+# md5-affine MinHash banding (32 lanes / 8 bands x 4 rows — the
 # production geometry) as a reusable CTE chain ending in cand(id_a, id_b);
 # shared by the recall audit, the precision audit, and the promoted
-# q_dedup_clusters oracle.
+# q_dedup_clusters oracle. Lane hashes mirror operators/audit.py's
+# Carter-Wegman family: (a[lane]*h + b[lane]) mod 2^31-1 over one md5
+# base hash per shingle — the a/b literals below are generated from the
+# same minhash_affine_params derivation.
+from biodata_pipeline_spark.operators.audit import (  # noqa: E402
+    MINHASH_P as _MH_P,
+    minhash_affine_params as _mh_params,
+)
+
+_MH_A, _MH_B = _mh_params(32)
 _MINHASH_CAND = f"""
+    hs AS (
+        SELECT doc_id, {_MD5_60.format(x="s")} % {_MH_P} AS h FROM sh
+    ),
     lanes AS (
         SELECT doc_id, lane,
-               min({_MD5_60.format(x="CAST(lane AS VARCHAR) || ':' || s")}) AS m
-        FROM sh, generate_series(0, 31) AS l(lane)
+               min((CAST(list_value({", ".join(map(str, _MH_A))})[lane + 1]
+                         AS BIGINT) * h
+                    + list_value({", ".join(map(str, _MH_B))})[lane + 1])
+                   % {_MH_P}) AS m
+        FROM hs, generate_series(0, 31) AS l(lane)
         GROUP BY 1, 2
     ),
     bands AS (
