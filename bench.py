@@ -166,10 +166,24 @@ def release_accumulated(spark) -> None:
     spark.catalog.clearCache()
 
 
+FULL_PAYLOAD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+)
+
+
 def prev_bench() -> tuple[int, dict[str, float]] | None:
     """Latest recorded BENCH_r{N}.json (round number, per-query secs) —
     the anchor for the shared-key subtotal, so round-over-round totals
-    compare the SAME query set even as HEADLINE grows."""
+    compare the SAME query set even as HEADLINE grows.
+
+    The driver keeps only ~2000 bytes of stdout, and at 67 headline
+    keys the compact line's per-query dict gets truncated to the 20
+    slowest (the r9 artifact) — so bench.py now ALSO writes the full
+    fat payload to BENCH_FULL_latest.json on every full-headline run.
+    When that file's headline total matches the driver artifact's (same
+    run), its complete per-query dict replaces the truncated one; a
+    mismatched total means a manual re-run overwrote it, and the
+    truncated-but-authoritative driver numbers stand."""
     import glob
     import re
 
@@ -185,10 +199,25 @@ def prev_bench() -> tuple[int, dict[str, float]] | None:
                     doc = json.load(f)
                 # the driver wraps bench.py's JSON line under "parsed"
                 queries = doc.get("parsed", doc).get("queries", {})
-                best = (rnd, queries)
+                value = doc.get("parsed", doc).get("value")
+                best = (rnd, queries, value)
             except (OSError, json.JSONDecodeError, AttributeError):
                 continue
-    return best
+    if best is None:
+        return None
+    rnd, queries, value = best
+    try:
+        with open(FULL_PAYLOAD_PATH) as f:
+            full = json.load(f)
+        if (
+            value is not None
+            and abs(full.get("value", -1) - value) < 0.02
+            and set(queries) <= set(full.get("queries", {}))
+        ):
+            queries = full["queries"]
+    except (OSError, json.JSONDecodeError, TypeError):
+        pass
+    return rnd, queries
 
 
 def bench_round(path: str) -> dict[str, float] | None:
@@ -321,6 +350,69 @@ def run_batched(keys: list[str], sf_dir: str, sf: float) -> dict:
     }
 
 
+ANCHOR_N = 5
+ANCHOR_RATIO = 1.15
+
+
+def anchor_drifted(
+    timings: dict[str, float], prev_queries: dict[str, float], sf_dir: str
+) -> dict | None:
+    """Idle-anchor protocol (VERDICT r9 #5): a co-tenant driver run must
+    carry its own refutation. After the full run, re-time the most
+    drifted shared keys (this/prev ratio > ANCHOR_RATIO, worst
+    ANCHOR_N) each in a FRESH JVM via the batch-child mechanism, and
+    report main-run vs fresh-JVM numbers side by side. If the fresh
+    re-run lands back near the prior round, the drift was environment
+    (host load during the main run), not a plan regression — r9 needed
+    a judge re-run to establish exactly this (artifact said 1.11×,
+    idle re-run measured 0.59× of baseline). Skipped when nothing
+    drifts past the ratio gate."""
+    import subprocess
+
+    drifted = sorted(
+        (
+            (timings[k] / prev_queries[k], k)
+            for k in timings
+            if prev_queries.get(k, 0) > 0.3  # sub-noise keys can't anchor
+            and timings[k] / prev_queries[k] > ANCHOR_RATIO
+        ),
+        reverse=True,
+    )[:ANCHOR_N]
+    if not drifted:
+        return None
+    keys = [k for _, k in drifted]
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_KEYS"] = ",".join(keys)
+    env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    line = next(
+        (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')),
+        None,
+    )
+    if line is None:
+        return {"error": proc.stderr[-400:]}
+    fresh = json.loads(line)["queries"]
+    return {
+        "keys": {
+            k: {
+                "main": timings[k],
+                "fresh_jvm": fresh.get(k),
+                "prev": prev_queries[k],
+            }
+            for k in keys
+        },
+        "main_total": round(sum(timings[k] for k in keys), 3),
+        "fresh_total": round(sum(fresh.get(k, 0.0) for k in keys), 3),
+        "prev_total": round(sum(prev_queries[k] for k in keys), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -348,6 +440,13 @@ def main() -> None:
             "this_total": round(sum(timings[k] for k in shared), 3),
             "prev_total": round(sum(prev_queries[k] for k in shared), 3),
         }
+        # idle-anchor re-run of the most drifted keys, fresh JVMs
+        # (default on — the driver's artifact must self-refute drift;
+        # SPARK_GRAFT_BENCH_ANCHOR=0 disables for quick local loops)
+        if os.environ.get("SPARK_GRAFT_BENCH_ANCHOR", "1") != "0":
+            anchor = anchor_drifted(timings, prev_queries, sf_dir)
+            if anchor is not None:
+                payload["anchor"] = anchor
     # the r5 anchor (VERDICT r6 #5): r5's best-of-2 numbers were the
     # series' fastest; report the shared-key subtotal against them too
     here = os.path.dirname(os.path.abspath(__file__))
@@ -361,6 +460,16 @@ def main() -> None:
         }
     # Fat payload first (per-run detail for humans / SCALING.md) ...
     print(json.dumps(payload))
+    # ... persisted in-repo on full-headline runs, so the driver's 2 KB
+    # stdout tail can never again lose the per-query detail (see
+    # prev_bench) — subset runs skip the write to avoid clobbering the
+    # round artifact with partial data
+    if keys_env is None:
+        try:
+            with open(FULL_PAYLOAD_PATH, "w") as f:
+                json.dump(payload, f)
+        except OSError:
+            pass
     # ... then the compact headline line LAST, sized to fit entirely in
     # the driver's 2000-byte stdout tail capture (VERDICT r5 #1): drop
     # "runs", round per-query values to 2dp, and shed the comparison
@@ -376,6 +485,14 @@ def main() -> None:
         compact["shared_with_prev"] = payload["shared_with_prev"]
     if "shared_with_r5" in payload:
         compact["shared_with_r5"] = payload["shared_with_r5"]
+    if "anchor" in payload and "keys" in payload["anchor"]:
+        # tiny summary only — the fat payload carries per-key detail
+        compact["anchor"] = {
+            "n": len(payload["anchor"]["keys"]),
+            "main_total": payload["anchor"]["main_total"],
+            "fresh_total": payload["anchor"]["fresh_total"],
+            "prev_total": payload["anchor"]["prev_total"],
+        }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         compact.pop("shared_with_r5", None)

@@ -87,6 +87,17 @@ def md5_int60(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_hex_halves(col: F.Column) -> tuple[F.Column, F.Column]:
+    """Both 60-bit halves of ONE md5 evaluation, as bigints: chars 1-15
+    and 16-30 of the hex digest (DuckDB twin: substring(md5(x), 16, 15)).
+    The md5 column must be materialized by the caller (select it into a
+    named column first) so the digest is computed once, not per-half."""
+    return (
+        F.conv(F.substring(col, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(col, 16, 15), 16, 10).cast("long"),
+    )
+
+
 def _lane_hash(lane_col, shingle_col) -> F.Column:
     """Legacy per-lane md5 (md5 of "lane:shingle") — superseded in the
     signature hot path by the affine family below (one md5 per shingle
@@ -94,27 +105,40 @@ def _lane_hash(lane_col, shingle_col) -> F.Column:
     return md5_int60(F.concat_ws(":", lane_col, shingle_col))
 
 
-# Carter-Wegman affine minhash family: lane_i(x) = (a_i*h(x) + b_i) mod p
-# over one shared base hash h = md5_int60(shingle) mod p. Pairwise
-# independence of (a*x+b) mod p is the textbook assumption minhash's
-# collision analysis rests on — a STRONGER guarantee than "md5 with a
-# lane prefix looks random", at 1/num_lanes the md5 cost (measured r9:
-# the 32-lane signature was the audit family's dominant stage). The
-# a/b constants derive from md5 of the lane index, so both engines
-# embed the same literals (oracle: registry/audits.py _MINHASH_CAND).
-MINHASH_P = 2147483647  # 2^31 - 1 (prime; keeps a*h + b < 2^62, ANSI-safe)
+# Carter-Wegman affine minhash family over a WIDE base hash:
+#   lane_i(x) = (a_i*h1(x) + b_i*h2(x) + c_i) mod p
+# where h1/h2 are the first/second 60 bits of ONE md5(shingle), each
+# reduced mod p. Shingle identity is effectively the 62-bit (h1, h2)
+# pair — two distinct shingles merge in every lane only if BOTH halves
+# collide (~2^-62 per pair), fixing the r9 regression where a single
+# 31-bit shared base hash started merging shingles around ~50k distinct
+# values (ADVICE r9 medium). The inner-product form (a*h1 + b*h2 + c)
+# mod p is 2-universal over (h1, h2) — the textbook assumption
+# minhash's collision analysis rests on — and still costs ONE md5 per
+# shingle (the r9 win: the 32-lane signature was the audit family's
+# dominant stage; lanes are plain codegen'd arithmetic). Intermediates
+# stay in int64 on both engines: a_i,b_i < p ~ 2^31 and h1,h2 < p, so
+# each product < 2^62; the two products are reduced mod p BEFORE
+# summing, keeping the sum < 3p < 2^33. The a/b/c constants derive
+# from md5 of the lane index, so both engines embed the same literals
+# (oracle: registry/audits.py _MINHASH_CAND).
+MINHASH_P = 2147483647  # 2^31 - 1 (prime; keeps a*h < 2^62, ANSI-safe)
 
 
-def minhash_affine_params(num_lanes: int) -> tuple[list[int], list[int]]:
+def minhash_affine_params(
+    num_lanes: int,
+) -> tuple[list[int], list[int], list[int]]:
     import hashlib
 
-    a, b = [], []
+    a, b, c = [], [], []
     for i in range(num_lanes):
         ha = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16)
         hb = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16)
+        hc = int(hashlib.md5(f"minhash-c-{i}".encode()).hexdigest()[:15], 16)
         a.append(ha % (MINHASH_P - 1) + 1)
-        b.append(hb % MINHASH_P)
-    return a, b
+        b.append(hb % (MINHASH_P - 1) + 1)
+        c.append(hc % MINHASH_P)
+    return a, b, c
 
 
 def minhash_candidate_pairs_md5(
@@ -129,18 +153,21 @@ def minhash_candidate_pairs_md5(
     """MinHash-LSH candidate pairs with the md5-affine hash family — the
     cross-engine-reproducible twin of ``minhash_lsh_dup_pairs``'s
     xxhash64 banding (same 32-lane / 8-band / 4-row geometry). Lane
-    hashes are Carter-Wegman affine transforms ``(a_i*h + b_i) mod p``
-    of ONE md5 base hash per shingle (see ``minhash_affine_params``):
-    pairwise-independent per lane, and num_lanes× fewer md5 evaluations
-    than the per-lane-md5 formulation it replaced (r9: the 32-lane
-    signature was the audit family's dominant stage — the affine mins
-    are plain codegen'd arithmetic).
+    hashes are Carter-Wegman transforms ``(a_i*h1 + b_i*h2 + c_i) mod
+    p`` of the two 60-bit halves of ONE md5 per shingle (see
+    ``minhash_affine_params``): pairwise-independent per lane with
+    ~2^-62 shingle-identity collisions (r10: widened from one shared
+    31-bit base hash, which began merging distinct shingles in every
+    lane around ~50k distinct shingles), and still num_lanes× fewer md5
+    evaluations than the per-lane-md5 formulation it replaced (r9: the
+    32-lane signature was the audit family's dominant stage — the
+    affine mins are plain codegen'd arithmetic).
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` — every pair
     sharing at least one band bucket.
 
     Plan shape: the signature is ONE groupBy(id) over a narrow
-    ``(id, base_hash)`` projection carrying all lanes as separate min()
+    ``(id, h1, h2)`` projection carrying all lanes as separate min()
     aggregates — map-side partial combine reduces each partition to
     |docs| rows before the shuffle, vs exploding a (doc, lane) row per
     lane (num_lanes× the shuffle volume for the same result). Band keys
@@ -161,12 +188,23 @@ def minhash_candidate_pairs_md5(
         if shingles is not None
         else _audit_shingles(df, id_col, text_col, n)
     )
-    la, lb = minhash_affine_params(num_lanes)
-    base_h = (md5_int60(F.col("sh")) % MINHASH_P).alias("__h")
-    sig = sh.select("id", base_h).groupBy("id").agg(
+    la, lb, lc = minhash_affine_params(num_lanes)
+    h1, h2 = md5_hex_halves(F.col("__md5"))
+    hashed = sh.select("id", F.md5(F.col("sh")).alias("__md5")).select(
+        "id",
+        (h1 % MINHASH_P).alias("__h1"),
+        (h2 % MINHASH_P).alias("__h2"),
+    )
+    sig = hashed.groupBy("id").agg(
         *[
-            F.min((F.lit(la[i]) * F.col("__h") + F.lit(lb[i])) % MINHASH_P)
-            .alias(f"m{i}")
+            F.min(
+                (
+                    (F.lit(la[i]) * F.col("__h1")) % MINHASH_P
+                    + (F.lit(lb[i]) * F.col("__h2")) % MINHASH_P
+                    + F.lit(lc[i])
+                )
+                % MINHASH_P
+            ).alias(f"m{i}")
             for i in range(num_lanes)
         ]
     )

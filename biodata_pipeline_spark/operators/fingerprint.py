@@ -83,8 +83,11 @@ def winnow_fingerprint_rows(
                     }
                 )
             else:
+                # empty frame mirrors the declared out_schema: the id
+                # column keeps the INPUT batch's dtype (string doc ids
+                # are a valid caller choice — r9 ADVICE), fp is int64
                 yield pd.DataFrame(
-                    {id_col: pd.Series([], dtype="int64"),
+                    {id_col: pdf[id_col].iloc[0:0],
                      "fp": pd.Series([], dtype="int64")}
                 )
 

@@ -202,7 +202,16 @@ def assign_clusters_kernel(
     the matrix path is pytest-pinned on real embeddings. Measured
     (SCALING r9): 3-10× over the matrix fold at 200k vectors,
     depending on how many columns ride through Arrow. All input
-    columns are carried; adds ``cluster`` (+ ``dist2``)."""
+    columns are carried; adds ``cluster`` (+ ``dist2``).
+
+    Defective-element contract (r9 ADVICE): rows whose embedding
+    contains a null or non-finite ELEMENT get a NULL cluster/dist2 —
+    matching the JVM fold, where a NULL element propagates to NULL
+    distances and a NULL argmin (numpy would instead NaN-propagate and
+    np.argmin would silently pick an arbitrary index). Whole-null
+    vectors stay excluded up front, same as the other two paths;
+    element defects mirror embedding_defect's null_element/non_finite
+    classes as visible NULLs instead of silent misassignment."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -228,6 +237,24 @@ def assign_clusters_kernel(
                 continue
             mat = np.array(pdf[emb_name].tolist(), dtype=np.float64)
             n = mat.shape[0]
+            finite = np.isfinite(mat).all(axis=1)  # None->NaN on convert
+            if not finite.all():
+                # defective-element rows: NULL cluster/dist2 (JVM parity)
+                good = mat[finite]
+                accg = np.zeros((good.shape[0], C.shape[0]))
+                for i in range(mat.shape[1]):
+                    d = good[:, i][:, None] - C[None, :, i]
+                    accg += d * d
+                clg = np.argmin(accg, axis=1)
+                cl_out = np.full(n, None, dtype=object)
+                cl_out[finite] = [int(v) for v in clg]
+                res["cluster"] = pd.array(cl_out, dtype="Int32")
+                if want_d2:
+                    d2_out = np.full(n, None, dtype=object)
+                    d2_out[finite] = accg[np.arange(good.shape[0]), clg]
+                    res["__d2_raw"] = pd.array(d2_out, dtype="Float64")
+                yield res
+                continue
             acc = np.zeros((n, C.shape[0]))
             for i in range(mat.shape[1]):  # ascending-dim: JVM bit-parity
                 d = mat[:, i][:, None] - C[None, :, i]

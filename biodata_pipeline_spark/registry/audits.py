@@ -254,24 +254,33 @@ def _sign_band_key_sql(b: int, rows: int = 4) -> str:
 # production geometry) as a reusable CTE chain ending in cand(id_a, id_b);
 # shared by the recall audit, the precision audit, and the promoted
 # q_dedup_clusters oracle. Lane hashes mirror operators/audit.py's
-# Carter-Wegman family: (a[lane]*h + b[lane]) mod 2^31-1 over one md5
-# base hash per shingle — the a/b literals below are generated from the
-# same minhash_affine_params derivation.
+# Carter-Wegman family over the WIDE base hash (r10):
+# (a[lane]*h1 + b[lane]*h2 + c[lane]) mod 2^31-1 where h1/h2 are the
+# two 60-bit halves of ONE md5 per shingle, each reduced mod p and the
+# two products reduced mod p BEFORE summing (keeps every intermediate
+# in int64). The a/b/c literals below are generated from the same
+# minhash_affine_params derivation.
 from biodata_pipeline_spark.operators.audit import (  # noqa: E402
     MINHASH_P as _MH_P,
     minhash_affine_params as _mh_params,
 )
 
-_MH_A, _MH_B = _mh_params(32)
+_MH_A, _MH_B, _MH_C = _mh_params(32)
+_MD5_60B = "CAST('0x' || substring(md5({x}), 16, 15) AS BIGINT)"
 _MINHASH_CAND = f"""
     hs AS (
-        SELECT doc_id, {_MD5_60.format(x="s")} % {_MH_P} AS h FROM sh
+        SELECT doc_id,
+               {_MD5_60.format(x="s")} % {_MH_P} AS h1,
+               {_MD5_60B.format(x="s")} % {_MH_P} AS h2
+        FROM sh
     ),
     lanes AS (
         SELECT doc_id, lane,
-               min((CAST(list_value({", ".join(map(str, _MH_A))})[lane + 1]
-                         AS BIGINT) * h
-                    + list_value({", ".join(map(str, _MH_B))})[lane + 1])
+               min(((CAST(list_value({", ".join(map(str, _MH_A))})[lane + 1]
+                          AS BIGINT) * h1) % {_MH_P}
+                    + (CAST(list_value({", ".join(map(str, _MH_B))})[lane + 1]
+                            AS BIGINT) * h2) % {_MH_P}
+                    + list_value({", ".join(map(str, _MH_C))})[lane + 1])
                    % {_MH_P}) AS m
         FROM hs, generate_series(0, 31) AS l(lane)
         GROUP BY 1, 2

@@ -124,6 +124,31 @@ def test_audit_persists_are_scope_released(spark, docs):
     assert all(not f.storageLevel.useMemory for f in frames)
 
 
+def test_affine_lanes_separate_half_collisions():
+    """Regression for the r9 ADVICE base-hash-width item: with ONE
+    shared 31-bit base hash, two shingles colliding in it merged in
+    EVERY lane. The widened family hashes the (h1, h2) pair — a
+    collision in one half must not merge any lane (b_i != 0 mod p, so
+    b_i*Δh2 != 0 for every lane), and intermediates stay within int64
+    on both engines."""
+    from biodata_pipeline_spark.operators.audit import (
+        MINHASH_P as p,
+        minhash_affine_params,
+    )
+
+    a, b, c = minhash_affine_params(32)
+    assert all(1 <= ai <= p - 1 for ai in a)
+    assert all(1 <= bi <= p - 1 for bi in b)
+    assert all(0 <= ci < p for ci in c)
+    h1, h2a, h2b = 123456789, 42, 987654321  # h1 collides, h2 differs
+    for i in range(32):
+        la = ((a[i] * h1) % p + (b[i] * h2a) % p + c[i]) % p
+        lb = ((a[i] * h1) % p + (b[i] * h2b) % p + c[i]) % p
+        assert la != lb, f"lane {i} merged on an h1-only collision"
+        # int64 headroom: each product < 2^62, reduced sum < 3p < 2^33
+        assert a[i] * (p - 1) < (1 << 62) and b[i] * (p - 1) < (1 << 62)
+
+
 def test_md5_int60_range_property(spark):
     """Property: md5_int60 is always in [0, 2^60) — the bit budget the
     SimHash bands and minhash lanes rely on."""

@@ -170,3 +170,42 @@ def test_exact_copies_share_cluster(spark, sf_dir):
         .join(a.select("vec_id", "cluster"), "vec_id")
     )
     assert pairs.filter(F.col("cluster") != F.col("copy_cluster")).count() == 0
+
+
+def test_kernel_nulls_defective_element_rows(spark):
+    """ADVICE r9 (low): embeddings with null/non-finite ELEMENTS must
+    not get a silently wrong cluster from the Arrow kernel. Null
+    elements: NULL cluster/dist2, matching the JVM fold's NULL
+    propagation (parity with assign_clusters_matrix asserted). NaN/Inf
+    elements: the kernel surfaces NULL (visible) rather than letting
+    numpy NaN-propagate into an arbitrary argmin. Clean rows in the
+    same batch keep exact assignments."""
+    from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters_kernel,
+        assign_clusters_matrix,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (1, [0.5, 0.0]),          # clean -> cluster 0
+        (2, [None, 1.0]),         # null element -> NULL
+        (3, [float("nan"), 1.0]), # NaN element -> NULL (kernel contract)
+        (4, [float("inf"), 1.0]), # Inf element -> NULL (kernel contract)
+        (5, [9.5, 0.0]),          # clean -> cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in assign_clusters_kernel(df, cents, with_dist2=True).collect()
+    }
+    assert got[1] == (0, 0.25) and got[5] == (1, 0.25)
+    for vid in (2, 3, 4):
+        assert got[vid] == (None, None), vid
+    # null-element row: JVM matrix fold agrees (NULL cluster)
+    jvm = {
+        r.vec_id: r.cluster
+        for r in assign_clusters_matrix(
+            df.filter("vec_id in (1, 2, 5)"), cents, with_dist2=True
+        ).collect()
+    }
+    assert jvm == {1: 0, 2: None, 5: 1}

@@ -163,3 +163,23 @@ def test_profile_branches_prune_to_single_columns(spark, sf_dir):
     assert "ReadSchema: struct<text:string>" in plan
     assert "ReadSchema: struct<lang:string>" in plan
     assert "ReadSchema: struct<n_chars:bigint>" in plan
+
+
+def test_plans_md_covers_exactly_the_bench_headline():
+    """VERDICT r9 #1: PLANS.md must cover every bench HEADLINE key —
+    the plan audit is the '100x-scale plans' evidence, and it silently
+    lagged the r9 headline sweep (13 promoted keys had no plan rows).
+    Same discipline as the driver-window pin: the key SET is asserted,
+    so promoting a query into the headline without regenerating the
+    audit (python tools/audit_plans.py) fails here, not in review."""
+    import re
+    from pathlib import Path
+
+    from bench import HEADLINE
+
+    text = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    plan_keys = set(re.findall(r"^\| (q(?:\d|_)\w+) \|", text, flags=re.M))
+    assert plan_keys == set(HEADLINE), (
+        f"missing rows: {sorted(set(HEADLINE) - plan_keys)}; "
+        f"stale rows: {sorted(plan_keys - set(HEADLINE))}"
+    )

@@ -271,6 +271,26 @@ def test_winnow_poly_kernel_bit_parity(spark):
     ids = {r.doc_id for r in ker.collect()}
     assert 3 not in ids and 7 not in ids and 2 not in ids
 
+    # string doc ids are a valid caller choice (r9 ADVICE: the empty-
+    # batch fallback must not hardcode int64 ids) — parity holds with
+    # a string id column, including across empty partitions
+    sdf = df.withColumn(
+        "doc_id", F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    ).repartition(8)
+    exp_s = sorted(
+        map(
+            tuple,
+            sdf.select(
+                "doc_id",
+                F.explode(winnow_fingerprints_poly("text", 8, 4)).alias("fp"),
+            ).collect(),
+        )
+    )
+    ker_s = sorted(
+        map(tuple, winnow_fingerprint_rows(sdf, "text", "doc_id", 8, 4).collect())
+    )
+    assert exp_s == ker_s and ker_s[0][0].startswith("d")
+
 
 def test_winnow_poly_hash_matches_python_reference(spark):
     """Pin the polynomial gram hash itself (not just cross-path parity):
