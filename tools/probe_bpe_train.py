@@ -25,8 +25,15 @@ Measured here:
    The 100× replica adds no vocabulary, so the fast path's added cost
    over 1× is the scan, which is the scale-correct shape.
 
+Round 10 (VERDICT r9 #7): the deep-merge ladder extends to the full
+32k-merge production vocabulary — the "remaining constant" question:
+is the single-threaded driver loop fast enough at 32k merges that
+parallelizing it buys nothing? ``--deep-only`` runs just that ladder
+(no Spark session).
+
 Usage: python tools/probe_bpe_train.py [sf_dir ...]
        (default: /root/testdata/sf0.1 .scale_test100)
+       python tools/probe_bpe_train.py --deep-only
 """
 
 from __future__ import annotations
@@ -74,12 +81,16 @@ def synthetic_vocab(n_words: int) -> list[tuple[str, int]]:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", ".scale_test100"]
+    deep_only = "--deep-only" in sys.argv
+    sf_dirs = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "/root/testdata/sf0.1",
+        ".scale_test100",
+    ]
     results: dict = {}
 
     vocab = synthetic_vocab(SYN_WORDS)
     deep = {}
-    for n_merges in (1000, 8000):
+    for n_merges in (1000, 8000, 32000):
         t0 = time.time()
         merges = _bpe_train_inmemory(vocab, n_merges)
         dt = time.time() - t0
@@ -91,6 +102,9 @@ def main() -> None:
         }
         print(json.dumps({"deep": deep[n_merges]}), flush=True)
     results["synthetic_200k_words"] = deep
+    if deep_only:
+        print(json.dumps({"probe": "bpe_train_scale", "results": results}))
+        return
 
     from biodata_pipeline_spark import get_spark
 
