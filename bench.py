@@ -171,7 +171,7 @@ FULL_PAYLOAD_PATH = os.path.join(
 )
 
 
-def prev_bench() -> tuple[int, dict[str, float]] | None:
+def prev_bench(base_dir: str | None = None) -> tuple[int, dict[str, float]] | None:
     """Latest recorded BENCH_r{N}.json (round number, per-query secs) —
     the anchor for the shared-key subtotal, so round-over-round totals
     compare the SAME query set even as HEADLINE grows.
@@ -180,15 +180,21 @@ def prev_bench() -> tuple[int, dict[str, float]] | None:
     keys the compact line's per-query dict gets truncated to the 20
     slowest (the r9 artifact) — so bench.py now ALSO writes the full
     fat payload to BENCH_FULL_latest.json on every full-headline run.
-    When that file's headline total matches the driver artifact's (same
-    run), its complete per-query dict replaces the truncated one; a
-    mismatched total means a manual re-run overwrote it, and the
-    truncated-but-authoritative driver numbers stand."""
+    Both the compact line and the full payload carry the same run
+    ``nonce``; when they match, the file's complete per-query dict
+    replaces the truncated one. (ADVICE r10: the previous
+    total-within-20ms heuristic could silently substitute a manual
+    re-run's numbers; the nonce is an identity, not a coincidence.
+    Pre-r11 artifacts have no nonce — for those only, fall back to
+    the total match.)"""
     import glob
     import re
 
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+    full_payload_path = os.path.join(base_dir, os.path.basename(FULL_PAYLOAD_PATH))
     best = None
-    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(base_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
@@ -198,22 +204,25 @@ def prev_bench() -> tuple[int, dict[str, float]] | None:
                 with open(path) as f:
                     doc = json.load(f)
                 # the driver wraps bench.py's JSON line under "parsed"
-                queries = doc.get("parsed", doc).get("queries", {})
-                value = doc.get("parsed", doc).get("value")
-                best = (rnd, queries, value)
+                parsed = doc.get("parsed", doc)
+                best = (rnd, parsed.get("queries", {}), parsed.get("value"),
+                        parsed.get("nonce"))
             except (OSError, json.JSONDecodeError, AttributeError):
                 continue
     if best is None:
         return None
-    rnd, queries, value = best
+    rnd, queries, value, nonce = best
     try:
-        with open(FULL_PAYLOAD_PATH) as f:
+        with open(full_payload_path) as f:
             full = json.load(f)
-        if (
-            value is not None
+        same_run = (
+            full.get("nonce") == nonce
+            if nonce is not None
+            # legacy artifacts (pre-nonce): total-proximity heuristic
+            else value is not None
             and abs(full.get("value", -1) - value) < 0.02
-            and set(queries) <= set(full.get("queries", {}))
-        ):
+        )
+        if same_run and set(queries) <= set(full.get("queries", {})):
             queries = full["queries"]
     except (OSError, json.JSONDecodeError, TypeError):
         pass
@@ -353,20 +362,89 @@ def run_batched(keys: list[str], sf_dir: str, sf: float) -> dict:
 ANCHOR_N = 5
 ANCHOR_RATIO = 1.15
 
+# Single-thread calibration spin: steady-state seconds on this host when
+# idle (measured 2026-08-15, min-of-3 after a warm pass: 0.77-0.85 s).
+# Under host contention the spin shares timeslices and the measured time
+# scales with the co-tenant load — a factor >= CAL_CONTENDED means the
+# anchor child itself ran on a loaded host and its numbers can't refute
+# or confirm a regression (VERDICT r10 #2: r10's anchor produced
+# fresh 71.7 >> main 41.1 >> prev 12.4, outside its own decision table,
+# exactly because single-shot fresh-JVM timings under load eat
+# codegen-compile + contention; the calibration spin makes that state
+# self-evident in the artifact instead of needing a judge idle re-run).
+CAL_IDLE_SEC = 0.8
+CAL_CONTENDED = 2.0
+
+
+def calibrate_host() -> float:
+    """Fixed single-thread numpy workload; returns steady seconds
+    (min-of-3 after one warm pass — the warm pass eats page-in/BLAS
+    init, observed 3.8 s cold vs 0.8 s steady on the idle host)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random(2_000_000)
+
+    def spin() -> float:
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(60):
+            s = float(np.sqrt(a + s).sum()) / 2_000_000
+        return time.perf_counter() - t0
+
+    spin()
+    return round(min(spin() for _ in range(3)), 3)
+
+
+def classify_anchor(
+    main_total: float,
+    fresh_total: float,
+    prev_total: float,
+    cal_factor: float,
+    load1_per_cpu: float,
+) -> str:
+    """Machine-readable anchor verdict (VERDICT r10 #1).
+
+    Decision table, in order:
+      fresh ~ prev (<=1.3x)          -> "host-load": the fresh idle-style
+        re-run lands back near last round, so the main run's drift was
+        environment, not the plan.
+      anchor itself contended        -> "anchor-contended": calibration
+        spin >= CAL_CONTENDED x idle or 1-min loadavg >= 1.5/cpu means
+        the fresh numbers were ALSO taken under load and classify
+        nothing (the r10 signature: fresh >> main >> prev).
+      fresh ~ main, both >> prev     -> "regression": reproducible in a
+        fresh JVM on a quiet host — the plan really got slower.
+      otherwise                      -> "inconclusive".
+    """
+    ratio_fresh = fresh_total / prev_total if prev_total else float("inf")
+    # 0.5 s absolute slack: sub-second anchor sets can exceed the 1.3x
+    # ratio on pure noise without evidencing anything
+    if ratio_fresh <= 1.3 or fresh_total - prev_total <= 0.5:
+        return "host-load"
+    if cal_factor >= CAL_CONTENDED or load1_per_cpu >= 1.5:
+        return "anchor-contended"
+    if fresh_total >= 0.7 * main_total:
+        return "regression"
+    return "inconclusive"
+
 
 def anchor_drifted(
     timings: dict[str, float], prev_queries: dict[str, float], sf_dir: str
 ) -> dict | None:
-    """Idle-anchor protocol (VERDICT r9 #5): a co-tenant driver run must
-    carry its own refutation. After the full run, re-time the most
-    drifted shared keys (this/prev ratio > ANCHOR_RATIO, worst
-    ANCHOR_N) each in a FRESH JVM via the batch-child mechanism, and
-    report main-run vs fresh-JVM numbers side by side. If the fresh
-    re-run lands back near the prior round, the drift was environment
-    (host load during the main run), not a plan regression — r9 needed
-    a judge re-run to establish exactly this (artifact said 1.11×,
-    idle re-run measured 0.59× of baseline). Skipped when nothing
-    drifts past the ratio gate."""
+    """Idle-anchor protocol (VERDICT r9 #5, hardened r11 per r10 #1): a
+    co-tenant driver run must carry its own refutation. After the full
+    run, re-time the most drifted shared keys (this/prev ratio >
+    ANCHOR_RATIO, worst ANCHOR_N) in ONE fresh JVM via the batch-child
+    mechanism (the child warms every key once at the target SF, then
+    reports min-of-2 steady-state — see run_inprocess), and report
+    main-run vs fresh-JVM numbers side by side WITH contention evidence
+    (1-min loadavg before/after, single-thread calibration factor) and
+    an explicit ``verdict`` field from classify_anchor's decision
+    table. r10's anchor emitted numbers outside its documented
+    patterns because the host was loaded during the anchor itself;
+    now that state is detected and named rather than left for a judge
+    idle re-run. Skipped when nothing drifts past the ratio gate."""
     import subprocess
 
     drifted = sorted(
@@ -381,16 +459,24 @@ def anchor_drifted(
     if not drifted:
         return None
     keys = [k for _, k in drifted]
+    ncpu = os.cpu_count() or 1
+    load_before = os.getloadavg()
+    cal_before = calibrate_host()
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_KEYS"] = ",".join(keys)
     env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+    # the anchor's refutation power rests on the child's warm-up +
+    # min-of-2 discipline — pin it against any driver env override
+    env["SPARK_GRAFT_BENCH_WARMUPS"] = "1"
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         capture_output=True,
         text=True,
         env=env,
     )
+    load_after = os.getloadavg()
+    cal_after = calibrate_host()
     line = next(
         (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')),
         None,
@@ -398,6 +484,15 @@ def anchor_drifted(
     if line is None:
         return {"error": proc.stderr[-400:]}
     fresh = json.loads(line)["queries"]
+    main_total = round(sum(timings[k] for k in keys), 3)
+    fresh_total = round(sum(fresh.get(k, 0.0) for k in keys), 3)
+    prev_total = round(sum(prev_queries[k] for k in keys), 3)
+    cal_factor = round(max(cal_before, cal_after) / CAL_IDLE_SEC, 2)
+    # load_after's 1-min window covers the anchor child's own Spark work
+    # (local[32] can legitimately push it to ~1.0/cpu); load_before is
+    # the cleaner co-tenant signal, taken after the main run's last
+    # child exited but before ours started
+    load1_per_cpu = round(load_before[0] / ncpu, 3)
     return {
         "keys": {
             k: {
@@ -407,13 +502,23 @@ def anchor_drifted(
             }
             for k in keys
         },
-        "main_total": round(sum(timings[k] for k in keys), 3),
-        "fresh_total": round(sum(fresh.get(k, 0.0) for k in keys), 3),
-        "prev_total": round(sum(prev_queries[k] for k in keys), 3),
+        "main_total": main_total,
+        "fresh_total": fresh_total,
+        "prev_total": prev_total,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "ncpu": ncpu,
+        "calibration_sec": {"before": cal_before, "after": cal_after},
+        "calibration_factor_vs_idle": cal_factor,
+        "verdict": classify_anchor(
+            main_total, fresh_total, prev_total, cal_factor, load1_per_cpu
+        ),
     }
 
 
 def main() -> None:
+    import uuid
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # Key subset (drift experiments / external orchestration): replaces
@@ -429,6 +534,10 @@ def main() -> None:
         payload = run_batched(keys, sf_dir, sf)
     else:
         payload = run_inprocess(keys, sf_dir, sf)
+    # run identity: the same nonce goes into the compact line (driver
+    # artifact) and the full payload file, so prev_bench can prove they
+    # are the same run instead of guessing from a float total
+    payload["nonce"] = uuid.uuid4().hex[:12]
     timings = payload["queries"]
     prev = prev_bench()
     if prev is not None:
@@ -480,6 +589,7 @@ def main() -> None:
         "unit": payload["unit"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": payload["sf"],
+        "nonce": payload["nonce"],
     }
     if "shared_with_prev" in payload:
         compact["shared_with_prev"] = payload["shared_with_prev"]
@@ -492,6 +602,8 @@ def main() -> None:
             "main_total": payload["anchor"]["main_total"],
             "fresh_total": payload["anchor"]["fresh_total"],
             "prev_total": payload["anchor"]["prev_total"],
+            "verdict": payload["anchor"]["verdict"],
+            "cal_factor": payload["anchor"]["calibration_factor_vs_idle"],
         }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:

@@ -1,0 +1,129 @@
+"""Bench idle-anchor classification + full-payload identity (r11).
+
+VERDICT r10 #1: the anchor must emit an explicit machine-readable
+verdict covering ALL observed signatures — including r10's
+fresh >> main >> prev, which the old two-pattern decision table could
+not name (cause: the anchor child itself ran on a loaded host).
+
+ADVICE r10 (bench.py:210): BENCH_FULL_latest.json substitution must be
+keyed on a run nonce, not a total-within-20ms coincidence.
+"""
+
+import json
+
+import bench
+
+
+class TestClassifyAnchor:
+    def test_host_load_fresh_refutes_drift(self):
+        # r9 signature: main drifted 3x but the fresh re-run lands
+        # back on last round's numbers -> environment, not the plan
+        assert (
+            bench.classify_anchor(
+                main_total=41.0, fresh_total=13.0, prev_total=12.4,
+                cal_factor=1.0, load1_per_cpu=0.1,
+            )
+            == "host-load"
+        )
+
+    def test_regression_fresh_confirms_main(self):
+        # fresh ~ main, both >> prev, quiet host -> real plan regression
+        assert (
+            bench.classify_anchor(
+                main_total=41.0, fresh_total=38.0, prev_total=12.4,
+                cal_factor=1.1, load1_per_cpu=0.2,
+            )
+            == "regression"
+        )
+
+    def test_r10_signature_is_anchor_contended(self):
+        # the exact r10 artifact numbers (fresh 71.7 >> main 41.1 >>
+        # prev 12.4) with a loaded-host calibration factor: the old
+        # table had no branch for this; now it is named
+        assert (
+            bench.classify_anchor(
+                main_total=41.061, fresh_total=71.679, prev_total=12.37,
+                cal_factor=3.5, load1_per_cpu=0.4,
+            )
+            == "anchor-contended"
+        )
+
+    def test_loadavg_alone_flags_contention(self):
+        assert (
+            bench.classify_anchor(
+                main_total=41.0, fresh_total=70.0, prev_total=12.4,
+                cal_factor=1.0, load1_per_cpu=2.0,
+            )
+            == "anchor-contended"
+        )
+
+    def test_inconclusive_middle_ground(self):
+        # fresh well below main but still >1.3x prev on a quiet host:
+        # neither refuted nor reproduced
+        assert (
+            bench.classify_anchor(
+                main_total=41.0, fresh_total=20.0, prev_total=12.4,
+                cal_factor=1.0, load1_per_cpu=0.1,
+            )
+            == "inconclusive"
+        )
+
+    def test_zero_prev_is_not_a_crash(self):
+        out = bench.classify_anchor(
+            main_total=1.0, fresh_total=1.0, prev_total=0.0,
+            cal_factor=1.0, load1_per_cpu=0.1,
+        )
+        assert out in {"regression", "anchor-contended", "inconclusive"}
+
+
+class TestPrevBenchNonce:
+    def _write(self, tmp_path, artifact, full):
+        (tmp_path / "BENCH_r99.json").write_text(json.dumps(artifact))
+        (tmp_path / "BENCH_FULL_latest.json").write_text(json.dumps(full))
+
+    def test_nonce_match_substitutes_full_queries(self, tmp_path):
+        artifact = {
+            "parsed": {
+                "queries": {"q1": 1.0},
+                "value": 3.0,
+                "nonce": "abc123",
+            }
+        }
+        full = {"queries": {"q1": 1.0, "q2": 2.0}, "value": 3.0, "nonce": "abc123"}
+        self._write(tmp_path, artifact, full)
+        rnd, queries = bench.prev_bench(base_dir=str(tmp_path))
+        assert rnd == 99
+        assert queries == {"q1": 1.0, "q2": 2.0}
+
+    def test_nonce_mismatch_keeps_driver_queries(self, tmp_path):
+        # a manual re-run that lands within 20 ms of the recorded total
+        # (the ADVICE r10 scenario) must NOT substitute its numbers when
+        # the artifact carries a nonce
+        artifact = {
+            "parsed": {
+                "queries": {"q1": 1.0},
+                "value": 3.0,
+                "nonce": "abc123",
+            }
+        }
+        full = {
+            "queries": {"q1": 1.0, "q2": 2.0},
+            "value": 3.001,  # within the old 0.02 heuristic
+            "nonce": "manual-rerun",
+        }
+        self._write(tmp_path, artifact, full)
+        rnd, queries = bench.prev_bench(base_dir=str(tmp_path))
+        assert queries == {"q1": 1.0}
+
+    def test_legacy_artifact_falls_back_to_total(self, tmp_path):
+        # pre-r11 artifacts have no nonce: the total heuristic stands
+        artifact = {"parsed": {"queries": {"q1": 1.0}, "value": 3.0}}
+        full = {"queries": {"q1": 1.0, "q2": 2.0}, "value": 3.001, "nonce": "x"}
+        self._write(tmp_path, artifact, full)
+        rnd, queries = bench.prev_bench(base_dir=str(tmp_path))
+        assert queries == {"q1": 1.0, "q2": 2.0}
+
+
+def test_calibrate_host_returns_positive_seconds():
+    sec = bench.calibrate_host()
+    assert 0.01 < sec < 120.0
