@@ -146,11 +146,30 @@ def assign_clusters_matrix(
     The JVM-expression option of the family; the engine's bulk default
     is ``assign_clusters_kernel`` (another 3-10× at scale), and
     ``assign_clusters`` remains the unrolled reference implementation
-    whose SQL the DuckDB oracle mirrors textually."""
+    whose SQL the DuckDB oracle mirrors textually.
+
+    Defective-element contract (ADVICE r10): rows whose embedding holds
+    a null OR non-finite element get a NULL cluster/dist2, exactly like
+    the kernel. Null elements already NULL-propagate through the fold
+    (null distance → null argmin), but NaN/Inf would not: Spark orders
+    NaN as the largest double and NaN = NaN is true in Spark SQL, so a
+    NaN-element row would get all-NaN distances and argmin position 1 —
+    a silently wrong cluster 0 where the kernel reports NULL. The
+    explicit ``exists`` guard makes the two bulk paths decision-identical
+    on EVERY row, which is the premise the q_ivf_cell_assign /
+    q_kmeans_clusters hash checks rest on. (``assign_clusters``, the
+    unrolled oracle mirror, keeps the raw fold semantics — declared
+    corpora are finite, and its job is textual parity with the SQL.)"""
     from biodata_pipeline_spark.operators.similarity import matrix_literal
 
     cmat = matrix_literal(centroids)
     emb = F.col(emb_col).cast("array<double>")
+    defective = F.exists(
+        emb,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
     d2 = F.transform(
         cmat,
         lambda c: F.aggregate(
@@ -174,13 +193,14 @@ def assign_clusters_matrix(
         0,
     )
     base = df.filter(F.col(emb_col).isNotNull())
+    cluster = F.when(~defective, picked["cluster"])
     if with_dist2:
         return base.select(
             "*",
-            picked["cluster"].alias("cluster"),
-            picked["dist2"].alias("dist2"),
+            cluster.alias("cluster"),
+            F.when(~defective, picked["dist2"]).alias("dist2"),
         )
-    return base.select("*", picked["cluster"].alias("cluster"))
+    return base.select("*", cluster.alias("cluster"))
 
 
 def assign_clusters_kernel(

@@ -201,11 +201,12 @@ def test_kernel_nulls_defective_element_rows(spark):
     assert got[1] == (0, 0.25) and got[5] == (1, 0.25)
     for vid in (2, 3, 4):
         assert got[vid] == (None, None), vid
-    # null-element row: JVM matrix fold agrees (NULL cluster)
+    # ADVICE r10: the JVM matrix fold must agree on ALL defect classes,
+    # not just null elements — without the exists guard a NaN row gets
+    # all-NaN distances and (NaN = NaN being true in Spark SQL) a
+    # silently wrong cluster 0 where the kernel reports NULL
     jvm = {
-        r.vec_id: r.cluster
-        for r in assign_clusters_matrix(
-            df.filter("vec_id in (1, 2, 5)"), cents, with_dist2=True
-        ).collect()
+        r.vec_id: (r.cluster, r.dist2)
+        for r in assign_clusters_matrix(df, cents, with_dist2=True).collect()
     }
-    assert jvm == {1: 0, 2: None, 5: 1}
+    assert jvm == got
