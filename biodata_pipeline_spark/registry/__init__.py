@@ -64,73 +64,74 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3 / r7 #3 / r9 #2). Round-10 rotation, stalest-first as
-# computed from the CORRECTNESS_r01-r09 union (max driver round per
-# key; after r9 every key's latest row is r07, r08, or r09):
-#   1-24:  ALL 24 queries whose last driver row is r07 — the per-group
-#          top-k / union / sketch / scrub / BPE / dedup-variant /
-#          sampling / pivot / media-frame / leakage-audit tail;
-#   25-50: the 26 stalest of the 50 r08-checked queries, in
-#          registry-family order (exact dedup, the join/agg core,
-#          temporal windows, then the vector family through q_ivf_ann).
-# Outside the window this round: the 24 newest r08-checked queries
-# (chunking/textops/analytic families) and the 50 r09-checked — every
-# one has a green driver row within the last two rounds and all are
-# locally re-verified by tools/check_oracle.py on current code each
-# round. After this round no key's latest driver row is older than r08.
+# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5). Round-11 rotation, stalest-first
+# as computed from the CORRECTNESS_r01-r10 union (max driver round per
+# key; after r10 every key's latest row is r08, r09, or r10):
+#   1-24:  ALL 24 queries whose last driver row is r08 — the chunking /
+#          textops / BM25-RRF / snapshot-diff / quality / BPE-train /
+#          recall-audit tail;
+#   25-50: the first 26 of the 50 r09-checked queries in
+#          registry-family order (the relational scan/filter/join/agg
+#          core through q30); the remaining 24 r09-checked rotate in
+#          next round.
+# Outside the window this round: those 24 r09-checked and the 50
+# r10-checked — every one has a green driver row within the last two
+# rounds and all are locally re-verified by tools/check_oracle.py on
+# current code each round. After this round no key's latest driver row
+# is older than r09.
 _DRIVER_WINDOW = [
-    # -- block 1: all 24 r07-checked, registry-family order --------------
-    "q31_per_group_topk",
-    "q31b_collect_ordered",
-    "q_sql_region_revenue",
-    "q_upsert_latest",
-    "q32_union_all",
-    "q_embed_quantize",
-    "q_approx_count_distinct",
-    "q_cms_heavy_hitters",
-    "q_lang_guess",
-    "q_fingerprint",
-    "q_split_leakage_lsh",
-    "q_passage_scrub",
-    "q_pii_scrub",
-    "q_bpe_step_argmax",
-    "q_bpe_encode_pinned",
-    "q_bpe_pack_ids",
-    "q_minhash_lsh_dedup",
-    "q_simhash_dedup",
-    "q_hash_sample",
-    "q_group_weighted_sample",
-    "q_pivot_priority_matrix",
-    "q_ntile_distribution",
-    "q_media_frame_sample",
-    "q_leakage_recall_audit",
-    # -- block 2: the 26 stalest r08-checked, registry-family order ------
-    "q09_exact_dedup",
-    "q11_multiway_join_revenue",
-    "q21_pricing_summary",
-    "q21d_approx_percentiles",
-    "q_percentile_accuracy_audit",
-    "q33_except_difference",
-    "q34_intersect",
-    "q16_asof_join",
-    "q28_lag_prev_event",
-    "q29_sliding_frame_avg",
-    "q35_tumbling_window",
-    "q35b_cascade_hourly",
-    "q36_sliding_window",
-    "q37_session_window",
-    "q_embedding_validate",
-    "q24_cosine_topk",
-    "q25_similarity_join",
-    "q26_retrieval_rank_detail",
-    "q26b_retrieval_rank_summary",
-    "q_embedding_stats",
-    "q_embed_cosine_dedup",
-    "q_kmeans_clusters",
-    "q_semantic_dedup",
-    "q_pca_projection",
-    "q_lsh_similarity_join",
-    "q_ivf_ann",
+    # -- block 1: all 24 r08-checked, registry-family order --------------
+    "q_chunk_documents",
+    "q_token_stats",
+    "q_bpe_token_count",
+    "q_quality_score",
+    "q_ngram_jaccard_dedup",
+    "q_split_leakage",
+    "q_line_dedup_scrub",
+    "q_edit_severity",
+    "q_repetition_stats",
+    "q_word_freq_topk",
+    "q_bpe_merge_pairs",
+    "q_bpe_train_merges",
+    "q_bm25_topk",
+    "q_bm25_multi_topk",
+    "q_hybrid_rrf",
+    "q_corpus_diff",
+    "q_quality_percentile_filter",
+    "q_lsh_recall_audit",
+    "q_simhash_recall_audit",
+    "q_dedup_cc_audit",
+    "q_dedup_survivors_best",
+    "q_dup_source_matrix",
+    "q_ann_bucket_recall",
+    "q_lsh_pair_recall_audit",
+    # -- block 2: the 26 first r09-checked, registry-family order --------
+    "q01_text_scan_blank_filter",
+    "q02_delimited_comment_filter",
+    "q03_prompt_template_projection",
+    "q04_alpaca_projection",
+    "q05_suffix_marker_predicate",
+    "q06_regex_suffix_strip",
+    "q07_word_boundary_match",
+    "q08_comment_prefix_filter",
+    "q09b_exact_dedup_text",
+    "q10_broadcast_dim_join",
+    "q12_semi_join",
+    "q13_anti_join_manifest",
+    "q14_cross_join_grid",
+    "q14b_sweep_grid_literal",
+    "q15_range_join_price_bands",
+    "q17_left_outer_sentinel",
+    "q18_global_avg",
+    "q19_avg_of_group_min",
+    "q20_grouped_count_distinct",
+    "q21b_salted_pricing",
+    "q_salted_join_parity",
+    "q21c_percentiles",
+    "q22_length_bucket_group",
+    "q23_rollup_revenue",
+    "q27_row_number_rank",
+    "q30_orderby_limit_topk",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -373,3 +373,40 @@ def test_recommended_n_probe_reaches_target_recall(spark, tmp_path):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_measured_n_probe_cheapest_setting_meets_target(spark, tmp_path):
+    """VERDICT r10 #4: measured_n_probe must return a setting that (a)
+    is no more expensive than recommended_n_probe's conservative
+    fallback and (b) actually meets the recall target when used —
+    verified against the exact ranker, not the helper's own truth."""
+    from biodata_pipeline_spark.operators.ann_store import (
+        measured_n_probe,
+        recommended_n_probe,
+    )
+    from biodata_pipeline_spark.operators.similarity import brute_force_ann
+
+    store = VectorIndexStore(str(tmp_path / "ivf_meas"))
+    corpus = _emb(spark)
+    k_cells = 8
+    store.build(corpus, k=k_cells, iters=2)
+    q = _queries(spark, n=10)
+
+    n_probe = measured_n_probe(store, q, target_recall=0.9, k=10)
+    assert 1 <= n_probe <= recommended_n_probe(k_cells, 0.9)
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_ann(q, corpus, 10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in store.query(q, k=10, n_probe=n_probe).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+    # powers-of-two walk: a target of 1.0 still terminates (exhaustive)
+    assert measured_n_probe(store, q, target_recall=1.0, k=10) <= k_cells
+
+    with pytest.raises(ValueError):
+        measured_n_probe(store, q, target_recall=0.0)
