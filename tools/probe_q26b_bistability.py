@@ -36,10 +36,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def plan_fingerprint(df) -> str:
-    """md5 of the executed plan with expr-ids / plan-ids normalized —
-    stable across JVMs iff the physical strategy is the same."""
+    """md5 of the executed plan with ALL naming counters normalized —
+    stable across JVMs iff the physical strategy is the same.
+
+    r11 finding: expr-ids alone are not enough. Catalyst's lambda
+    variables (``lambda x_9``), whole-stage-codegen ids (``*(7)``),
+    query-stage numbers (``ShuffleQueryStage 9``) and RDD ids all come
+    from per-session counters whose values depend on how many plans ran
+    before this one — the first fingerprint version flagged
+    structurally IDENTICAL q26b plans as different (verified by
+    normalized unified diff: every diff line was a counter)."""
     txt = df._jdf.queryExecution().executedPlan().toString()
     txt = re.sub(r"#\d+[L]?", "#x", txt)
+    txt = re.sub(r"lambda [a-z]+_\d+", "lambda v", txt)
+    txt = re.sub(r"\*\(\d+\)", "*(n)", txt)
+    txt = re.sub(r"(ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage) \d+", r"\1 n", txt)
+    txt = re.sub(r"\[\d+\]", "[n]", txt)
     txt = re.sub(r"\[plan_id=\d+\]", "", txt)
     txt = re.sub(r"id=#?\d+", "id=x", txt)
     return hashlib.md5(txt.encode()).hexdigest()[:12]
