@@ -290,27 +290,94 @@ class VectorIndexStore:
             )
         return assigned.count()
 
+    # -- delete ------------------------------------------------------------
+    def remove(self, spark, ids) -> int:
+        """Tombstone ``ids`` (a DataFrame carrying ``self.id_col``, or a
+        plain iterable of ids) — the 100 TB deletion path: one bounded
+        parquet append, NO rewrite of the assignment history. A
+        tombstoned id is immediately invisible to ``query`` /
+        ``vectors`` / ``cell_stats`` (candidates anti-join the
+        tombstone set BEFORE ranking, so a removed vector can't eat a
+        top-k rank), and the next ``compact`` physically drops its rows
+        while folding the layout anyway, then clears the tombstones.
+
+        Removal wins until a compact has run: an id removed and then
+        re-``add``-ed before the next compaction stays invisible (the
+        pending tombstone masks it, and that compaction drops the
+        re-added rows with the old ones). To resurrect an id, compact
+        first, then add. Removing an id that was never enrolled is a
+        no-op. Returns the number of ids tombstoned."""
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(self.id_col).alias("id")).distinct()
+        else:
+            ids = list(ids)
+            if not ids:
+                return 0
+            id_type = "string" if isinstance(ids[0], str) else "long"
+            tomb = spark.createDataFrame(
+                [(i,) for i in ids], f"id {id_type}"
+            ).distinct()
+        tomb = tomb.localCheckpoint()  # materialize before mutating
+        tomb.write.mode("append").parquet(f"{self.path}/tombstones")
+        return tomb.count()
+
+    def _tombstones(self, spark) -> DataFrame | None:
+        from biodata_pipeline_spark.operators.dedup import _read_index_delta
+
+        return _read_index_delta(spark, self.path, "tombstones")
+
+    def _minus_tombstones(
+        self, spark, df: DataFrame, id_name: str = "id"
+    ) -> DataFrame:
+        tomb = self._tombstones(spark)
+        if tomb is None:
+            return df
+        dead = tomb.select(F.col("id").alias(id_name)).distinct()
+        return df.join(dead, id_name, "left_anti")
+
     def compact(self, spark, n_buckets: int = 16) -> dict:
         """Fold per-batch assignment appends into ONE bucketed table on
         (cell) — bounded file count, shuffle-free probe join past the
         broadcast threshold. Same contract as the dedup index: run
-        between batches; query results identical across the fold."""
-        return compact_dedup_index(
+        between batches; query results identical across the fold.
+        Pending tombstones are folded in (their rows leave the physical
+        layout) and then cleared; a crash after the meta flip but
+        before the tombstone delete leaves already-applied tombstones
+        behind — harmless (the anti-join re-drops nothing) except that
+        an id re-added in that window stays masked until the NEXT
+        compaction clears them, the same visibility rule ``remove``
+        documents."""
+        tomb = self._tombstones(spark)
+        transforms = None
+        if tomb is not None:
+            dead = tomb.select("id").distinct().localCheckpoint()
+            transforms = {
+                "assignments": lambda df: df.join(dead, "id", "left_anti")
+            }
+        stats = compact_dedup_index(
             spark, self.path, n_buckets=n_buckets,
             parts={"assignments": ["cell"]},
+            transforms=transforms,
         )
+        if tomb is not None:
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/tombstones")
+            hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
+            stats["tombstones_folded"] = dead.count()
+        return stats
 
     def vectors(self, spark) -> DataFrame:
-        """Every enrolled vector as (id, emb) — compacted table plus
-        deltas, with crash-stale duplicates dropped (byte-identical by
-        the replay contract, so any survivor is the row)."""
+        """Every enrolled, not-tombstoned vector as (id, emb) —
+        compacted table plus deltas, with crash-stale duplicates
+        dropped (byte-identical by the replay contract, so any
+        survivor is the row)."""
         parts = _index_component_frames(spark, self.path, "assignments")
         if not parts:
             raise ValueError(f"no index at {self.path}")
         full = parts[0].select("id", "emb")
         for p in parts[1:]:
             full = full.unionByName(p.select("id", "emb"))
-        return full.dropDuplicates(["id"])
+        return self._minus_tombstones(spark, full.dropDuplicates(["id"]))
 
     def rebuild(
         self,
@@ -351,10 +418,14 @@ class VectorIndexStore:
         parts = _index_component_frames(spark, self.path, "assignments")
         if not parts:
             raise ValueError(f"no index at {self.path}")
-        full = parts[0].select("cell")
+        full = parts[0].select("id", "cell")
         for p in parts[1:]:
-            full = full.unionByName(p.select("cell"))
-        return full.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+            full = full.unionByName(p.select("id", "cell"))
+        return (
+            self._minus_tombstones(spark, full)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_vecs"))
+        )
 
     # -- search -----------------------------------------------------------
     def query(
@@ -458,8 +529,13 @@ class VectorIndexStore:
         # and displaces a legitimate top-k result (ADVICE r9). Duplicate
         # rows are byte-identical by contract, so any survivor carries
         # the same sim.
+        # tombstone filter BEFORE the rank window: a removed vector must
+        # not occupy a rank and displace a live top-k result
         return (
-            scored.dropDuplicates([query_id, self.id_col])
+            self._minus_tombstones(
+                spark, scored.dropDuplicates([query_id, self.id_col]),
+                id_name=self.id_col,
+            )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, self.id_col, "rank", "sim")

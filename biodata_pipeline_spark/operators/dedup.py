@@ -1688,6 +1688,7 @@ def compact_dedup_index(
     index_dir: str,
     n_buckets: int = 16,
     parts: dict[str, list[str]] | None = None,
+    transforms: dict | None = None,
 ) -> dict:
     """Index maintenance for ``incremental_near_dup_filter`` (VERDICT r7
     #2): fold the accumulated per-batch parquet appends — plus any
@@ -1706,6 +1707,13 @@ def compact_dedup_index(
     map for stores with a different layout (``SignatureStore.compact``
     passes ``{"bands": [...], "shingles": ["id"]}``); the keys are
     recorded in the meta file so re-registration stays layout-correct.
+    ``transforms`` optionally maps a component name to a
+    DataFrame→DataFrame fold applied to that component's full union
+    BEFORE the bucketed write — the deletion seam
+    (``VectorIndexStore.compact`` anti-joins tombstoned ids here, so
+    removed rows leave the physical layout at the same moment the
+    bounded-file-count fold happens anyway). Transforms must preserve
+    the component's schema.
 
     Contract: run BETWEEN batches (e.g. after a streaming availableNow
     drain). A batch replayed after its rows were compacted still
@@ -1767,6 +1775,8 @@ def compact_dedup_index(
         full = frames[0]
         for f in frames[1:]:
             full = full.unionByName(f)
+        if transforms and part in transforms:
+            full = transforms[part](full)
         files_before = _file_count(f"{index_dir}/{part}") + (
             _file_count(meta[f"{part}_path"]) if meta else 0
         )

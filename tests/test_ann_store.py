@@ -410,3 +410,78 @@ def test_measured_n_probe_cheapest_setting_meets_target(spark, tmp_path):
 
     with pytest.raises(ValueError):
         measured_n_probe(store, q, target_recall=0.0)
+
+
+def test_remove_tombstone_then_compact_drops_physically(spark, tmp_path):
+    """Deletion path (r11): remove() tombstones ids — queries, vectors()
+    and cell_stats() exclude them immediately and a removed vector
+    cannot displace a live top-k result; compact() physically drops the
+    rows while folding and clears the tombstones; add() after the
+    compact resurrects the id."""
+    store = VectorIndexStore(str(tmp_path / "ivf_del"))
+    base = _emb(spark).filter(F.col("vec_id") < 150)
+    store.build(base, k=4, iters=1)
+    q = _queries(spark, n=3)  # query_ids 0,1,2 — own twins rank 1
+
+    before = store.query(q, k=5, n_probe=4).collect()
+    n_before = store.vectors(spark).count()
+    total_cells_before = sum(
+        r.n_vecs for r in store.cell_stats(spark).collect()
+    )
+    assert {r.vec_id for r in before if r.rank == 1} == {0, 1, 2}
+
+    # remove query 0's twin (vec_id 0) + a no-op never-enrolled id
+    assert store.remove(spark, [0, 999_999]) == 2
+
+    got = store.query(q, k=5, n_probe=4).collect()
+    assert 0 not in {r.vec_id for r in got}
+    # ranks stay dense: query 0 still gets a full k=5 of LIVE vectors
+    # (the tombstoned row must not eat a rank)
+    q0 = sorted(r.rank for r in got if r.query_id == 0)
+    assert q0 == [1, 2, 3, 4, 5]
+    assert store.vectors(spark).count() == n_before - 1
+    assert (
+        sum(r.n_vecs for r in store.cell_stats(spark).collect())
+        == total_cells_before - 1
+    )
+
+    # compact folds the deletion into the physical layout
+    stats = store.compact(spark, n_buckets=4)
+    assert stats["tombstones_folded"] == 2
+    import os
+
+    assert not os.path.exists(f"{store.path}/tombstones")
+    assert store.vectors(spark).count() == n_before - 1
+    post = store.query(q, k=5, n_probe=4).collect()
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in post) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in got
+    )
+
+    # resurrect: re-add vec_id 0 after the compact cleared its tombstone
+    store.add(base.filter(F.col("vec_id") == 0), batch_id="resurrect")
+    back = store.query(q, k=1, n_probe=4).collect()
+    assert {r.query_id: r.vec_id for r in back}[0] == 0
+
+
+def test_remove_dataframe_form_and_masking_until_compact(spark, tmp_path):
+    """remove() accepts a DataFrame of ids; an id re-added while its
+    tombstone is pending stays invisible until a compact clears it —
+    the documented removal-wins visibility rule."""
+    store = VectorIndexStore(str(tmp_path / "ivf_del2"))
+    base = _emb(spark).filter(F.col("vec_id") < 100)
+    store.build(base, k=4, iters=1)
+
+    ids_df = _emb(spark).filter(F.col("vec_id") < 2).select("vec_id")
+    assert store.remove(spark, ids_df) == 2
+
+    # re-add before compact: still masked by the pending tombstone
+    store.add(base.filter(F.col("vec_id") < 2), batch_id="early")
+    assert store.vectors(spark).filter(F.col("id") < 2).count() == 0
+
+    # that compaction drops the re-added rows with the old ones
+    store.compact(spark, n_buckets=4)
+    assert store.vectors(spark).filter(F.col("id") < 2).count() == 0
+
+    # post-compact add is visible
+    store.add(base.filter(F.col("vec_id") < 2), batch_id="late")
+    assert store.vectors(spark).filter(F.col("id") < 2).count() == 2
