@@ -49,10 +49,7 @@ from biodata_pipeline_spark.operators.kmeans import (
     assign_clusters_kernel,
     kmeans_fit,
 )
-from biodata_pipeline_spark.operators.similarity import (
-    SIM_ROUND,
-    matrix_literal,
-)
+from biodata_pipeline_spark.operators.similarity import SIM_ROUND
 
 
 def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
@@ -142,6 +139,67 @@ def measured_n_probe(
             return n_probe
         n_probe = min(n_probe * 2, n_cells)
     return n_cells
+
+
+# Above this many enrolled index rows, query() scores candidates in the
+# Arrow kernel instead of the interpreted JVM HOF fold (see query()).
+KERNEL_INDEX_THRESHOLD = 100_000
+
+
+def _score_candidates_kernel(
+    cand: DataFrame, query_id: str, id_col: str
+) -> DataFrame:
+    """Arrow-vectorized cosine scoring of (query, candidate) rows —
+    bit-parity twin of ``round(dot(__qe, emb) / (__nq * l2_norm(emb)),
+    SIM_ROUND)``: the dot and the candidate norm accumulate
+    dimension-by-dimension in ASCENDING order (the identical IEEE-754
+    float64 fold), ``sqrt`` is IEEE-exact, the denominator multiplies
+    ``__nq * nc`` before the divide exactly as the JVM expression does,
+    and the 9dp rounding stays JVM-side (numpy would round half-even
+    where Spark rounds half-up). Input rows carry
+    (query_id, id, __qe, __nq, emb); output (query_id, id, sim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_fields = {f.name: f for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[query_id],
+            in_fields[id_col],
+            StructField("__sim_raw", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {query_id: pdf[query_id], id_col: pdf[id_col],
+                     "__sim_raw": pd.Series([], dtype="float64")}
+                )
+                continue
+            qe = np.array(pdf["__qe"].tolist(), dtype=np.float64)
+            emb = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            n = len(pdf)
+            s, nc = np.zeros(n), np.zeros(n)
+            for i in range(emb.shape[1]):  # ascending-dim: JVM bit-parity
+                s += qe[:, i] * emb[:, i]
+                nc += emb[:, i] * emb[:, i]
+            sim = s / (pdf["__nq"].to_numpy() * np.sqrt(nc))
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], id_col: pdf[id_col],
+                 "__sim_raw": sim}
+            )
+
+    return (
+        cand.select(query_id, id_col, "__qe", "__nq", "emb")
+        .mapInPandas(score, out_schema)
+        .select(
+            query_id, id_col,
+            F.round(F.col("__sim_raw"), SIM_ROUND).alias("sim"),
+        )
+    )
 
 
 def _assign_cells(
@@ -435,6 +493,7 @@ class VectorIndexStore:
         n_probe: int = 4,
         query_id: str = "query_id",
         query_emb: str = "query_emb",
+        kernel_threshold: int = KERNEL_INDEX_THRESHOLD,
     ) -> DataFrame:
         """Top-``k`` per query over the stored index: rank stored
         centroids per query (one driver-sized matrix literal), probe
@@ -464,30 +523,41 @@ class VectorIndexStore:
         for c in cents:
             nrm = math.sqrt(sum(x * x for x in c)) or 1.0
             unit.append([x / nrm for x in c])
-        cmat = matrix_literal(unit)
-        idx = F.lit(list(range(n_cells)))
-
-        def best_cells(emb):
-            sims = F.transform(
-                cmat, lambda c: F.round(dot(emb, c), SIM_ROUND)
+        # Cell ranking rides a |Q|×k cross-join against a k-row centroid
+        # frame, NOT a k×dim matrix literal (rewired r11): the literal
+        # form generated k×dim constants of codegen that RECOMPILED on
+        # every query() call — Catalyst mints fresh lambda-variable ids
+        # per Column construction, so the generated source never hits
+        # the codegen cache, and at k=64×64d Janino spent 5-25 s per
+        # call compiling code that scores 20 rows (measured by
+        # tools/probe_vector_delete.py; the q26b probe documents the
+        # naming-counter mechanism). The join form's codegen footprint
+        # is CONSTANT in k — one zip_with fold over two array columns —
+        # while the broadcast k-row frame carries the data. Sims are
+        # bit-identical (same in-order dot fold over the same doubles,
+        # same SIM_ROUND), and row_number over (sim DESC, cell ASC)
+        # keeps the lowest-cell tie-break (ADVICE r9) — pytest pins
+        # exhaustive-probe == brute-force across this rewrite.
+        cdf = spark.createDataFrame(
+            [(i, unit[i]) for i in range(n_cells)],
+            "cell int, __cu array<double>",
+        )
+        cell_rank = Window.partitionBy(query_id).orderBy(
+            F.col("__csim").desc(), F.col("cell")
+        )
+        qcells = (
+            queries.select(
+                F.col(query_id),
+                F.col(query_emb).cast("array<double>").alias("__qe"),
+                l2_norm(F.col(query_emb)).alias("__nq"),
             )
-            # sort on (-sim, cell) ascending so a similarity tie prefers
-            # the LOWEST cell index — the engine-wide tie-break (argmin,
-            # id ranks); reverse(array_sort) would prefer the highest
-            # and probe a different cell set when a tie straddles the
-            # n_probe cutoff (ADVICE r9)
-            zipped = F.zip_with(
-                sims, idx,
-                lambda s, i: F.struct((-s).alias("ns"), i.alias("cell")),
+            .crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "__csim", F.round(dot(F.col("__qe"), F.col("__cu")), SIM_ROUND)
             )
-            top = F.slice(F.array_sort(zipped), 1, n_probe)
-            return F.transform(top, lambda st: st["cell"])
-
-        qcells = queries.select(
-            F.col(query_id),
-            F.col(query_emb).cast("array<double>").alias("__qe"),
-            l2_norm(F.col(query_emb)).alias("__nq"),
-            F.explode(best_cells(F.col(query_emb))).alias("cell"),
+            .withColumn("__crk", F.row_number().over(cell_rank))
+            .filter(F.col("__crk") <= n_probe)
+            .select(query_id, "__qe", "__nq", "cell")
         ).localCheckpoint()  # reused: the probed-cell list + the join side
         # push the probed-cell set into the scan as an IN filter: the
         # list is ≤ queries × n_probe values (driver-bounded by the
@@ -504,20 +574,48 @@ class VectorIndexStore:
         parts = _index_component_frames(spark, self.path, "assignments")
         if not parts:
             raise ValueError(f"no index at {self.path}")
-        scored = None
+        cand = None
         for p in parts:
             s = p.filter(F.col("cell").isin(probed)).join(
                 F.broadcast(qcells), "cell"
             ).select(
                 query_id,
                 F.col("id").alias(self.id_col),
+                "__qe",
+                "__nq",
+                "emb",
+            )
+            cand = s if cand is None else cand.unionByName(s)
+        # Candidate scoring switches on observed index size (the
+        # retrieval-family discipline, rewired r11). The JVM
+        # aggregate/zip_with fold is a CodegenFallback expression —
+        # INTERPRETED per row — and at 200k enrolled vectors its cost
+        # turned bimodal under JIT pressure (instrumented: one run's
+        # scoring stage burned 1288 s of executor CPU where the
+        # identical plan takes ~11 s steady — tools/probe_vector_delete
+        # caught 3 s ↔ 72 s swings). Above the gate, score in the Arrow
+        # kernel with the ascending-dimension float64 fold — the exact
+        # IEEE sequence the HOF fold evaluates, so sims are bit-equal
+        # (the similarity_join_vectorized contract); rounding stays
+        # JVM-side (numpy rounds half-even, Spark half-up). Below the
+        # gate the all-JVM fold avoids the ~0.7 s Arrow spin-up. The
+        # gate counts index rows via parquet/table metadata — two
+        # footer-only jobs, no data scan.
+        n_index_rows = sum(p.count() for p in parts)
+        if n_index_rows > kernel_threshold:
+            scored = _score_candidates_kernel(
+                cand, query_id, self.id_col
+            )
+        else:
+            scored = cand.select(
+                query_id,
+                self.id_col,
                 F.round(
                     dot(F.col("__qe"), F.col("emb"))
                     / (F.col("__nq") * l2_norm(F.col("emb"))),
                     SIM_ROUND,
                 ).alias("sim"),
             )
-            scored = s if scored is None else scored.unionByName(s)
         w = Window.partitionBy(query_id).orderBy(
             F.col("sim").desc(), F.col(self.id_col)
         )

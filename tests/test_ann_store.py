@@ -485,3 +485,20 @@ def test_remove_dataframe_form_and_masking_until_compact(spark, tmp_path):
     # post-compact add is visible
     store.add(base.filter(F.col("vec_id") < 2), batch_id="late")
     assert store.vectors(spark).filter(F.col("id") < 2).count() == 2
+
+
+def test_query_kernel_path_bit_parity_with_fold(spark, tmp_path):
+    """r11: above KERNEL_INDEX_THRESHOLD query() scores candidates in
+    the Arrow kernel (the interpreted JVM HOF fold went bimodal under
+    JIT pressure at 200k rows). Forcing each path on the same store
+    must produce IDENTICAL (query_id, vec_id, rank, sim) rows — the
+    ascending-dim fold contract."""
+    store = VectorIndexStore(str(tmp_path / "ivf_kern"))
+    store.build(_emb(spark), k=8, iters=2)
+    q = _queries(spark, n=10)
+
+    fold = store.query(q, k=10, n_probe=4, kernel_threshold=10**9).collect()
+    kern = store.query(q, k=10, n_probe=4, kernel_threshold=0).collect()
+    assert sorted(
+        (r.query_id, r.vec_id, r.rank, r.sim) for r in fold
+    ) == sorted((r.query_id, r.vec_id, r.rank, r.sim) for r in kern)
