@@ -496,12 +496,15 @@ class VectorIndexStore:
         kernel_threshold: int = KERNEL_INDEX_THRESHOLD,
     ) -> DataFrame:
         """Top-``k`` per query over the stored index: rank stored
-        centroids per query (one driver-sized matrix literal), probe
-        the ``n_probe`` best cells, equi-join candidates on cell —
-        each index part joined separately so the compacted bucketed
-        scan keeps its partitioning — exact cosine on candidates, then
-        the per-query rank window. Returns (query_id, vec_id, rank,
-        sim) with the engine's standard tie-breaks.
+        centroids per query (a |Q|×k cross-join against the broadcast
+        k-row centroid frame — constant codegen footprint in k, see the
+        inline note), probe the ``n_probe`` best cells, equi-join
+        candidates on cell — each index part joined separately so the
+        compacted bucketed scan keeps its partitioning — exact cosine
+        on candidates (Arrow kernel above ``kernel_threshold`` index
+        rows, all-JVM fold below), then the per-query rank window.
+        Returns (query_id, vec_id, rank, sim) with the engine's
+        standard tie-breaks.
 
         ``n_probe=4`` is a throughput default, not a recall promise:
         calibrate with ``measured_n_probe(store, queries, target)`` —
