@@ -1417,6 +1417,18 @@ class SignatureStore:
             )
             cands = c if cands is None else cands.unionByName(c)
         cands = cands.dropDuplicates(["id_new", "id_old"])
+        # deletion contract (r11): a tombstoned doc is no longer history —
+        # it must not block (or report) a near-dup admission. Filtering the
+        # candidate id_old side is sufficient: tombstoned docs can only
+        # enter `verified` through cands (r11 ``remove``; the next compact
+        # drops their stored rows physically and clears the tombstones)
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            cands = cands.join(
+                tomb.select(F.col("id").alias("id_old")).distinct(),
+                "id_old",
+                "left_anti",
+            )
         all_shingles = shingles
         for s in stored_shingles:
             all_shingles = all_shingles.unionByName(s)
@@ -1446,18 +1458,66 @@ class SignatureStore:
             self._write_batch(spark, shingles, self._shingles_path(), batch_id)
         return result
 
+    def remove(self, spark, ids) -> int:
+        """Tombstone ``ids`` (a DataFrame carrying an ``id``-compatible
+        first column, or a plain iterable) — the deletion path mirroring
+        ``VectorIndexStore.remove``: one bounded parquet append, no
+        rewrite of banding history. A tombstoned doc stops blocking (and
+        being reported by) ``admit`` immediately; the next ``compact``
+        physically drops its bands/shingles and clears the tombstones.
+        Removal wins until that compact: re-``admit``-ing a tombstoned id
+        re-enrolls state that stays invisible to subsequent admits and
+        is dropped by the pending fold — compact first to re-enroll.
+        Removing an unknown id is a no-op. Returns ids tombstoned."""
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+        else:
+            ids = list(ids)
+            if not ids:
+                return 0
+            id_type = "string" if isinstance(ids[0], str) else "long"
+            tomb = spark.createDataFrame(
+                [(i,) for i in ids], f"id {id_type}"
+            ).distinct()
+        tomb = tomb.localCheckpoint()  # materialize before mutating
+        tomb.write.mode("append").parquet(f"{self.path}/tombstones")
+        return tomb.count()
+
+    def _tombstones(self, spark) -> DataFrame | None:
+        return _read_index_delta(spark, self.path, "tombstones")
+
     def compact(self, spark, n_buckets: int = 16) -> dict:
         """Fold this store's per-batch appends into bucketed tables —
         ``compact_dedup_index`` with this store's layout (``bands`` on
         (band, bucket), ``shingles`` on (id)). Same contract: run
         between batches; decisions identical across the fold; file
-        count bounded by the bucket count."""
-        return compact_dedup_index(
+        count bounded by the bucket count. Pending tombstones are
+        folded in (their bands/shingles leave the layout) and then
+        cleared — the same crash window as the vector store: a crash
+        after the meta flip but before the tombstone delete leaves
+        applied tombstones behind, harmless except that a re-admitted
+        id stays masked until the NEXT compaction."""
+        tomb = self._tombstones(spark)
+        transforms = None
+        if tomb is not None:
+            dead = tomb.select("id").distinct().localCheckpoint()
+            transforms = {
+                "bands": lambda df: df.join(dead, "id", "left_anti"),
+                "shingles": lambda df: df.join(dead, "id", "left_anti"),
+            }
+        stats = compact_dedup_index(
             spark,
             self.path,
             n_buckets=n_buckets,
             parts={"bands": ["band", "bucket"], "shingles": ["id"]},
+            transforms=transforms,
         )
+        if tomb is not None:
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/tombstones")
+            hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
+            stats["tombstones_folded"] = dead.count()
+        return stats
 
     @staticmethod
     def _write_batch(spark, df: DataFrame, path: str, batch_id: str) -> None:

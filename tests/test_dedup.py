@@ -828,3 +828,69 @@ def test_scrub_repeated_passages_collapse_parity(spark, monkeypatch):
         assert by_id[copy * 100 + 0][3] == "intro words one outro text here"
         assert by_id[copy * 100 + 1][3] == "and unrelated body two"
         assert by_id[copy * 100 + 2][2] == 0  # unique doc untouched
+
+
+def test_signature_store_remove_unblocks_and_compact_folds(spark, tmp_path):
+    """Deletion path (r11): a tombstoned doc stops blocking near-dup
+    admission immediately; compact physically drops its bands/shingles
+    and clears the tombstones; re-admitting after the compact works."""
+    from biodata_pipeline_spark.operators.dedup import SignatureStore
+
+    store = SignatureStore(str(tmp_path / "sigdel"))
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different document about spark plans here"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert store.admit(base, threshold=0.5, batch_id="0").count() == 0
+
+    near = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today!")],
+        ["doc_id", "text"],
+    )
+    # blocked while doc 1 is history
+    assert store.admit(near, threshold=0.5, batch_id="1").count() == 1
+
+    # remove doc 1 AND doc 3 (its state was appended by the admit above):
+    # a re-admitted twin must now come back clean
+    assert store.remove(spark, [1, 3]) == 2
+    again = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog today!")],
+        ["doc_id", "text"],
+    )
+    assert store.admit(again, threshold=0.5, batch_id="2").count() == 0
+
+    # compact folds the drops and clears tombstones; decisions unchanged
+    stats = store.compact(spark, n_buckets=4)
+    assert stats["tombstones_folded"] == 2
+    import os
+
+    assert not os.path.exists(f"{store.path}/tombstones")
+    ids_left = {
+        r.id
+        for r in spark.table(
+            __import__(
+                "json"
+            ).load(open(f"{store.path}/_meta_v{stats['version']}.json"))[
+                "shingles_table"
+            ]
+        ).select("id").collect()
+    }
+    assert ids_left == {2, 5}
+
+    # doc 1 can re-enroll post-compact and blocks its twin again
+    store.admit(
+        spark.createDataFrame(
+            [(11, "the quick brown fox jumps over the lazy dog today")],
+            ["doc_id", "text"],
+        ),
+        threshold=0.5,
+        batch_id="3",
+    )
+    twin = spark.createDataFrame(
+        [(12, "the quick brown fox jumps over the lazy dog today?")],
+        ["doc_id", "text"],
+    )
+    assert store.admit(twin, threshold=0.5, batch_id="4").count() >= 1
