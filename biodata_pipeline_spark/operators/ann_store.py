@@ -364,20 +364,16 @@ class VectorIndexStore:
         pending tombstone masks it, and that compaction drops the
         re-added rows with the old ones). To resurrect an id, compact
         first, then add. Removing an id that was never enrolled is a
-        no-op. Returns the number of ids tombstoned."""
+        no-op. Returns the number of ids tombstoned. Delegates to the
+        shared ``remove_from_dedup_index`` (one tombstone mechanism
+        across the ingest index, SignatureStore, and this store)."""
+        from biodata_pipeline_spark.operators.dedup import (
+            remove_from_dedup_index,
+        )
+
         if isinstance(ids, DataFrame):
-            tomb = ids.select(F.col(self.id_col).alias("id")).distinct()
-        else:
-            ids = list(ids)
-            if not ids:
-                return 0
-            id_type = "string" if isinstance(ids[0], str) else "long"
-            tomb = spark.createDataFrame(
-                [(i,) for i in ids], f"id {id_type}"
-            ).distinct()
-        tomb = tomb.localCheckpoint()  # materialize before mutating
-        tomb.write.mode("append").parquet(f"{self.path}/tombstones")
-        return tomb.count()
+            ids = ids.select(self.id_col)
+        return remove_from_dedup_index(spark, self.path, ids)
 
     def _tombstones(self, spark) -> DataFrame | None:
         from biodata_pipeline_spark.operators.dedup import _read_index_delta
@@ -399,30 +395,12 @@ class VectorIndexStore:
         broadcast threshold. Same contract as the dedup index: run
         between batches; query results identical across the fold.
         Pending tombstones are folded in (their rows leave the physical
-        layout) and then cleared; a crash after the meta flip but
-        before the tombstone delete leaves already-applied tombstones
-        behind — harmless (the anti-join re-drops nothing) except that
-        an id re-added in that window stays masked until the NEXT
-        compaction clears them, the same visibility rule ``remove``
-        documents."""
-        tomb = self._tombstones(spark)
-        transforms = None
-        if tomb is not None:
-            dead = tomb.select("id").distinct().localCheckpoint()
-            transforms = {
-                "assignments": lambda df: df.join(dead, "id", "left_anti")
-            }
-        stats = compact_dedup_index(
+        layout) and then cleared by the shared machinery — see
+        ``compact_dedup_index``'s crash-window note."""
+        return compact_dedup_index(
             spark, self.path, n_buckets=n_buckets,
             parts={"assignments": ["cell"]},
-            transforms=transforms,
         )
-        if tomb is not None:
-            jvm = spark._jvm
-            hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/tombstones")
-            hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
-            stats["tombstones_folded"] = dead.count()
-        return stats
 
     def vectors(self, spark) -> DataFrame:
         """Every enrolled, not-tombstoned vector as (id, emb) —

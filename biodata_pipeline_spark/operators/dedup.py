@@ -1459,29 +1459,12 @@ class SignatureStore:
         return result
 
     def remove(self, spark, ids) -> int:
-        """Tombstone ``ids`` (a DataFrame carrying an ``id``-compatible
-        first column, or a plain iterable) — the deletion path mirroring
-        ``VectorIndexStore.remove``: one bounded parquet append, no
-        rewrite of banding history. A tombstoned doc stops blocking (and
-        being reported by) ``admit`` immediately; the next ``compact``
-        physically drops its bands/shingles and clears the tombstones.
-        Removal wins until that compact: re-``admit``-ing a tombstoned id
-        re-enrolls state that stays invisible to subsequent admits and
-        is dropped by the pending fold — compact first to re-enroll.
-        Removing an unknown id is a no-op. Returns ids tombstoned."""
-        if isinstance(ids, DataFrame):
-            tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
-        else:
-            ids = list(ids)
-            if not ids:
-                return 0
-            id_type = "string" if isinstance(ids[0], str) else "long"
-            tomb = spark.createDataFrame(
-                [(i,) for i in ids], f"id {id_type}"
-            ).distinct()
-        tomb = tomb.localCheckpoint()  # materialize before mutating
-        tomb.write.mode("append").parquet(f"{self.path}/tombstones")
-        return tomb.count()
+        """Tombstone ``ids`` — delegates to ``remove_from_dedup_index``
+        (the shared deletion path; see its docstring for the visibility
+        rule). A tombstoned doc stops blocking (and being reported by)
+        ``admit`` immediately; the next ``compact`` physically drops its
+        bands/shingles and clears the tombstones."""
+        return remove_from_dedup_index(spark, self.path, ids)
 
     def _tombstones(self, spark) -> DataFrame | None:
         return _read_index_delta(spark, self.path, "tombstones")
@@ -1492,32 +1475,13 @@ class SignatureStore:
         (band, bucket), ``shingles`` on (id)). Same contract: run
         between batches; decisions identical across the fold; file
         count bounded by the bucket count. Pending tombstones are
-        folded in (their bands/shingles leave the layout) and then
-        cleared — the same crash window as the vector store: a crash
-        after the meta flip but before the tombstone delete leaves
-        applied tombstones behind, harmless except that a re-admitted
-        id stays masked until the NEXT compaction."""
-        tomb = self._tombstones(spark)
-        transforms = None
-        if tomb is not None:
-            dead = tomb.select("id").distinct().localCheckpoint()
-            transforms = {
-                "bands": lambda df: df.join(dead, "id", "left_anti"),
-                "shingles": lambda df: df.join(dead, "id", "left_anti"),
-            }
-        stats = compact_dedup_index(
+        folded in and cleared by the shared machinery."""
+        return compact_dedup_index(
             spark,
             self.path,
             n_buckets=n_buckets,
             parts={"bands": ["band", "bucket"], "shingles": ["id"]},
-            transforms=transforms,
         )
-        if tomb is not None:
-            jvm = spark._jvm
-            hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/tombstones")
-            hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
-            stats["tombstones_folded"] = dead.count()
-        return stats
 
     @staticmethod
     def _write_batch(spark, df: DataFrame, path: str, batch_id: str) -> None:
@@ -1567,11 +1531,23 @@ def embedding_dedup_survivors(
 def _read_index_delta(spark, index_dir: str, part: str) -> DataFrame | None:
     """The raw parquet delta dir of one index component (rows enrolled
     since the last compaction), batch_id partition column intact;
-    ``None`` when the dir doesn't exist yet."""
+    ``None`` when the dir doesn't exist yet OR exists empty.
+
+    The empty-dir case is real (latent bug caught by the r11 deletion
+    test): when a batch's survivors are EMPTY (every doc dropped), the
+    dynamic-partition-overwrite write still creates the delta dir with
+    just a _SUCCESS marker, and the next read of it throws
+    UNABLE_TO_INFER_SCHEMA — which is "zero rows enrolled", not an
+    error. A CORRUPT store still raises: garbage parquet files fail
+    footer parsing with a different error class, and the
+    corrupt-store-raises pytest pins that contract."""
     try:
         return spark.read.parquet(f"{index_dir}/{part}")
     except AnalysisException as e:
         if _is_store_missing(e):
+            return None
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond == "UNABLE_TO_INFER_SCHEMA":
             return None
         raise
 
@@ -1811,6 +1787,19 @@ def compact_dedup_index(
     version = (int(meta["version"]) + 1) if meta else 1
     new_meta: dict = {"version": version, "n_buckets": n_buckets}
     stats: dict = {"version": version}
+    # Deletion fold (r11): if remove_from_dedup_index has tombstoned ids
+    # under this index, drop their rows from EVERY component while
+    # folding (all index layouts here — bands/hashes/shingles/
+    # assignments — carry an ``id`` column), then clear the tombstones
+    # after the flip. A crash after the flip but before the clear
+    # leaves already-applied tombstones behind — harmless (read-time
+    # anti-joins re-drop nothing) except that an id re-enrolled in that
+    # window stays masked until the NEXT compaction, the visibility
+    # rule remove_from_dedup_index documents.
+    tomb = _read_index_delta(spark, index_dir, "tombstones")
+    dead = None
+    if tomb is not None:
+        dead = tomb.select("id").distinct().localCheckpoint()
 
     def _file_count(p: str) -> int:
         hp = jvm.org.apache.hadoop.fs.Path(p)
@@ -1837,6 +1826,8 @@ def compact_dedup_index(
             full = full.unionByName(f)
         if transforms and part in transforms:
             full = transforms[part](full)
+        if dead is not None:
+            full = full.join(dead, "id", "left_anti")
         files_before = _file_count(f"{index_dir}/{part}") + (
             _file_count(meta[f"{part}_path"]) if meta else 0
         )
@@ -1886,7 +1877,39 @@ def compact_dedup_index(
     if meta:
         for part in (parts or _INDEX_BUCKET_KEYS):
             spark.sql(f"DROP TABLE IF EXISTS {meta[f'{part}_table']}")
+    if dead is not None:
+        _delete(f"{index_dir}/tombstones")
+        stats["tombstones_folded"] = dead.count()
     return stats
+
+
+def remove_from_dedup_index(spark, index_dir: str, ids) -> int:
+    """Tombstone ``ids`` under ``index_dir`` — the shared deletion path
+    for every persistent index built on this module's layout
+    (``incremental_near_dup_filter``'s ingest index,
+    ``SignatureStore``, ``VectorIndexStore``): one bounded parquet
+    append to ``{index_dir}/tombstones``, NO rewrite of enrolled state.
+    Readers anti-join the tombstone set (each consumer filters at its
+    own read site), and the next ``compact_dedup_index`` run physically
+    drops tombstoned rows from every component while folding, then
+    clears the tombstones. Removal wins until that compact: an id
+    re-enrolled while its tombstone is pending stays invisible and is
+    dropped by the fold — compact first to re-enroll. ``ids`` is a
+    DataFrame (first column taken as the id) or a plain iterable;
+    removing an unknown id is a no-op. Returns ids tombstoned."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            return 0
+        id_type = "string" if isinstance(ids[0], str) else "long"
+        tomb = spark.createDataFrame(
+            [(i,) for i in ids], f"id {id_type}"
+        ).distinct()
+    tomb = tomb.localCheckpoint()  # materialize before mutating
+    tomb.write.mode("append").parquet(f"{index_dir}/tombstones")
+    return tomb.count()
 
 
 def incremental_near_dup_filter(
@@ -2027,6 +2050,16 @@ def incremental_near_dup_filter(
             )
             cand_idx = c if cand_idx is None else cand_idx.unionByName(c)
         cand_idx = cand_idx.dropDuplicates(["id", "other_id"])
+        # deletion contract (r11): a tombstoned doc is no longer history
+        # — it must not block admission (remove_from_dedup_index; the
+        # next compaction drops its rows physically)
+        tomb = _read_index_delta(spark, index_dir, "tombstones")
+        if tomb is not None:
+            cand_idx = cand_idx.join(
+                tomb.select(F.col("id").alias("other_id")).distinct(),
+                "other_id",
+                "left_anti",
+            )
         idx_hashes = hash_parts[0]
         for hp in hash_parts[1:]:
             idx_hashes = idx_hashes.unionByName(hp)

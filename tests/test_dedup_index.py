@@ -293,3 +293,59 @@ def test_compaction_sweeps_orphaned_version_dirs(spark, tmp_path):
     assert not (idx_py / "bands_v1").exists()
     assert (idx_py / "bands_v2").is_dir()
     assert _decide(spark, idx, PROBE) == before
+
+
+def test_ingest_gate_remove_unblocks_and_compact_folds(spark, tmp_path):
+    """Deletion path (r11, shared machinery): tombstoning an ENROLLED
+    doc via remove_from_dedup_index lets its near-dup twin through the
+    ingest gate immediately; compact_dedup_index folds the drop into
+    every component and clears the tombstones; re-enrollment after the
+    fold blocks the twin again."""
+    from biodata_pipeline_spark.operators.dedup import (
+        remove_from_dedup_index,
+    )
+
+    idx = str(tmp_path / "ingest_del")
+    first = _batch(spark, [(1, BODIES[0]), (2, BODIES[1])])
+    kept, rep = incremental_near_dup_filter(first, idx, 0.5, batch_id="0")
+    assert kept.count() == 2
+
+    twin = _batch(spark, [(3, BODIES[0] + " extra")])
+    kept, rep = incremental_near_dup_filter(twin, idx, 0.5, batch_id="1")
+    assert kept.count() == 0  # blocked by enrolled doc 1
+    assert rep.collect()[0].scope == "index"
+
+    # remove doc 1: its twin must now be ADMITTED (and enrolled)
+    assert remove_from_dedup_index(spark, idx, [1]) == 1
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, [(4, BODIES[0] + " more")]), idx, 0.5, batch_id="2"
+    )
+    assert kept.count() == 1 and rep.count() == 0
+
+    # the fold drops doc 1's rows from BOTH components and clears
+    # tombstones; decisions afterwards unchanged
+    stats = compact_dedup_index(idx and spark, idx, n_buckets=4)
+    assert stats["tombstones_folded"] == 1
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones")
+    for part in ("bands", "hashes"):
+        frames = _index_component_frames(spark, idx, part)
+        ids = set()
+        for f in frames:
+            ids |= {r.id for r in f.select("id").collect()}
+        assert 1 not in ids, part
+        assert {2, 4} <= ids, part
+
+    # decisions unchanged post-fold: doc 4 (admitted after the removal,
+    # and itself a twin of the removed doc) now IS history and blocks
+    # the next twin — an all-dropped batch, which also exercises the
+    # empty-delta-dir write the next batch must tolerate
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, [(11, BODIES[0])]), idx, 0.5, batch_id="3"
+    )
+    assert kept.count() == 0 and rep.collect()[0].matched_id == 4
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, [(12, BODIES[0] + " tail")]), idx, 0.5, batch_id="4"
+    )
+    assert kept.count() == 0 and rep.collect()[0].matched_id == 4
