@@ -243,6 +243,14 @@ class VectorIndexStore:
                  emb_col: str = "embedding"):
         self.path = path
         self.id_col, self.emb_col = id_col, emb_col
+        # query()'s kernel-gate row count, cached per instance: index
+        # size only changes on add/compact, so re-counting every query()
+        # call paid one Spark job per index part per call (ADVICE r11).
+        # Invalidated by add()/compact(); an out-of-band writer to the
+        # same path from ANOTHER instance/process is outside this
+        # cache's contract (the gate only picks a scoring path — a stale
+        # count degrades throughput on one call, never correctness).
+        self._n_rows_cache: int | None = None
 
     # -- build / maintain -------------------------------------------------
     def build(
@@ -346,6 +354,7 @@ class VectorIndexStore:
             SignatureStore._write_batch(
                 spark, assigned, f"{self.path}/assignments", batch_id
             )
+        self._n_rows_cache = None  # index grew: re-count at next query()
         return assigned.count()
 
     # -- delete ------------------------------------------------------------
@@ -397,6 +406,7 @@ class VectorIndexStore:
         Pending tombstones are folded in (their rows leave the physical
         layout) and then cleared by the shared machinery — see
         ``compact_dedup_index``'s crash-window note."""
+        self._n_rows_cache = None  # fold drops tombstoned rows
         return compact_dedup_index(
             spark, self.path, n_buckets=n_buckets,
             parts={"assignments": ["cell"]},
@@ -526,12 +536,24 @@ class VectorIndexStore:
         cell_rank = Window.partitionBy(query_id).orderBy(
             F.col("__csim").desc(), F.col("cell")
         )
+        # One row per query_id BEFORE the cell cross-join (ADVICE r11):
+        # the cell-rank window partitions by query_id, so duplicate
+        # query_id rows would SHARE one window — each cell appearing
+        # once per duplicate, the top-n_probe rows covering only
+        # ~n_probe/dups distinct cells, a silent recall drop. Retried /
+        # unioned query batches (identical rows) collapse
+        # deterministically; duplicate ids with CONFLICTING embeddings
+        # are a contract violation (the final rank window already
+        # assumes query_id is a key) — one row wins, and the whole
+        # pipeline (probe set, scoring, ranking) stays coherent with
+        # that row's embedding.
         qcells = (
             queries.select(
                 F.col(query_id),
                 F.col(query_emb).cast("array<double>").alias("__qe"),
                 l2_norm(F.col(query_emb)).alias("__nq"),
             )
+            .dropDuplicates([query_id])
             .crossJoin(F.broadcast(cdf))
             .withColumn(
                 "__csim", F.round(dot(F.col("__qe"), F.col("__cu")), SIM_ROUND)
@@ -580,9 +602,13 @@ class VectorIndexStore:
         # (the similarity_join_vectorized contract); rounding stays
         # JVM-side (numpy rounds half-even, Spark half-up). Below the
         # gate the all-JVM fold avoids the ~0.7 s Arrow spin-up. The
-        # gate counts index rows via parquet/table metadata — two
-        # footer-only jobs, no data scan.
-        n_index_rows = sum(p.count() for p in parts)
+        # count is cached on the instance (invalidated by add/compact —
+        # ADVICE r11: re-counting per query() call was one Spark job per
+        # index part per call, and the footer-only claim doesn't hold
+        # for the bucketed-table scan path).
+        if self._n_rows_cache is None:
+            self._n_rows_cache = sum(p.count() for p in parts)
+        n_index_rows = self._n_rows_cache
         if n_index_rows > kernel_threshold:
             scored = _score_candidates_kernel(
                 cand, query_id, self.id_col

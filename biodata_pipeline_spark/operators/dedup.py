@@ -1418,15 +1418,24 @@ class SignatureStore:
             cands = c if cands is None else cands.unionByName(c)
         cands = cands.dropDuplicates(["id_new", "id_old"])
         # deletion contract (r11): a tombstoned doc is no longer history —
-        # it must not block (or report) a near-dup admission. Filtering the
-        # candidate id_old side is sufficient: tombstoned docs can only
-        # enter `verified` through cands (r11 ``remove``; the next compact
-        # drops their stored rows physically and clears the tombstones)
+        # it must not block (or report) a near-dup admission. BOTH pair
+        # sides are filtered (ADVICE r11): id_old because tombstoned
+        # history must not block new docs, and id_new because a doc
+        # re-admitted while its tombstone is pending must stay fully
+        # invisible — the same removal-wins-until-compact rule
+        # VectorIndexStore enforces (its re-added rows are appended here
+        # too, but the next compact's fold drops them along with the old
+        # ones; compact first to re-enroll).
         tomb = self._tombstones(spark)
         if tomb is not None:
+            tomb_ids = tomb.select("id").distinct()
             cands = cands.join(
-                tomb.select(F.col("id").alias("id_old")).distinct(),
+                tomb_ids.withColumnRenamed("id", "id_old"),
                 "id_old",
+                "left_anti",
+            ).join(
+                tomb_ids.withColumnRenamed("id", "id_new"),
+                "id_new",
                 "left_anti",
             )
         all_shingles = shingles
@@ -1462,7 +1471,10 @@ class SignatureStore:
         """Tombstone ``ids`` — delegates to ``remove_from_dedup_index``
         (the shared deletion path; see its docstring for the visibility
         rule). A tombstoned doc stops blocking (and being reported by)
-        ``admit`` immediately; the next ``compact`` physically drops its
+        ``admit`` immediately — on BOTH pair sides: it neither blocks
+        new docs as history nor participates if re-admitted while the
+        tombstone is pending (removal wins until compact, the rule all
+        three stores share). The next ``compact`` physically drops its
         bands/shingles and clears the tombstones."""
         return remove_from_dedup_index(spark, self.path, ids)
 
@@ -1796,10 +1808,29 @@ def compact_dedup_index(
     # anti-joins re-drop nothing) except that an id re-enrolled in that
     # window stays masked until the NEXT compaction, the visibility
     # rule remove_from_dedup_index documents.
-    tomb = _read_index_delta(spark, index_dir, "tombstones")
+    #
+    # The file list is SNAPSHOTTED before the fold and only those exact
+    # files are deleted at the end (ADVICE r11 medium): tombstone part
+    # files are immutable once written (parquet appends only ever add
+    # new uniquely-named files), so a remove() that lands concurrently
+    # with this compaction appends files outside the snapshot — they
+    # survive the clear, keep masking reads, and fold at the NEXT
+    # compaction. The old whole-directory delete discarded such a
+    # tombstone without ever anti-joining it, silently resurrecting the
+    # removed id.
+    tomb_files = _snapshot_tombstone_files(spark, index_dir)
     dead = None
-    if tomb is not None:
-        dead = tomb.select("id").distinct().localCheckpoint()
+    tomb_data = [
+        f for f in tomb_files
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    if tomb_data:
+        dead = (
+            spark.read.parquet(*tomb_data)
+            .select("id")
+            .distinct()
+            .localCheckpoint()
+        )
 
     def _file_count(p: str) -> int:
         hp = jvm.org.apache.hadoop.fs.Path(p)
@@ -1878,9 +1909,29 @@ def compact_dedup_index(
         for part in (parts or _INDEX_BUCKET_KEYS):
             spark.sql(f"DROP TABLE IF EXISTS {meta[f'{part}_table']}")
     if dead is not None:
-        _delete(f"{index_dir}/tombstones")
+        # clear exactly the snapshot-time files; concurrently-appended
+        # tombstones stay pending (see the snapshot note above)
+        for f in tomb_files:
+            _delete(f)
+        tdir_fs, tdir_hp = _fs_path(spark, f"{index_dir}/tombstones")
+        if tdir_fs.exists(tdir_hp) and not list(tdir_fs.listStatus(tdir_hp)):
+            tdir_fs.delete(tdir_hp, False)
         stats["tombstones_folded"] = dead.count()
     return stats
+
+
+def _snapshot_tombstone_files(spark, index_dir: str) -> list[str]:
+    """The tombstone dir's file paths at THIS moment — the compaction
+    fold reads and later deletes exactly this set, so tombstones
+    appended mid-compaction are neither half-read nor clobbered."""
+    fs, hp = _fs_path(spark, f"{index_dir}/tombstones")
+    if not fs.exists(hp):
+        return []
+    return [
+        st.getPath().toString()
+        for st in fs.listStatus(hp)
+        if st.isFile()
+    ]
 
 
 def remove_from_dedup_index(spark, index_dir: str, ids) -> int:

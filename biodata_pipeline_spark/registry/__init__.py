@@ -64,74 +64,82 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5). Round-11 rotation, stalest-first
-# as computed from the CORRECTNESS_r01-r10 union (max driver round per
-# key; after r10 every key's latest row is r08, r09, or r10):
-#   1-24:  ALL 24 queries whose last driver row is r08 — the chunking /
-#          textops / BM25-RRF / snapshot-diff / quality / BPE-train /
-#          recall-audit tail;
-#   25-50: the first 26 of the 50 r09-checked queries in
-#          registry-family order (the relational scan/filter/join/agg
-#          core through q30); the remaining 24 r09-checked rotate in
-#          next round.
-# Outside the window this round: those 24 r09-checked and the 50
-# r10-checked — every one has a green driver row within the last two
+# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2). Round-12 rotation,
+# computed from the CORRECTNESS_r01-r11 union (max driver round per
+# key; after r11 the latest rows are 24×r09, 50×r10, 50×r11):
+#   1-3:   the persistent-IVF query family FIRST (VERDICT r11 #2): the
+#          r11 join-form cell-ranking + kernel-scoring rewire and the
+#          r12 count-cache / duplicate-query_id fixes landed AFTER
+#          these keys' last driver rows (q_ivf_ann and
+#          q_embed_cosine_dedup: r10; q_ivf_cell_assign: r09) — the
+#          fold-parity pytests predict hash-green, the driver row
+#          proves it on current code;
+#   4-26:  the remaining 23 r09-checked keys — the analytic / corpus /
+#          sampling / audit tail;
+#   27-50: 24 of the 50 r10-checked keys: the kmeans/PCA family first
+#          (its assignment path is shared with the r11/r12 IVF rewires)
+#          then the relational/temporal/vector core q09-q37 plus the
+#          SQL-surface pair; the other 26 r10-checked rotate in next
+#          round.
+# Outside the window this round: those 26 r10-checked and the 50
+# r11-checked — every one has a green driver row within the last two
 # rounds and all are locally re-verified by tools/check_oracle.py on
 # current code each round. After this round no key's latest driver row
-# is older than r09.
+# is older than r10.
 _DRIVER_WINDOW = [
-    # -- block 1: all 24 r08-checked, registry-family order --------------
-    "q_chunk_documents",
-    "q_token_stats",
-    "q_bpe_token_count",
-    "q_quality_score",
-    "q_ngram_jaccard_dedup",
-    "q_split_leakage",
-    "q_line_dedup_scrub",
-    "q_edit_severity",
-    "q_repetition_stats",
-    "q_word_freq_topk",
-    "q_bpe_merge_pairs",
-    "q_bpe_train_merges",
-    "q_bm25_topk",
-    "q_bm25_multi_topk",
-    "q_hybrid_rrf",
-    "q_corpus_diff",
-    "q_quality_percentile_filter",
-    "q_lsh_recall_audit",
-    "q_simhash_recall_audit",
-    "q_dedup_cc_audit",
-    "q_dedup_survivors_best",
-    "q_dup_source_matrix",
-    "q_ann_bucket_recall",
-    "q_lsh_pair_recall_audit",
-    # -- block 2: the 26 first r09-checked, registry-family order --------
-    "q01_text_scan_blank_filter",
-    "q02_delimited_comment_filter",
-    "q03_prompt_template_projection",
-    "q04_alpaca_projection",
-    "q05_suffix_marker_predicate",
-    "q06_regex_suffix_strip",
-    "q07_word_boundary_match",
-    "q08_comment_prefix_filter",
-    "q09b_exact_dedup_text",
-    "q10_broadcast_dim_join",
-    "q12_semi_join",
-    "q13_anti_join_manifest",
-    "q14_cross_join_grid",
-    "q14b_sweep_grid_literal",
-    "q15_range_join_price_bands",
-    "q17_left_outer_sentinel",
-    "q18_global_avg",
-    "q19_avg_of_group_min",
-    "q20_grouped_count_distinct",
-    "q21b_salted_pricing",
-    "q_salted_join_parity",
-    "q21c_percentiles",
-    "q22_length_bucket_group",
-    "q23_rollup_revenue",
-    "q27_row_number_rank",
-    "q30_orderby_limit_topk",
+    # -- block 1: the rewired persistent-IVF query family ----------------
+    "q_ivf_ann",
+    "q_embed_cosine_dedup",
+    "q_ivf_cell_assign",
+    # -- block 2: the remaining 23 r09-checked, registry-family order ----
+    "q_bpe_encode_corpus",
+    "q_contamination_check",
+    "q_corpus_profile",
+    "q_corpus_shuffle",
+    "q_cube_pricing",
+    "q_dedup_clusters",
+    "q_grouping_sets_revenue",
+    "q_lsh_precision_audit",
+    "q_media_inventory",
+    "q_mixture_allocation",
+    "q_mixture_schedule",
+    "q_pack_sequences",
+    "q_passage_dedup",
+    "q_quality_classifier",
+    "q_shard_manifest",
+    "q_stats_corr",
+    "q_stratified_split",
+    "q_tfidf_top_terms",
+    "q_token_entropy",
+    "q_unigram_logprob",
+    "q_vocab_oov_rate",
+    "q_weighted_sample",
+    "q_winnow_fingerprints",
+    # -- block 3: 24 r10-checked — kmeans family, then the core ----------
+    "q_kmeans_clusters",
+    "q_semantic_dedup",
+    "q_pca_projection",
+    "q09_exact_dedup",
+    "q11_multiway_join_revenue",
+    "q16_asof_join",
+    "q21_pricing_summary",
+    "q24_cosine_topk",
+    "q25_similarity_join",
+    "q26_retrieval_rank_detail",
+    "q26b_retrieval_rank_summary",
+    "q28_lag_prev_event",
+    "q29_sliding_frame_avg",
+    "q31_per_group_topk",
+    "q31b_collect_ordered",
+    "q32_union_all",
+    "q33_except_difference",
+    "q34_intersect",
+    "q35_tumbling_window",
+    "q35b_cascade_hourly",
+    "q36_sliding_window",
+    "q37_session_window",
+    "q_sql_region_revenue",
+    "q_upsert_latest",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -502,3 +502,56 @@ def test_query_kernel_path_bit_parity_with_fold(spark, tmp_path):
     assert sorted(
         (r.query_id, r.vec_id, r.rank, r.sim) for r in fold
     ) == sorted((r.query_id, r.vec_id, r.rank, r.sim) for r in kern)
+
+
+def test_query_duplicate_query_ids_keep_full_probe_width(spark, tmp_path):
+    """ADVICE r12: duplicate query_id rows shared one cell-rank window,
+    so each duplicate re-listed every cell and the top-n_probe rows
+    covered only ~n_probe/dups DISTINCT cells — a silent recall drop.
+    query() now collapses to one row per query_id before the centroid
+    cross-join: a retried/unioned query batch returns exactly the
+    single-copy result."""
+    store = VectorIndexStore(str(tmp_path / "ivf_dupq"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 200), k=8, iters=2)
+    q = _queries(spark, n=4)
+    dup = q.unionByName(q).unionByName(q).unionByName(q)  # 4 copies each
+
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, k=5, n_probe=2).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(dup, k=5, n_probe=2).collect()
+    )
+    assert got == want
+
+
+def test_query_row_count_cache_lifecycle(spark, tmp_path):
+    """ADVICE r12: the kernel-gate row count is computed once per index
+    state and cached on the instance — query() no longer pays one count
+    job per index part per call; add() and compact() invalidate."""
+    store = VectorIndexStore(str(tmp_path / "ivf_cache"))
+    base = _emb(spark).filter(F.col("vec_id") < 100)
+    store.build(base, k=4, iters=1)
+    assert store._n_rows_cache is None  # build()'s add() leaves it unset
+    n0 = store.vectors(spark).count()
+    q = _queries(spark, n=2)
+
+    store.query(q, k=3, n_probe=4).collect()
+    assert store._n_rows_cache == n0
+
+    extra = _emb(spark).filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    )
+    store.add(extra, batch_id="b1")
+    assert store._n_rows_cache is None  # invalidated by add
+    store.query(q, k=3, n_probe=4).collect()
+    n1 = store._n_rows_cache
+    assert n1 is not None and n1 > n0
+
+    store.remove(spark, [0])
+    store.compact(spark, n_buckets=4)
+    assert store._n_rows_cache is None  # invalidated by compact
+    store.query(q, k=3, n_probe=4).collect()
+    assert store._n_rows_cache == n1 - 1  # fold dropped the tombstoned row

@@ -349,3 +349,90 @@ def test_ingest_gate_remove_unblocks_and_compact_folds(spark, tmp_path):
         _batch(spark, [(12, BODIES[0] + " tail")]), idx, 0.5, batch_id="4"
     )
     assert kept.count() == 0 and rep.collect()[0].matched_id == 4
+
+
+def test_concurrent_tombstone_survives_compaction(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (medium): a tombstone appended AFTER compaction's
+    snapshot but before its clear must survive the clear — the old
+    whole-directory delete discarded it without ever folding it,
+    silently resurrecting the removed id. Compaction now reads and
+    deletes exactly the snapshot-time file set."""
+    import os
+
+    import biodata_pipeline_spark.operators.dedup as dd
+
+    idx = str(tmp_path / "conc_del")
+    incremental_near_dup_filter(
+        _batch(spark, [(1, BODIES[0]), (2, BODIES[1])]), idx, 0.5,
+        batch_id="0",
+    )
+    dd.remove_from_dedup_index(spark, idx, [1])  # folds this compaction
+
+    real = dd._snapshot_tombstone_files
+
+    def racy(spark_, index_dir):
+        files = real(spark_, index_dir)
+        # a concurrent remove() lands between snapshot and clear
+        dd.remove_from_dedup_index(spark_, index_dir, [2])
+        return files
+
+    monkeypatch.setattr(dd, "_snapshot_tombstone_files", racy)
+    stats = compact_dedup_index(spark, idx, n_buckets=2)
+    monkeypatch.setattr(dd, "_snapshot_tombstone_files", real)
+    assert stats["tombstones_folded"] == 1  # only doc 1's snapshot file
+
+    # the concurrent tombstone is still pending: doc 2 stays masked, so
+    # its near-dup twin is ADMITTED instead of blocked
+    assert os.path.exists(f"{idx}/tombstones")
+    kept, rep = incremental_near_dup_filter(
+        _batch(spark, [(3, BODIES[1] + " extra")]), idx, 0.5, batch_id="1"
+    )
+    assert kept.count() == 1 and rep.count() == 0
+
+    # and the NEXT compaction folds it physically
+    stats = compact_dedup_index(spark, idx, n_buckets=2)
+    assert stats["tombstones_folded"] == 1
+    assert not os.path.exists(f"{idx}/tombstones")
+    for part in ("bands", "hashes"):
+        ids = set()
+        for f in _index_component_frames(spark, idx, part):
+            ids |= {r.id for r in f.select("id").collect()}
+        assert 2 not in ids, part
+        assert 1 not in ids, part
+        assert 3 in ids, part
+
+
+def test_signature_store_tombstoned_id_invisible_both_sides(spark, tmp_path):
+    """ADVICE r12: admit() anti-joins pending tombstones on BOTH pair
+    sides — a doc re-admitted while its tombstone is pending neither
+    blocks as id_old nor is reported as id_new (removal wins until
+    compact, the visibility rule all three persistent stores share);
+    the compact's fold then drops the re-admitted rows too, and a
+    post-compact admit re-enrolls cleanly."""
+    from biodata_pipeline_spark.operators.dedup import SignatureStore
+
+    s = SignatureStore(str(tmp_path / "sig_del_sides"))
+    s.admit(
+        _batch(spark, [(5, BODIES[0]), (6, BODIES[1])]), 0.5, batch_id="0"
+    ).collect()
+    assert s.remove(spark, [5]) == 1
+
+    # re-admit 5 alongside a smaller-id twin: the (id_new=5, id_old=2)
+    # new-vs-new pair leaked through the old id_old-only filter
+    pairs = s.admit(
+        _batch(spark, [(5, BODIES[0]), (2, BODIES[0] + " tail")]),
+        0.5,
+        batch_id="1",
+    ).collect()
+    assert pairs == []
+
+    # compact drops BOTH the original and the re-admitted rows of 5;
+    # doc 2 (admitted clean) is history and reports against a new twin
+    s.compact(spark, n_buckets=2)
+    pairs = sorted(
+        (r.id_new, r.id_old)
+        for r in s.admit(
+            _batch(spark, [(7, BODIES[0])]), 0.5, batch_id="2"
+        ).collect()
+    )
+    assert pairs == [(7, 2)]
