@@ -183,3 +183,42 @@ def test_plans_md_covers_exactly_the_bench_headline():
         f"missing rows: {sorted(set(HEADLINE) - plan_keys)}; "
         f"stale rows: {sorted(plan_keys - set(HEADLINE))}"
     )
+
+
+def test_plans_md_is_fresh_for_audited_code():
+    """VERDICT r11 #1: the r10-generated plan audit silently described
+    the pre-rewire IVF plan after ann_store.py changed hours later —
+    coverage was pinned (test above) but freshness was not. PLANS.md
+    now records its generating commit; this test fails when any
+    audited code (biodata_pipeline_spark/, bench.py) changed in a
+    LATER commit, or when the stamp says the generating tree was
+    dirty, until `python tools/audit_plans.py` is rerun on a clean
+    tree. Uncommitted working-tree edits are intentionally not flagged
+    (the judged state is always a commit; flagging transient edits
+    would make every dev loop red)."""
+    import re
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    text = (repo / "PLANS.md").read_text()
+    m = re.search(r"Generated at commit `([0-9a-f]{7,40})` \(([^)]*)\)", text)
+    assert m, (
+        "PLANS.md lacks its generating-commit stamp — rerun "
+        "tools/audit_plans.py"
+    )
+    commit, tree = m.groups()
+    assert tree == "clean tree", (
+        f"PLANS.md was generated on a {tree}: the stamp does not "
+        "identify the audited code — commit first, then rerun "
+        "tools/audit_plans.py"
+    )
+    drift = subprocess.run(
+        ["git", "diff", "--name-only", commit, "HEAD", "--",
+         "biodata_pipeline_spark", "bench.py"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    assert not drift, (
+        f"PLANS.md (generated at {commit[:12]}) predates committed "
+        f"changes to {drift}; rerun tools/audit_plans.py"
+    )

@@ -116,9 +116,78 @@ def sweep(n: int = 200_000) -> None:
     print(json.dumps({"probe": "ann_sweep", "n": n, "rows": rows}))
 
 
+def calibrate(n: int = 1_000_000, target: float = 0.9) -> None:
+    """measured_n_probe on the ladder corpus (VERDICT r11 #6): the
+    setting a user would actually ship. Builds the n-vector store
+    (k=64, sample-trained), runs the measured calibration at the
+    target, and reports the returned n_probe, the measured walk (each
+    power-of-two step's recall), the conservative recommended_n_probe
+    bound it must sit at-or-under, and the store's recall@10 at the
+    returned setting against exact brute force on the SAME query set
+    the calibration saw."""
+    from biodata_pipeline_spark.operators.ann_store import (
+        measured_n_probe,
+        recommended_n_probe,
+    )
+    from biodata_pipeline_spark.operators.similarity import brute_force_ann
+
+    spark = get_spark("probe-ann-calibrate")
+    base = synth_vecs(spark, n).localCheckpoint()
+    q = synth_vecs(spark, 32, id_base=20_000_000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    ).localCheckpoint()
+    path = tempfile.mkdtemp(prefix="anncal_")
+    shutil.rmtree(path)
+    store = VectorIndexStore(path)
+    t0 = time.time()
+    store.build(base, k=K_CELLS, iters=2, train_sample=25_000)
+    build_secs = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_probe = measured_n_probe(store, q, target_recall=target, k=10)
+    cal_secs = round(time.time() - t0, 2)
+    bound = recommended_n_probe(K_CELLS, target)
+
+    # independent recall check at the returned setting: IVF hits vs
+    # exact brute force (measured_n_probe's own truth is the n_probe =
+    # n_cells exhaustive ranking, identical by the exhaustive-exact
+    # contract — this re-derives it from the other implementation)
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_ann(q, base, 10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in store.query(q, k=10, n_probe=n_probe).collect()
+    }
+    recall = round(len(got & exact) / len(exact), 4)
+    print(
+        json.dumps(
+            {
+                "probe": "ann_calibrate",
+                "n": n,
+                "k_cells": K_CELLS,
+                "target_recall": target,
+                "measured_n_probe": n_probe,
+                "recommended_bound": bound,
+                "recall_at_returned_setting": recall,
+                "build_secs": build_secs,
+                "calibrate_secs": cal_secs,
+            }
+        )
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     if sys.argv[1:2] == ["--sweep"]:
         sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+        return
+    if sys.argv[1:2] == ["--calibrate"]:
+        calibrate(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            float(sys.argv[3]) if len(sys.argv) > 3 else 0.9,
+        )
         return
     sizes = [int(s) for s in sys.argv[1:]] or [20_000, 200_000, 1_000_000]
     spark = get_spark("probe-ann-store")

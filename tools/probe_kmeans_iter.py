@@ -61,10 +61,16 @@ def main() -> None:
 
     spark = get_spark()
     src = "/root/repo/.scale_test100/embeddings.parquet"
+    # the replica's vec_ids are key-shifted (sparse) — take the first n
+    # in id order rather than filtering an id range; re-spread after the
+    # limit (GlobalLimit collapses to ONE partition, which would
+    # single-thread every downstream stage)
     df = (
         spark.read.parquet(src)
-        .filter(F.col("vec_id") < n)
         .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n)
+        .repartition(32)
         .persist()
     )
     n_actual = df.count()

@@ -42,7 +42,6 @@ N_PROBE = 4
 BASE_N = 20_000
 N_QUERIES = 20
 WORK_DIR = ".probe_vector_ingest"
-CHECKPOINT_BATCHES = (1, 50, 100)
 
 
 def synth_vecs(spark, n: int, id_base: int = 0):
@@ -90,6 +89,11 @@ def gen_batches(spark, input_dir: str, n_batches: int, per_batch: int) -> None:
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    # search-latency checkpoints scale with the run length (the r12
+    # 5k/50k-batch throughput runs use 10-20 batches, not 100)
+    checkpoint_batches = tuple(
+        sorted({1, max(1, n_batches // 2), n_batches})
+    )
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     dirs = {
         k: os.path.join(WORK_DIR, k)
@@ -134,7 +138,7 @@ def main() -> None:
             batch_df, batch_id, dirs["index"], dirs["report"], DIM
         )
         latencies.append(time.time() - t0)
-        if len(latencies) in CHECKPOINT_BATCHES:
+        if len(latencies) in checkpoint_batches:
             secs, _ = timed_query()
             query_points[len(latencies)] = secs
             print(
