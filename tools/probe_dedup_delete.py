@@ -59,7 +59,7 @@ def synth_docs(spark, n: int, doc_base: int = 0,
             F.lit("w"), F.pmod(F.xxhash64(cid, j), F.lit(VOCAB)).cast("string")
         ),
     )
-    text = F.concat(F.array_join(words, F.lit(" ")), F.lit(suffix))
+    text = F.concat(F.array_join(words, " "), F.lit(suffix))
     return spark.range(n).select(
         (F.col("id") + doc_base).alias("doc_id"), text.alias("text")
     ).repartition(32)
@@ -67,13 +67,16 @@ def synth_docs(spark, n: int, doc_base: int = 0,
 
 def probe_batch(spark, tag: int, n_twins: int = 5_000, n_novel: int = 5_000):
     """Fixed-shape admission batch: n_twins near-dups of enrolled
-    contents [0, n_twins) + n_novel novel docs. ``tag`` shifts the doc
-    ids and the novel content range so successive batches are disjoint
-    but identically shaped."""
+    contents [tag*10000, tag*10000+n_twins) + n_novel novel docs.
+    ``tag`` shifts the doc ids AND both content ranges so successive
+    batches are disjoint but identically shaped — in particular no
+    timed batch touches contents 0/1, which the behavior spot-check
+    reserves (a twin admitted by an earlier batch would otherwise
+    legitimately block the spot twin and fake a deletion bug)."""
     twins = synth_docs(
         spark, n_twins,
         doc_base=100_000_000 + tag * 1_000_000,
-        content_base=0,
+        content_base=tag * 10_000,
         suffix=" tailword",
     )
     novel = synth_docs(
@@ -123,6 +126,10 @@ def main() -> None:
     remove_secs = round(time.time() - t0, 2)
 
     pend_secs, pend_kept, pend_dropped = timed_admit(2)
+    # a SECOND pending-phase admit separates a structural tombstone
+    # cost (both slow) from the interpreted-HOF JIT bimodality the q26b
+    # probe documented (one-off deopt storm → second run near baseline)
+    pend2_secs, pend2_kept, pend2_dropped = timed_admit(4)
 
     # behavior spot: twin of tombstoned content 0 admits; twin of live
     # content 1 blocks
@@ -152,12 +159,14 @@ def main() -> None:
                 "admit_secs_baseline": base_secs,
                 "remove_secs": remove_secs,
                 "admit_secs_pending_tombstones": pend_secs,
+                "admit_secs_pending_tombstones_2nd": pend2_secs,
                 "compact_secs_with_fold": compact_secs,
                 "admit_secs_post_compact": post_secs,
                 "tombstones_folded": stats.get("tombstones_folded"),
                 "admit_shape": {
                     "baseline": [base_kept, base_dropped],
                     "pending": [pend_kept, pend_dropped],
+                    "pending_2nd": [pend2_kept, pend2_dropped],
                     "post_compact": [post_kept, post_dropped],
                 },
             }

@@ -77,6 +77,11 @@ def main() -> None:
             walls.append(time.time() - t0)
         return round(min(walls), 2), got
 
+    # untimed warm-up: the FIRST query on a fresh store pays Arrow
+    # spin-up + the interpreted/JIT warm-up (r12: at 1M the cold first
+    # pass read 57.9 s vs 5.3 s warm — attributing that to "baseline"
+    # made the pending-tombstone query look FASTER than no-tombstones)
+    timed_query()
     q_before, hits_before = timed_query()
 
     # delete pct% of the corpus, including some vectors that were hits
