@@ -429,6 +429,30 @@ def classify_anchor(
     return "inconclusive"
 
 
+def wait_for_idle(
+    ncpu: int,
+    target_load1_per_cpu: float = 0.15,
+    max_wait_sec: float = 120.0,
+    poll_sec: float = 5.0,
+    _getloadavg=None,
+    _sleep=None,
+) -> bool:
+    """Block (bounded) until the 1-min loadavg drains below
+    ``target_load1_per_cpu`` — the anchor's pre-condition. Returns
+    whether the target was reached; on timeout the anchor proceeds and
+    its recorded loadavg/calibration still witness the contention.
+    ``_getloadavg``/``_sleep`` are test seams."""
+    getloadavg = _getloadavg or os.getloadavg
+    sleep = _sleep or time.sleep
+    waited = 0.0
+    while getloadavg()[0] / ncpu > target_load1_per_cpu:
+        if waited >= max_wait_sec:
+            return False
+        sleep(poll_sec)
+        waited += poll_sec
+    return True
+
+
 def anchor_drifted(
     timings: dict[str, float], prev_queries: dict[str, float], sf_dir: str
 ) -> dict | None:
@@ -460,6 +484,14 @@ def anchor_drifted(
         return None
     keys = [k for _, k in drifted]
     ncpu = os.cpu_count() or 1
+    # settle before anchoring (r12): the anchor runs right after the
+    # main run's 32-thread batches, and the residual load inflated a
+    # quiet-host 1.14x into a 1.75x "regression" verdict (the 5 r12
+    # anchor keys re-ran at 2.81 s on a genuinely idle host vs the
+    # anchor's 4.33 s ten minutes earlier — same code, same keys). The
+    # anchor's entire value is an idle-style measurement, so wait
+    # (bounded) for the 1-min loadavg to drain before calibrating.
+    settled = wait_for_idle(ncpu)
     load_before = os.getloadavg()
     cal_before = calibrate_host()
     env = dict(os.environ)
@@ -510,6 +542,7 @@ def anchor_drifted(
         "ncpu": ncpu,
         "calibration_sec": {"before": cal_before, "after": cal_after},
         "calibration_factor_vs_idle": cal_factor,
+        "settled_before_anchor": settled,
         "verdict": classify_anchor(
             main_total, fresh_total, prev_total, cal_factor, load1_per_cpu
         ),

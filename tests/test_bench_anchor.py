@@ -127,3 +127,33 @@ class TestPrevBenchNonce:
 def test_calibrate_host_returns_positive_seconds():
     sec = bench.calibrate_host()
     assert 0.01 < sec < 120.0
+
+
+def test_wait_for_idle_drains_then_returns_true():
+    """r12: the anchor false-positived a 1.14x quiet-host result into a
+    1.75x "regression" because it calibrated while the main run's
+    32-thread load was still draining. wait_for_idle polls the 1-min
+    loadavg down to the target before the anchor calibrates."""
+    from bench import wait_for_idle
+
+    loads = iter([(8.0, 9.0, 9.0), (6.0, 8.0, 9.0), (5.1, 7.0, 9.0),
+                  (0.9, 6.0, 9.0)])
+    slept = []
+    ok = wait_for_idle(
+        32,
+        _getloadavg=lambda: next(loads),
+        _sleep=slept.append,
+    )
+    assert ok and len(slept) == 3  # polled until 0.9/32 < 0.15
+
+
+def test_wait_for_idle_times_out_under_persistent_load():
+    from bench import wait_for_idle
+
+    ok = wait_for_idle(
+        32,
+        max_wait_sec=20.0,
+        _getloadavg=lambda: (30.0, 30.0, 30.0),
+        _sleep=lambda s: None,
+    )
+    assert not ok  # anchor proceeds; recorded loadavg witnesses it
