@@ -500,16 +500,15 @@ def cross_split_leakage_lsh(
     base = register_cached(
         shingle_hash_table(rep_docs, "id", "text", n).persist()
     )
-    sig = base.join(reps.select("id", "__is_test"), "id").withColumn(
-        "sig", minhash_signature_from("hs", num_hashes)
-    )
     bands = register_cached(
-        sig.select(
-            "id",
-            "__is_test",
-            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
-                "band", "bucket"
-            ),
+        minhash_band_rows(
+            base.join(reps.select("id", "__is_test"), "id"),
+            num_hashes,
+            n_bands,
+            extra_cols=("__is_test",),
+            # base is persisted and one row per rep doc: its count gates
+            # the kernel without re-running the split join
+            n_rows=base.count(),
         ).persist()
     )
     bands = prune_mega_buckets(bands, max_bucket)
@@ -1075,6 +1074,136 @@ def minhash_signature(text_col, n: int = 3, num_hashes: int = 32) -> F.Column:
     return minhash_signature_from(shingle_hashes(token_shingles(text_col, n)), num_hashes)
 
 
+# Above this many shingle-table rows the banding stage runs in the Arrow
+# XXH64 kernel instead of the interpreted JVM HOF fold (see
+# minhash_band_rows).
+MINHASH_KERNEL_THRESHOLD = 100_000
+
+
+def minhash_band_rows(
+    base: DataFrame,
+    num_hashes: int,
+    n_bands: int,
+    extra_cols: tuple[str, ...] = (),
+    n_rows: int | None = None,
+) -> DataFrame:
+    """``(id[, extra...], band, bucket)`` from a shingle-hash table
+    ``(id, hs[, extra...])`` — the banding stage every MinHash consumer
+    shares (dup pairs, split-leakage guard, ingest gate, SignatureStore).
+
+    Below ``MINHASH_KERNEL_THRESHOLD`` rows this is the JVM expression
+    pair ``minhash_signature_from`` + ``band_buckets_expr`` under
+    ``posexplode`` (no Arrow spin-up for small batches, and the declared
+    sf0.01 queries keep their all-JVM plans). Above the gate it is a
+    vectorized Arrow XXH64 kernel emitting the IDENTICAL rows
+    (bit-parity pinned in tests/test_dedup.py: Spark's xxhash64 is
+    reproduced exactly by functions/xxh64.py, the per-lane min over
+    signed longs is numpy's segment min, and the band hash folds the
+    same arg order) — the signature fold is a CodegenFallback chain,
+    interpreted per element, and it is the stage behind the 28× JIT
+    bimodality outlier measured on a 1M-doc ingest-gate admit
+    (SCALING r12). ``n_rows`` feeds the gate; ``None`` counts ``base``
+    (one job — every caller holds it persisted, so the count is the
+    materialization a first consumer pays anyway)."""
+    if num_hashes % n_bands:
+        raise ValueError("num_hashes must divide evenly into n_bands")
+    r = num_hashes // n_bands
+    if n_rows is None:
+        n_rows = base.count()
+    if n_rows <= MINHASH_KERNEL_THRESHOLD:
+        sig = base.withColumn(
+            "sig", minhash_signature_from("hs", num_hashes)
+        )
+        return sig.select(
+            "id",
+            *extra_cols,
+            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
+                "band", "bucket"
+            ),
+        )
+    return _minhash_band_rows_kernel(base, num_hashes, n_bands, extra_cols)
+
+
+def _minhash_band_rows_kernel(
+    base: DataFrame,
+    num_hashes: int,
+    n_bands: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow twin of the JVM banding expressions (see minhash_band_rows).
+
+    Vectorization shape: the shingle-hash lists flatten to ONE array per
+    Arrow batch; the long-fold ``hash_long(h, 42)`` is computed once and
+    shared by all lanes (the JVM evaluates it per lane inside
+    ``xxhash64(h, i)`` — same value, this is pure CSE); each lane then
+    pays one ``hash_int`` over the flat array plus one segmented min
+    (``np.minimum.reduceat`` over the int64 VIEW — signed min, exactly
+    ``array_min<bigint>``); band buckets chain ``hash_int(band)`` then
+    ``hash_long`` over the r signature columns in argument order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from biodata_pipeline_spark.functions import xxh64
+
+    r = num_hashes // n_bands
+    in_fields = {f.name: f for f in base.schema.fields}
+    carry = ["id", *extra_cols]
+    out_schema = StructType(
+        [in_fields[c] for c in carry]
+        + [StructField("band", IntegerType()), StructField("bucket", LongType())]
+    )
+
+    def kern(it):
+        with np.errstate(over="ignore"):
+            for pdf in it:
+                n = len(pdf)
+                if not n:
+                    out = {c: pdf[c] for c in carry}
+                    out["band"] = pd.Series([], dtype="int32")
+                    out["bucket"] = pd.Series([], dtype="int64")
+                    yield pd.DataFrame(out)
+                    continue
+                hs_lists = pdf["hs"].tolist()
+                lens = np.fromiter(
+                    (len(h) for h in hs_lists), dtype=np.int64, count=n
+                )
+                # shingle_hash_table's text-level guard never emits an
+                # empty set; enforce the contract instead of replicating
+                # NULL-min semantics (an empty-hs row would otherwise
+                # band on xxhash64(b) constants and join EVERYTHING)
+                if not lens.all():
+                    raise ValueError(
+                        "empty shingle-hash set reached the banding kernel"
+                    )
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in hs_lists]
+                ).astype(np.uint64)
+                offsets = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                h1 = xxh64.hash_long(flat, xxh64.SEED)  # shared long fold
+                sig = np.empty((n, num_hashes), dtype=np.int64)
+                for i in range(num_hashes):
+                    lane = xxh64.hash_int(i, h1).view(np.int64)
+                    sig[:, i] = np.minimum.reduceat(lane, offsets)
+                buckets = np.empty((n, n_bands), dtype=np.int64)
+                for b in range(n_bands):
+                    hb = xxh64.hash_int(b, xxh64.SEED)
+                    for j in range(r):
+                        hb = xxh64.hash_long(
+                            sig[:, b * r + j].astype(np.uint64), hb
+                        )
+                    buckets[:, b] = hb.view(np.int64)
+                out = pdf.iloc[np.repeat(np.arange(n), n_bands)][
+                    carry
+                ].reset_index(drop=True)
+                out["band"] = np.tile(np.arange(n_bands, dtype=np.int32), n)
+                out["bucket"] = buckets.reshape(-1)
+                yield out
+
+    return base.select(*carry, "hs").mapInPandas(kern, out_schema)
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -1109,24 +1238,20 @@ def minhash_lsh_dup_pairs(
     base = register_cached(
         shingle_hash_table(distinct, id_col, text_col, n).persist()
     )
-    sig = base.withColumn("sig", minhash_signature_from("hs", num_hashes))
     # Band buckets hash the r signature longs directly (multi-arg xxhash64,
     # band index as the first arg) — no string assembly. Only (id, band,
     # bucket) flows into the self-join shuffle; the shingle-hash arrays
     # rejoin after candidate dedup, so they are shuffled once, not n_bands×.
-    # Persisted: the signature pass (32 interpreted xxhash64 lanes per
-    # shingle — the most expensive map stage here) has THREE consumers:
+    # Persisted: the signature pass (32 xxhash64 lanes per shingle — the
+    # most expensive map stage here) has THREE consumers:
     # prune_mega_buckets' size aggregation and both aliases of the
     # candidate self-join. Unpersisted, Spark recomputes it per consumer
     # (measured 3× the signature cost at sf0.1); the cached frame is just
     # (id, band, bucket) longs — tiny relative to the shingle table.
+    # Above MINHASH_KERNEL_THRESHOLD rows the stage runs in the Arrow
+    # XXH64 kernel (r12 — bit-identical rows, no interpreted HOF fold).
     bands = register_cached(
-        sig.select(
-            "id",
-            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
-                "band", "bucket"
-            ),
-        ).persist()
+        minhash_band_rows(base, num_hashes, n_bands).persist()
     )
     bands = prune_mega_buckets(bands, max_bucket)
     cands = (
@@ -1361,15 +1486,14 @@ class SignatureStore:
         return f"{self.path}/shingles"
 
     def _state_for(self, df: DataFrame, id_col: str, text_col: str):
-        r = self.num_hashes // self.n_bands
-        base = shingle_hash_table(df, id_col, text_col, self.n)
-        sig = base.withColumn("sig", minhash_signature_from("hs", self.num_hashes))
-        bands = sig.select(
-            "id",
-            F.posexplode(band_buckets_expr("sig", self.n_bands, r)).alias(
-                "band", "bucket"
-            ),
+        # the shingle table is persisted HERE (not just by admit's later
+        # register_cached of the returned frames) so minhash_band_rows'
+        # kernel-gate count materializes it once instead of recomputing
+        # the tokenize+shingle pass for the bands plan
+        base = register_cached(
+            shingle_hash_table(df, id_col, text_col, self.n).persist()
         )
+        bands = minhash_band_rows(base, self.num_hashes, self.n_bands)
         return base.select("id", "hs"), bands
 
     def admit(
@@ -2043,14 +2167,8 @@ def incremental_near_dup_filter(
     base = register_cached(
         shingle_hash_table(distinct, id_col, text_col, n).persist()
     )
-    sig = base.withColumn("sig", minhash_signature_from("hs", num_hashes))
     bands = register_cached(
-        sig.select(
-            "id",
-            F.posexplode(band_buckets_expr("sig", n_bands, r)).alias(
-                "band", "bucket"
-            ),
-        ).persist()
+        minhash_band_rows(base, num_hashes, n_bands).persist()
     )
     bands = prune_mega_buckets(bands, max_bucket)
 

@@ -894,3 +894,108 @@ def test_signature_store_remove_unblocks_and_compact_folds(spark, tmp_path):
         ["doc_id", "text"],
     )
     assert store.admit(twin, threshold=0.5, batch_id="4").count() >= 1
+
+
+class TestXXH64Kernel:
+    """r12: the banding stage's Arrow XXH64 kernel must be bit-identical
+    to the JVM expressions it replaces above MINHASH_KERNEL_THRESHOLD —
+    the precondition for removing the interpreted HOF fold (the stage
+    behind the 28x JIT-bimodality outlier at the 1M-doc rung) without
+    changing one emitted row."""
+
+    # adversarial longs: zero, +-1, extremes, sign boundaries
+    VALS = [0, 1, -1, 42, 2**62, -(2**62), 2**63 - 1, -(2**63),
+            123456789123456789, -987654321987654321]
+
+    def test_xxh64_long_int_parity_with_jvm(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from biodata_pipeline_spark.functions import xxh64
+
+        df = spark.createDataFrame([(v,) for v in self.VALS], "h long")
+        arr = np.array(self.VALS, dtype=np.int64)
+        for i in (0, 1, 7, 31):
+            jvm = [r[0] for r in df.select(F.expr(f"xxhash64(h, {i})")).collect()]
+            with np.errstate(over="ignore"):
+                got = list(xxh64.xxhash64_long_int(arr, i).view(np.int64))
+            assert got == jvm, f"lane {i}"
+
+    def test_xxh64_band_chain_parity_with_jvm(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from biodata_pipeline_spark.functions import xxh64
+
+        rows = list(zip(self.VALS, reversed(self.VALS), self.VALS[1:] + [7]))
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        cols = [np.array([r[i] for r in rows], dtype=np.int64) for i in range(3)]
+        for band in (0, 3, 7):
+            jvm = [
+                r[0]
+                for r in df.select(F.expr(f"xxhash64({band}, a, b, c)")).collect()
+            ]
+            with np.errstate(over="ignore"):
+                got = list(
+                    xxh64.xxhash64_int_then_longs(band, cols).view(np.int64)
+                )
+            assert got == jvm, f"band {band}"
+
+    def test_band_rows_kernel_parity_on_real_docs(self, spark, sf_dir):
+        """Exact (id, band, bucket) row-set equality, kernel vs JVM, on
+        the sf documents corpus — signatures, minima, and band hashes
+        all bit-equal or this fails."""
+        from biodata_pipeline_spark.operators.dedup import (
+            _minhash_band_rows_kernel,
+            minhash_band_rows,
+            shingle_hash_table,
+        )
+        from biodata_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(300)
+        base = shingle_hash_table(docs, "doc_id", "text", 3).persist()
+        jvm = minhash_band_rows(base, 32, 8, n_rows=1)  # force JVM path
+        kern = _minhash_band_rows_kernel(base, 32, 8)
+        jvm_rows = sorted((r.id, r.band, r.bucket) for r in jvm.collect())
+        kern_rows = sorted((r.id, r.band, r.bucket) for r in kern.collect())
+        base.unpersist()
+        assert len(jvm_rows) == 300 * 8
+        assert jvm_rows == kern_rows
+
+    def test_band_rows_kernel_carries_extra_cols(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from biodata_pipeline_spark.operators.dedup import (
+            _minhash_band_rows_kernel,
+            minhash_band_rows,
+            shingle_hash_table,
+        )
+        from biodata_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        base = shingle_hash_table(docs, "doc_id", "text", 3).withColumn(
+            "flag", F.col("id") % 2 == 0
+        ).persist()
+        jvm = minhash_band_rows(base, 16, 4, extra_cols=("flag",), n_rows=1)
+        kern = _minhash_band_rows_kernel(base, 16, 4, extra_cols=("flag",))
+        assert sorted(
+            (r.id, r.flag, r.band, r.bucket) for r in jvm.collect()
+        ) == sorted((r.id, r.flag, r.band, r.bucket) for r in kern.collect())
+        base.unpersist()
+
+    def test_lsh_pairs_identical_across_the_kernel_gate(self, spark, monkeypatch):
+        """End-to-end: minhash_lsh_dup_pairs emits the identical pair set
+        with the gate forced to the kernel path."""
+        import biodata_pipeline_spark.operators.dedup as dd
+
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        want = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_dup_pairs(docs, 0.5).collect()
+        )
+        monkeypatch.setattr(dd, "MINHASH_KERNEL_THRESHOLD", 0)
+        got = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.minhash_lsh_dup_pairs(docs, 0.5).collect()
+        )
+        assert got == want and len(want) >= 2
