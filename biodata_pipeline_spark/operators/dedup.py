@@ -495,6 +495,9 @@ def cross_split_leakage_lsh(
         F.col("__rn") == 1
     )
     rep_docs = flagged.join(reps.select("id"), "id", "left_semi")
+    # one cheap upper-bound count gates BOTH Arrow kernels (shingle +
+    # banding) — parquet-backed counts are footer-metadata jobs
+    n_docs = df.count()
     # shingle-hash table persisted: feeds the signature pass AND both
     # sides of candidate verification (three consumers)
     base = register_cached(
@@ -506,9 +509,7 @@ def cross_split_leakage_lsh(
             num_hashes,
             n_bands,
             extra_cols=("__is_test",),
-            # base is persisted and one row per rep doc: its count gates
-            # the kernel without re-running the split join
-            n_rows=base.count(),
+            n_rows=n_docs,
         ).persist()
     )
     bands = prune_mega_buckets(bands, max_bucket)
@@ -979,6 +980,14 @@ def shingle_hash_table(
     once, then n consecutive token hashes combine via one multi-arg
     xxhash64.
 
+    Deliberately JVM-only (r12 measured negative): an Arrow twin of
+    this stage — python tokenize + vectorized UTF-8 XXH64, bit-parity
+    proven — ran 2.6× SLOWER than these interpreted HOFs at equal
+    32-way parallelism (0.94 s vs 2.5 s per 500k docs; SCALING r12),
+    because regex tokenization and per-token encode stay Python-bound
+    where the JIT-compiled fold is branch-light. The banding stage is
+    where the kernel wins (see ``minhash_band_rows``).
+
     The token-hash array must be evaluated once per row, but aliasing it in
     a separate projection doesn't guarantee that — CollapseProject inlines
     it per reference, re-tokenizing the text for every F.get (measured 5×
@@ -1231,6 +1240,9 @@ def minhash_lsh_dup_pairs(
         raise ValueError("num_hashes must divide evenly into n_bands")
     r = num_hashes // n_bands
     distinct, exact_edges = collapse_exact(df, id_col, text_col)
+    # one cheap upper-bound count (raw input, footer-metadata on
+    # parquet) gates both Arrow kernels below
+    n_docs = df.count()
     # Shingle-hash table computed once and persisted: it feeds the
     # signature/banding pass AND both sides of candidate verification (three
     # consumers — without the persist the tokenize+shingle pass runs 3×).
@@ -1251,7 +1263,7 @@ def minhash_lsh_dup_pairs(
     # Above MINHASH_KERNEL_THRESHOLD rows the stage runs in the Arrow
     # XXH64 kernel (r12 — bit-identical rows, no interpreted HOF fold).
     bands = register_cached(
-        minhash_band_rows(base, num_hashes, n_bands).persist()
+        minhash_band_rows(base, num_hashes, n_bands, n_rows=n_docs).persist()
     )
     bands = prune_mega_buckets(bands, max_bucket)
     cands = (
@@ -1486,14 +1498,17 @@ class SignatureStore:
         return f"{self.path}/shingles"
 
     def _state_for(self, df: DataFrame, id_col: str, text_col: str):
-        # the shingle table is persisted HERE (not just by admit's later
-        # register_cached of the returned frames) so minhash_band_rows'
-        # kernel-gate count materializes it once instead of recomputing
-        # the tokenize+shingle pass for the bands plan
+        # one cheap input count gates both Arrow kernels; the shingle
+        # table is persisted HERE (not just by admit's later
+        # register_cached of the returned frames) so its three
+        # consumers share one materialization
+        n_docs = df.count()
         base = register_cached(
             shingle_hash_table(df, id_col, text_col, self.n).persist()
         )
-        bands = minhash_band_rows(base, self.num_hashes, self.n_bands)
+        bands = minhash_band_rows(
+            base, self.num_hashes, self.n_bands, n_rows=n_docs
+        )
         return base.select("id", "hs"), bands
 
     def admit(
@@ -2164,11 +2179,12 @@ def incremental_near_dup_filter(
     spark = new_docs.sparkSession
 
     distinct, exact_edges = collapse_exact(new_docs, id_col, text_col)
+    n_docs = new_docs.count()  # cheap upper bound gating both kernels
     base = register_cached(
         shingle_hash_table(distinct, id_col, text_col, n).persist()
     )
     bands = register_cached(
-        minhash_band_rows(base, num_hashes, n_bands).persist()
+        minhash_band_rows(base, num_hashes, n_bands, n_rows=n_docs).persist()
     )
     bands = prune_mega_buckets(bands, max_bucket)
 
