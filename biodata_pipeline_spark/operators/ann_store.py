@@ -398,7 +398,7 @@ class VectorIndexStore:
         dead = tomb.select(F.col("id").alias(id_name)).distinct()
         return df.join(dead, id_name, "left_anti")
 
-    def compact(self, spark, n_buckets: int = 16) -> dict:
+    def compact(self, spark, n_buckets: int | None = None) -> dict:
         """Fold per-batch assignment appends into ONE bucketed table on
         (cell) — bounded file count, shuffle-free probe join past the
         broadcast threshold. Same contract as the dedup index: run

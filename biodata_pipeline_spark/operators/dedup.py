@@ -1620,7 +1620,7 @@ class SignatureStore:
     def _tombstones(self, spark) -> DataFrame | None:
         return _read_index_delta(spark, self.path, "tombstones")
 
-    def compact(self, spark, n_buckets: int = 16) -> dict:
+    def compact(self, spark, n_buckets: int | None = None) -> dict:
         """Fold this store's per-batch appends into bucketed tables —
         ``compact_dedup_index`` with this store's layout (``bands`` on
         (band, bucket), ``shingles`` on (id)). Same contract: run
@@ -1873,7 +1873,7 @@ def _index_component_frames(
 def compact_dedup_index(
     spark,
     index_dir: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     parts: dict[str, list[str]] | None = None,
     transforms: dict | None = None,
 ) -> dict:
@@ -1922,6 +1922,17 @@ def compact_dedup_index(
     clears them (the previous version's table files stay orphaned on
     disk in that window; storage-only, never read).
     """
+    if n_buckets is None:
+        # core-count-aware default (r12): the bucket count caps BOTH the
+        # compaction write's task parallelism (the pre-partition means
+        # exactly n_buckets writing tasks) and every later scan of the
+        # compacted table (one file per bucket). Measured at 1M vectors:
+        # 16 buckets on a 32-core host cost 19.5 s to compact and 6.8 s
+        # per warm post-compact query vs 3.2 s / 3.2 s at 32 — the fold
+        # was literally half-idle. The floor keeps tiny test stores from
+        # fragmenting; on a cluster defaultParallelism is the executor
+        # core count, which is exactly the scan width you want.
+        n_buckets = max(16, spark.sparkContext.defaultParallelism)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     # Qualify the index dir to an absolute URI FIRST: Spark resolves a
