@@ -163,7 +163,7 @@ def main() -> None:
 
     _, before = timed_query()
     t0 = time.time()
-    compact_stats = store.compact(spark, n_buckets=16)
+    compact_stats = store.compact(spark)  # core-count-aware default (r12)
     compact_secs = round(time.time() - t0, 2)
     post_secs, after = timed_query()
     assert after == before, "query decisions diverged across the compaction fold"
