@@ -379,6 +379,162 @@ def q_approx_count_distinct(spark, sf_dir):
 
 EMB_DIM = 64
 
+# --- product quantization (operators/pq.py) ---------------------------------
+PQ_QUERIES_N = 5       # declared top-k queries (q24's slice)
+PQ_AUDIT_QUERIES = 100  # recall-audit query sample (the ANN-audit size)
+PQ_REFINE = 4           # refined variant rescores top refine*k exactly
+PQ_TOPK = 10
+
+
+def _pq_corpus(spark, sf_dir):
+    """The PQ geometry contract: non-null, full-dim vectors only."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM))
+        .select("vec_id", "embedding")
+    )
+
+
+def _pq_queries(corpus, n):
+    return corpus.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes for every vector: 4 subspace codebooks
+    (16 codewords × 16 dims each) trained by the engine's deterministic
+    per-subspace k-means, encoded in ONE Arrow-kernel pass — 16 bits of
+    code replacing 256 bytes of float, the compressed representation the
+    ADC queries score against. The hash check replays the whole fit +
+    encode in DuckDB (four prefixed Lloyd chains), so it pins the
+    kernel's argmin/tie-break parity cross-engine."""
+    from biodata_pipeline_spark.operators.pq import (
+        PQ_M,
+        pq_encode_kernel,
+        pq_fit,
+    )
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        books = pq_fit(emb)
+        codes = pq_encode_kernel(emb, books)
+        return codes.select(
+            "vec_id",
+            *[
+                F.element_at("codes", j + 1).alias(f"code{j}")
+                for j in range(PQ_M)
+            ],
+        )
+
+    return _empty_fallback(
+        spark, build,
+        "vec_id long, code0 int, code1 int, code2 int, code3 int",
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 for the first 5 queries: candidates
+    scored from their 4-code representation alone (LUT kernel — m table
+    lookups per candidate, never the stored floats). The approximate
+    twin of q24_cosine_topk; sim is the ADC estimate."""
+    from biodata_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode_kernel,
+        pq_fit,
+    )
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        books = pq_fit(emb)
+        codes = pq_encode_kernel(emb, books)
+        return pq_adc_topk(
+            _pq_queries(emb, PQ_QUERIES_N), codes, books, PQ_TOPK,
+            use_kernel=True,
+        )
+
+    return _empty_fallback(
+        spark, build, "query_id long, vec_id long, rank int, sim double"
+    )
+
+
+def q_pq_ann_refined(spark, sf_dir):
+    """ADC candidates exact-refined: the top refine·k=40 code-scored
+    candidates per query are re-scored against their true vectors and
+    re-ranked — the standard PQ recall repair, touching 40 full vectors
+    per query instead of the corpus. sim is the exact cosine."""
+    from biodata_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode_kernel,
+        pq_fit,
+    )
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        books = pq_fit(emb)
+        codes = pq_encode_kernel(emb, books)
+        return pq_adc_topk(
+            _pq_queries(emb, PQ_QUERIES_N), codes, books, PQ_TOPK,
+            refine=PQ_REFINE, vectors=emb, use_kernel=True,
+        )
+
+    return _empty_fallback(
+        spark, build, "query_id long, vec_id long, rank int, sim double"
+    )
+
+
+def q_pq_recall_audit(spark, sf_dir):
+    """Measured recall@10 of the PQ paths vs exact cosine ground truth
+    over a 100-query sample — the honesty row for the compressed
+    representation (the LSH/SimHash audit discipline): 16-bit codes on
+    a structure-free uniform corpus are the documented worst case, and
+    this query records exactly what that costs, per variant (codes-only
+    ADC vs exact-refined)."""
+    from biodata_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode_kernel,
+        pq_fit,
+    )
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        books = pq_fit(emb)
+        codes = pq_encode_kernel(emb, books)
+        queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
+        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
+            "query_id", "vec_id"
+        ).localCheckpoint()  # reused by both variants + the denominator
+        n_truth = exact.count()
+        out = []
+        for variant, kwargs in (
+            ("adc", {}),
+            ("refined", {"refine": PQ_REFINE, "vectors": emb}),
+        ):
+            got = pq_adc_topk(
+                queries, codes, books, PQ_TOPK, use_kernel=True, **kwargs
+            ).select("query_id", "vec_id")
+            out.append(
+                exact.join(got, ["query_id", "vec_id"])
+                .agg(F.count("*").alias("n_hits"))
+                .select(
+                    F.lit(variant).alias("variant"),
+                    "n_hits",
+                    F.round(F.col("n_hits") / F.lit(n_truth), 4).alias(
+                        "recall"
+                    ),
+                )
+            )
+        return out[0].unionByName(out[1])
+
+    return _empty_fallback(
+        spark, build, "variant string, n_hits long, recall double"
+    )
+
 
 def q_embedding_validate(spark, sf_dir):
     """Embedding ingest gate census: classify every vector into its
@@ -443,6 +599,10 @@ SPARK = {
     "q_ivf_ann": q_ivf_ann,
     "q_approx_count_distinct": q_approx_count_distinct,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
+    "q_pq_codes": q_pq_codes,
+    "q_pq_adc_topk": q_pq_adc_topk,
+    "q_pq_ann_refined": q_pq_ann_refined,
+    "q_pq_recall_audit": q_pq_recall_audit,
 }
 
 # Dot products and norms are computed with list_sum over an in-order
@@ -570,13 +730,24 @@ def _pca_sql(source: str, iters: int = 2, grain: int = 6, dim: int = 64) -> str:
     return ",".join(parts)
 
 
-def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
+def _kmeans_sql_p(
+    source: str,
+    prefix: str = "",
+    k: int = 8,
+    iters: int = 2,
+    grain: int = 6,
+    dim: int = 64,
+) -> str:
     """Unrolled Lloyd's k-means over ``source`` (vec_id, embedding) as a
-    CTE chain ending in ``a{iters}`` = (vec_id, cl, dist). Mirrors
-    operators/kmeans.py step for step: md5-ordered seeds, the same
-    in-order squared-distance fold (bit-identical to the zip_with +
+    CTE chain ending in ``{prefix}a{iters}`` = (vec_id, cl, dist), with
+    the fitted codebook in ``{prefix}c{iters}`` = (cl, centroid).
+    Mirrors operators/kmeans.py step for step: md5-ordered seeds, the
+    same in-order squared-distance fold (bit-identical to the zip_with +
     aggregate fold), round(sum, grain)/count centroid updates with
-    COALESCE carry-forward for emptied clusters."""
+    COALESCE carry-forward for emptied clusters. ``prefix`` namespaces
+    the CTEs so several chains (the PQ subspace fits) coexist in one
+    statement; ``dim`` parameterizes the update's dimension sweep."""
+    p = prefix
     sq = (
         "list_sum(list_transform(range(1, len(e.embedding)+1), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
@@ -584,7 +755,7 @@ def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
     )
     parts = [
         f"""
-        seeds AS (
+        {p}seeds AS (
             SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cl,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
             FROM {source}
@@ -592,11 +763,11 @@ def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
             LIMIT {k}
         )"""
     ]
-    cent = "seeds"
+    cent = f"{p}seeds"
     for it in range(iters + 1):
         parts.append(
             f"""
-        a{it} AS (
+        {p}a{it} AS (
             SELECT e.vec_id, c.cl, {sq} AS dist
             FROM {source} e CROSS JOIN {cent} c
             QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cl) = 1
@@ -606,22 +777,103 @@ def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
             break
         parts.append(
             f"""
-        u{it + 1} AS (
+        {p}u{it + 1} AS (
             SELECT a.cl, g.i,
                    round(sum(CAST(e.embedding[g.i] AS DOUBLE)), {grain}) / count(*) AS v
-            FROM a{it} a JOIN {source} e USING (vec_id)
-            CROSS JOIN generate_series(1, 64) AS g(i)
+            FROM {p}a{it} a JOIN {source} e USING (vec_id)
+            CROSS JOIN generate_series(1, {dim}) AS g(i)
             GROUP BY a.cl, g.i
         ),
-        c{it + 1} AS (
+        {p}c{it + 1} AS (
             SELECT s.cl, COALESCE(u.centroid, s.centroid) AS centroid
-            FROM seeds s LEFT JOIN (
-                SELECT cl, list(v ORDER BY i) AS centroid FROM u{it + 1} GROUP BY cl
+            FROM {p}seeds s LEFT JOIN (
+                SELECT cl, list(v ORDER BY i) AS centroid FROM {p}u{it + 1} GROUP BY cl
             ) u USING (cl)
         )"""
         )
-        cent = f"c{it + 1}"
+        cent = f"{p}c{it + 1}"
     return ",".join(parts)
+
+
+def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
+    """The engine-default k-means chain (unprefixed CTE names ``a{it}``
+    / ``c{it}`` — the q_kmeans_clusters / q_ivf_cell_assign /
+    q_semantic_dedup oracles reference them directly)."""
+    return _kmeans_sql_p(source, "", k, iters, grain, 64)
+
+
+def _pq_sql(
+    source: str,
+    m: int = 4,
+    k_sub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Product-quantization fit + encode over ``source``
+    (vec_id, embedding) as CTEs: one prefixed Lloyd chain per subspace
+    slice, ending in ``pq_codes`` (vec_id, code0..code{m-1}) and
+    ``pq_rows`` (vec_id plus the looked-up codeword row r0..r{m-1}).
+    Textual mirror of operators/pq.py: codes are the final-iteration
+    assignments, rows come from the final codebooks ``pq{j}c{iters}``."""
+    sd = dim // m
+    parts = []
+    for j in range(m):
+        parts.append(
+            f"""
+        pqs{j} AS (
+            SELECT vec_id, embedding[{j * sd + 1}:{(j + 1) * sd}] AS embedding
+            FROM {source}
+        )"""
+        )
+        parts.append(_kmeans_sql_p(f"pqs{j}", f"pq{j}", k_sub, iters, 6, sd))
+    code_cols = ", ".join(f"t{j}.cl AS code{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN pq{j}a{iters} t{j} USING (vec_id)" for j in range(1, m)
+    )
+    parts.append(
+        f"""
+        pq_codes AS (
+            SELECT t0.vec_id, {code_cols}
+            FROM pq0a{iters} t0 {code_joins}
+        )"""
+    )
+    row_cols = ", ".join(f"b{j}.centroid AS r{j}" for j in range(m))
+    row_joins = " ".join(
+        f"JOIN pq{j}c{iters} b{j} ON b{j}.cl = pc.code{j}" for j in range(m)
+    )
+    parts.append(
+        f"""
+        pq_rows AS (
+            SELECT pc.vec_id, {row_cols}
+            FROM pq_codes pc {row_joins}
+        )"""
+    )
+    return ",".join(parts)
+
+
+def _pq_adc_sim_sql(q: str = "q", d: str = "d", m: int = 4, sd: int = 16) -> str:
+    """The ADC cosine estimate: per-subspace in-order partial dots /
+    norms added LEFT-ASSOCIATIVELY (SQL ``+`` parses left-assoc) — the
+    exact subspace-grouped IEEE-754 sequence of pq_adc_scores and the
+    LUT kernel, hence bit-identical sims (see operators/pq.py)."""
+    dots = " + ".join(
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> CAST({q}.embedding[{j * sd}+i] AS DOUBLE) * {d}.r{j}[i]))"
+        for j in range(m)
+    )
+    nrm = " + ".join(
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> {d}.r{j}[i] * {d}.r{j}[i]))"
+        for j in range(m)
+    )
+    return f"round(({dots}) / ({q}.nq * sqrt({nrm})), 9)"
+
+
+_PQ_VECS = """
+        vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+        )"""
 
 # DuckDB's generate_series can't take lateral column bounds, so use a
 # constant upper bound and filter (documents are well under 16384 chars).
@@ -987,5 +1239,144 @@ ORACLE = {
         SELECT id_a, id_b, sim FROM near WHERE sim >= 0.25
         UNION ALL
         SELECT id_a, id_b, sim FROM dup_edges
+    """,
+    # --- product quantization: the full fit + encode + ADC pipeline is
+    # SQL-replayable (four prefixed Lloyd chains — the q_kmeans_clusters
+    # promotion technique applied per subspace), so even the Arrow LUT
+    # kernel's sims get a cross-engine value hash. -----------------------
+    "q_pq_codes": f"""
+        WITH {_PQ_VECS},
+        {_pq_sql('vecs')}
+        SELECT vec_id, code0, code1, code2, code3 FROM pq_codes
+    """,
+    "q_pq_adc_topk": f"""
+        WITH {_PQ_VECS},
+        {_pq_sql('vecs')},
+        qn AS (
+            SELECT vec_id AS query_id, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
+            FROM vecs WHERE vec_id < 5
+        ),
+        adc AS (
+            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
+            FROM qn q CROSS JOIN pq_rows d
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM adc
+        )
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
+        FROM ranked WHERE rank <= 10
+    """,
+    "q_pq_ann_refined": f"""
+        WITH {_PQ_VECS},
+        {_pq_sql('vecs')},
+        qn AS (
+            SELECT vec_id AS query_id, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
+            FROM vecs WHERE vec_id < 5
+        ),
+        adc AS (
+            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
+            FROM qn q CROSS JOIN pq_rows d
+        ),
+        cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+                FROM adc
+            ) WHERE rk <= 40
+        ),
+        rex AS (
+            SELECT c.query_id, c.vec_id,
+                   round({_dot_sql('q.embedding', 'v.embedding')}
+                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
+                         9) AS sim
+            FROM cand c
+            JOIN qn q ON q.query_id = c.query_id
+            JOIN vecs v ON v.vec_id = c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM rex
+        )
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
+        FROM ranked WHERE rank <= 10
+    """,
+    "q_pq_recall_audit": f"""
+        WITH {_PQ_VECS},
+        {_pq_sql('vecs')},
+        qn AS (
+            SELECT vec_id AS query_id, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
+            FROM vecs WHERE vec_id < 100
+        ),
+        adc AS (
+            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
+            FROM qn q CROSS JOIN pq_rows d
+        ),
+        adc10 AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+                FROM adc
+            ) WHERE rk <= 10
+        ),
+        cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+                FROM adc
+            ) WHERE rk <= 40
+        ),
+        rex AS (
+            SELECT c.query_id, c.vec_id,
+                   round({_dot_sql('q.embedding', 'v.embedding')}
+                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
+                         9) AS sim
+            FROM cand c
+            JOIN qn q ON q.query_id = c.query_id
+            JOIN vecs v ON v.vec_id = c.vec_id
+        ),
+        ref10 AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+                FROM rex
+            ) WHERE rk <= 10
+        ),
+        ex AS (
+            SELECT q.query_id, v.vec_id,
+                   round({_dot_sql('q.embedding', 'v.embedding')}
+                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
+                         9) AS sim
+            FROM qn q CROSS JOIN vecs v
+        ),
+        ex10 AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+                FROM ex
+            ) WHERE rk <= 10
+        ),
+        truth AS (SELECT count(*) AS n FROM ex10)
+        SELECT 'adc' AS variant, count(*) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
+                   AS recall
+        FROM ex10 JOIN adc10 USING (query_id, vec_id)
+        UNION ALL
+        SELECT 'refined' AS variant, count(*) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
+                   AS recall
+        FROM ex10 JOIN ref10 USING (query_id, vec_id)
     """,
 }
