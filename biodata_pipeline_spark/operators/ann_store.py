@@ -20,7 +20,13 @@ appended per batch), so
   * ``cell_stats`` reports per-cell occupancy — the drift signal that
     tells an operator when the frozen centroids have stopped fitting
     the data and a re-``build`` is due (the standard IVF maintenance
-    trade: adds are cheap because the coarse quantizer is frozen).
+    trade: adds are cheap because the coarse quantizer is frozen);
+  * ``enable_pq`` attaches a product-quantization layer (IVF-PQ, the
+    billion-scale shape): enrolled vectors get m-int codes in a
+    parallel ``pq_codes/`` component, and ``query(scoring="adc")`` /
+    ``"adc_refine"`` probes scan codes instead of float vectors —
+    16-64× less candidate I/O, with the refine variant re-scoring the
+    top refine·k exactly (see operators/pq.py).
 
 Everything is deterministic: centroids come from ``kmeans_fit``
 (md5-seeded, no RNG), assignment is ``assign_clusters``'s argmin with
@@ -48,6 +54,13 @@ from biodata_pipeline_spark.operators.dedup import (
 from biodata_pipeline_spark.operators.kmeans import (
     assign_clusters_kernel,
     kmeans_fit,
+)
+from biodata_pipeline_spark.operators.pq import (
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
+    pq_encode_kernel,
+    pq_fit,
 )
 from biodata_pipeline_spark.operators.similarity import SIM_ROUND
 
@@ -202,6 +215,70 @@ def _score_candidates_kernel(
     )
 
 
+def _score_candidates_pq_kernel(
+    cand: DataFrame, query_id: str, id_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Arrow ADC scoring of (query, candidate-codes) rows — the IVF-PQ
+    probe's scorer: candidates arrive as ``m`` small ints, the codeword
+    rows are gathered from the broadcast codebook array, and the cosine
+    estimate accumulates per subspace in the engine's subspace-grouped
+    IEEE-754 fold (bit-equal to ``pq.pq_adc_scores`` / the LUT kernel —
+    see operators/pq.py for why the grouping is pinned). Rounding stays
+    JVM-side. Input rows carry (query_id, id, __qe, __nq, codes);
+    output (query_id, id, sim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    C = np.array(codebooks, dtype=np.float64)  # (m, k_sub, sd)
+    in_fields = {f.name: f for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[query_id],
+            in_fields[id_col],
+            StructField("__sim_raw", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {query_id: pdf[query_id], id_col: pdf[id_col],
+                     "__sim_raw": pd.Series([], dtype="float64")}
+                )
+                continue
+            qe = np.array(pdf["__qe"].tolist(), dtype=np.float64)
+            cd = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            n = len(pdf)
+            s, cn = np.zeros(n), np.zeros(n)
+            for j in range(m):  # subspace order = the grouped fold
+                crow = C[j, cd[:, j], :]  # (n, sd) gathered codewords
+                sj, nj = np.zeros(n), np.zeros(n)
+                for i in range(sd):  # ascending-dim: JVM bit-parity
+                    sj += qe[:, j * sd + i] * crow[:, i]
+                    nj += crow[:, i] * crow[:, i]
+                s += sj
+                cn += nj
+            sim = s / (pdf["__nq"].to_numpy() * np.sqrt(cn))
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], id_col: pdf[id_col],
+                 "__sim_raw": sim}
+            )
+
+    return (
+        cand.select(query_id, id_col, "__qe", "__nq", "codes")
+        .mapInPandas(score, out_schema)
+        .select(
+            query_id, id_col,
+            F.round(F.col("__sim_raw"), SIM_ROUND).alias("sim"),
+        )
+    )
+
+
 def _assign_cells(
     df: DataFrame,
     cents: list[list[float]],
@@ -251,6 +328,10 @@ class VectorIndexStore:
         # cache's contract (the gate only picks a scoring path — a stale
         # count degrades throughput on one call, never correctness).
         self._n_rows_cache: int | None = None
+        # trained PQ codebooks, read once per instance (m×k_sub rows —
+        # driver-sized by design, like the coarse quantizer); refreshed
+        # by enable_pq()
+        self._pq_cache: list[list[list[float]]] | None = None
 
     # -- build / maintain -------------------------------------------------
     def build(
@@ -354,8 +435,123 @@ class VectorIndexStore:
             SignatureStore._write_batch(
                 spark, assigned, f"{self.path}/assignments", batch_id
             )
+        if self.pq_enabled(spark):
+            # same batch_id for both components: a crash between the two
+            # writes is repaired by REPLAYING the batch (the store-wide
+            # idempotent-overwrite contract) — until then the ADC path
+            # simply lacks this batch's candidates while the exact path
+            # has them; never a wrong result, only a visibly thinner
+            # approximate index.
+            coded = pq_encode_kernel(
+                assigned, self._pq_books(spark), emb_col="emb"
+            ).select("id", "cell", "codes")
+            if batch_id is None:
+                coded.write.mode("append").parquet(f"{self.path}/pq_codes")
+            else:
+                SignatureStore._write_batch(
+                    spark, coded, f"{self.path}/pq_codes", batch_id
+                )
         self._n_rows_cache = None  # index grew: re-count at next query()
         return assigned.count()
+
+    # -- product quantization (the code-compressed probe path) -------------
+    def pq_enabled(self, spark) -> bool:
+        from biodata_pipeline_spark.operators.dedup import _fs_path
+
+        fs, hp = _fs_path(spark, f"{self.path}/pq/codebooks")
+        return bool(fs.exists(hp))
+
+    def enable_pq(
+        self,
+        spark,
+        m: int = PQ_M,
+        k_sub: int = PQ_KSUB,
+        iters: int = PQ_ITERS,
+        train_sample: int | None = None,
+    ) -> int:
+        """Attach a PQ layer: train ``m`` per-subspace codebooks on the
+        enrolled live corpus (bounded by ``train_sample`` at scale, the
+        coarse-quantizer discipline), encode every live vector, and
+        persist ``pq/codebooks`` + ``pq_codes/`` (batch semantics
+        identical to ``assignments/``). From here ``add`` encodes each
+        new batch on enroll and ``query(scoring="adc"/"adc_refine")``
+        scans m-int codes instead of dim-float vectors — at 100 TB the
+        probe's candidate I/O shrinks 16-64×, which is the point.
+        Re-running retrains and fully re-encodes (idempotent).
+        Returns vectors encoded. Tombstoned ids are excluded from
+        training and encoding; codes for ids removed LATER are masked
+        by the same read-time anti-join as everything else and fold out
+        at compaction."""
+        from biodata_pipeline_spark.operators.dedup import _fs_path
+
+        cents = self.centroids(spark)  # raises if the store is missing
+        dim = len(cents[0])
+        parts = _index_component_frames(spark, self.path, "assignments")
+        full = parts[0].select("id", "emb", "cell")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("id", "emb", "cell"))
+        live = self._minus_tombstones(
+            spark, full.dropDuplicates(["id"])
+        )
+        books = pq_fit(
+            live.select(
+                F.col("id").alias(self.id_col),
+                F.col("emb").alias(self.emb_col),
+            ),
+            m=m, k_sub=k_sub, iters=iters,
+            id_col=self.id_col, emb_col=self.emb_col,
+            dim=dim, train_sample=train_sample,
+        )
+        rows = [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(k_sub)
+        ]
+        coded = pq_encode_kernel(live, books, emb_col="emb").select(
+            "id", "cell", "codes"
+        ).localCheckpoint()  # materialize BEFORE any store mutation
+        n = coded.count()
+        spark.createDataFrame(
+            rows, "sub int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/pq/codebooks"
+        )
+        # fresh full encode replaces any previous code state (re-enable
+        # = retrain); per-batch deltas from earlier adds are superseded
+        fs, hp = _fs_path(spark, f"{self.path}/pq_codes")
+        if fs.exists(hp):
+            fs.delete(hp, True)
+        SignatureStore._write_batch(
+            spark, coded, f"{self.path}/pq_codes", "pq_enable"
+        )
+        self._pq_cache = books
+        return n
+
+    def _pq_books(self, spark) -> list[list[list[float]]]:
+        if self._pq_cache is None:
+            try:
+                rows = (
+                    spark.read.parquet(f"{self.path}/pq/codebooks")
+                    .orderBy("sub", "code")
+                    .collect()
+                )  # m×k_sub rows — driver-sized by design
+            except AnalysisException as e:
+                from biodata_pipeline_spark.operators.dedup import (
+                    _is_store_missing,
+                )
+
+                if _is_store_missing(e):
+                    raise ValueError(
+                        f"no PQ layer at {self.path}: enable_pq() trains "
+                        "the codebooks before ADC scoring can run"
+                    ) from e
+                raise
+            m = max(r["sub"] for r in rows) + 1
+            books: list[list[list[float]]] = [[] for _ in range(m)]
+            for r in rows:  # (sub, code)-ordered: code index == position
+                books[r["sub"]].append(list(r["centroid"]))
+            self._pq_cache = books
+        return self._pq_cache
 
     # -- delete ------------------------------------------------------------
     def remove(self, spark, ids) -> int:
@@ -405,11 +601,16 @@ class VectorIndexStore:
         between batches; query results identical across the fold.
         Pending tombstones are folded in (their rows leave the physical
         layout) and then cleared by the shared machinery — see
-        ``compact_dedup_index``'s crash-window note."""
+        ``compact_dedup_index``'s crash-window note. When a PQ layer is
+        attached its code table folds in the same pass (same bucketing
+        on cell, same tombstone drop), so both probe paths keep the
+        bounded-file-count / shuffle-free-join contract."""
         self._n_rows_cache = None  # fold drops tombstoned rows
+        parts = {"assignments": ["cell"]}
+        if self.pq_enabled(spark):
+            parts["pq_codes"] = ["cell"]
         return compact_dedup_index(
-            spark, self.path, n_buckets=n_buckets,
-            parts={"assignments": ["cell"]},
+            spark, self.path, n_buckets=n_buckets, parts=parts,
         )
 
     def vectors(self, spark) -> DataFrame:
@@ -442,7 +643,10 @@ class VectorIndexStore:
         switch is the caller's pointer flip from old path to new, and
         batches enrolled here after the rebuild started must be
         re-``add``-ed to the new store before the flip (the same
-        run-behind contract as any reindex). Returns the new store."""
+        run-behind contract as any reindex). The new store carries NO
+        PQ layer — codes are functions of the codebooks, which should
+        retrain on the re-clustered corpus: call ``enable_pq`` on the
+        result. Returns the new store."""
         new = VectorIndexStore(
             new_path, id_col=self.id_col, emb_col=self.emb_col
         )
@@ -482,17 +686,29 @@ class VectorIndexStore:
         query_id: str = "query_id",
         query_emb: str = "query_emb",
         kernel_threshold: int = KERNEL_INDEX_THRESHOLD,
+        scoring: str = "exact",
+        refine: int = 4,
     ) -> DataFrame:
         """Top-``k`` per query over the stored index: rank stored
         centroids per query (a |Q|×k cross-join against the broadcast
         k-row centroid frame — constant codegen footprint in k, see the
         inline note), probe the ``n_probe`` best cells, equi-join
         candidates on cell — each index part joined separately so the
-        compacted bucketed scan keeps its partitioning — exact cosine
-        on candidates (Arrow kernel above ``kernel_threshold`` index
-        rows, all-JVM fold below), then the per-query rank window.
-        Returns (query_id, vec_id, rank, sim) with the engine's
-        standard tie-breaks.
+        compacted bucketed scan keeps its partitioning — score, then
+        the per-query rank window. Returns (query_id, vec_id, rank,
+        sim) with the engine's standard tie-breaks.
+
+        ``scoring`` picks the candidate representation (the IVF-PQ
+        trade, requires ``enable_pq`` for the last two):
+         - ``"exact"``: full float vectors, exact cosine (Arrow kernel
+           above ``kernel_threshold`` index rows, all-JVM fold below);
+         - ``"adc"``: candidates scanned as m-int PQ codes and scored
+           asymmetrically — 16-64× less candidate I/O, sim is the ADC
+           estimate;
+         - ``"adc_refine"``: ADC first, then the top ``refine``·k live
+           candidates per query re-scored exactly against their stored
+           vectors — the standard recall repair; the full-vector read
+           touches refine·k rows per query instead of every candidate.
 
         ``n_probe=4`` is a throughput default, not a recall promise:
         calibrate with ``measured_n_probe(store, queries, target)`` —
@@ -501,6 +717,8 @@ class VectorIndexStore:
         ``recommended_n_probe(n_cells, target)``, the conservative
         no-measurement heuristic (near-exhaustive at high targets; the
         r10 operating-curve tables are in SCALING.md)."""
+        if scoring not in ("exact", "adc", "adc_refine"):
+            raise ValueError(f"unknown scoring {scoring!r}")
         from pyspark.sql import Window
 
         spark = queries.sparkSession
@@ -574,47 +792,59 @@ class VectorIndexStore:
         probed = sorted(
             {r["cell"] for r in qcells.select("cell").distinct().collect()}
         )
-        parts = _index_component_frames(spark, self.path, "assignments")
-        if not parts:
-            raise ValueError(f"no index at {self.path}")
-        cand = None
-        for p in parts:
-            s = p.filter(F.col("cell").isin(probed)).join(
-                F.broadcast(qcells), "cell"
-            ).select(
-                query_id,
-                F.col("id").alias(self.id_col),
-                "__qe",
-                "__nq",
-                "emb",
-            )
-            cand = s if cand is None else cand.unionByName(s)
-        # Candidate scoring switches on observed index size (the
-        # retrieval-family discipline, rewired r11). The JVM
-        # aggregate/zip_with fold is a CodegenFallback expression —
-        # INTERPRETED per row — and at 200k enrolled vectors its cost
-        # turned bimodal under JIT pressure (instrumented: one run's
-        # scoring stage burned 1288 s of executor CPU where the
-        # identical plan takes ~11 s steady — tools/probe_vector_delete
-        # caught 3 s ↔ 72 s swings). Above the gate, score in the Arrow
-        # kernel with the ascending-dimension float64 fold — the exact
-        # IEEE sequence the HOF fold evaluates, so sims are bit-equal
-        # (the similarity_join_vectorized contract); rounding stays
-        # JVM-side (numpy rounds half-even, Spark half-up). Below the
-        # gate the all-JVM fold avoids the ~0.7 s Arrow spin-up. The
-        # count is cached on the instance (invalidated by add/compact —
-        # ADVICE r11: re-counting per query() call was one Spark job per
-        # index part per call, and the footer-only claim doesn't hold
-        # for the bucketed-table scan path).
-        if self._n_rows_cache is None:
-            self._n_rows_cache = sum(p.count() for p in parts)
-        n_index_rows = self._n_rows_cache
-        if n_index_rows > kernel_threshold:
-            scored = _score_candidates_kernel(
-                cand, query_id, self.id_col
-            )
-        else:
-            scored = cand.select(
+
+        def _cand_from(part_name: str, value_col: str):
+            parts = _index_component_frames(spark, self.path, part_name)
+            if not parts:
+                raise ValueError(
+                    f"no index at {self.path}"
+                    if part_name == "assignments"
+                    else f"no PQ codes at {self.path}: enable_pq() first"
+                )
+            cand = None
+            for p in parts:
+                s = p.filter(F.col("cell").isin(probed)).join(
+                    F.broadcast(qcells), "cell"
+                ).select(
+                    query_id,
+                    F.col("id").alias(self.id_col),
+                    "__qe",
+                    "__nq",
+                    value_col,
+                )
+                cand = s if cand is None else cand.unionByName(s)
+            return cand
+
+        def _exact_scored(cand):
+            # Candidate scoring switches on observed index size (the
+            # retrieval-family discipline, rewired r11). The JVM
+            # aggregate/zip_with fold is a CodegenFallback expression —
+            # INTERPRETED per row — and at 200k enrolled vectors its
+            # cost turned bimodal under JIT pressure (instrumented: one
+            # run's scoring stage burned 1288 s of executor CPU where
+            # the identical plan takes ~11 s steady —
+            # tools/probe_vector_delete caught 3 s ↔ 72 s swings).
+            # Above the gate, score in the Arrow kernel with the
+            # ascending-dimension float64 fold — the exact IEEE
+            # sequence the HOF fold evaluates, so sims are bit-equal
+            # (the similarity_join_vectorized contract); rounding stays
+            # JVM-side (numpy rounds half-even, Spark half-up). Below
+            # the gate the all-JVM fold avoids the ~0.7 s Arrow
+            # spin-up. The count is cached on the instance (invalidated
+            # by add/compact — ADVICE r11: re-counting per query() call
+            # was one Spark job per index part per call, and the
+            # footer-only claim doesn't hold for the bucketed-table
+            # scan path).
+            if self._n_rows_cache is None:
+                self._n_rows_cache = sum(
+                    p.count()
+                    for p in _index_component_frames(
+                        spark, self.path, "assignments"
+                    )
+                )
+            if self._n_rows_cache > kernel_threshold:
+                return _score_candidates_kernel(cand, query_id, self.id_col)
+            return cand.select(
                 query_id,
                 self.id_col,
                 F.round(
@@ -623,25 +853,63 @@ class VectorIndexStore:
                     SIM_ROUND,
                 ).alias("sim"),
             )
-        w = Window.partitionBy(query_id).orderBy(
-            F.col("sim").desc(), F.col(self.id_col)
-        )
-        # The shared compaction contract tolerates duplicate index rows
-        # (crash-stale deltas, a batch replayed post-compaction) as
-        # "decision-neutral: candidates are deduplicated and exactly
-        # verified" — make that true HERE too, as the dedup path does:
-        # without this a duplicated vector occupies two adjacent ranks
-        # and displaces a legitimate top-k result (ADVICE r9). Duplicate
-        # rows are byte-identical by contract, so any survivor carries
-        # the same sim.
-        # tombstone filter BEFORE the rank window: a removed vector must
-        # not occupy a rank and displace a live top-k result
-        return (
-            self._minus_tombstones(
-                spark, scored.dropDuplicates([query_id, self.id_col]),
-                id_name=self.id_col,
+
+        def _rank(scored, kk: int):
+            # The shared compaction contract tolerates duplicate index
+            # rows (crash-stale deltas, a batch replayed
+            # post-compaction) as "decision-neutral: candidates are
+            # deduplicated and exactly verified" — make that true HERE
+            # too, as the dedup path does: without this a duplicated
+            # vector occupies two adjacent ranks and displaces a
+            # legitimate top-k result (ADVICE r9). Duplicate rows are
+            # byte-identical by contract, so any survivor carries the
+            # same sim. Tombstone filter BEFORE the rank window: a
+            # removed vector must not occupy a rank and displace a live
+            # top-k result — nor, on the refine path, eat one of the
+            # refine·k exact-rescore slots.
+            w = Window.partitionBy(query_id).orderBy(
+                F.col("sim").desc(), F.col(self.id_col)
             )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id, self.id_col, "rank", "sim")
+            return (
+                self._minus_tombstones(
+                    spark, scored.dropDuplicates([query_id, self.id_col]),
+                    id_name=self.id_col,
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= kk)
+                .select(query_id, self.id_col, "rank", "sim")
+            )
+
+        if scoring == "exact":
+            return _rank(_exact_scored(_cand_from("assignments", "emb")), k)
+
+        books = self._pq_books(spark)
+        ccand = _cand_from("pq_codes", "codes").filter(
+            F.col("codes").isNotNull()  # defective-element rows: no codes
         )
+        adc = _score_candidates_pq_kernel(ccand, query_id, self.id_col, books)
+        if scoring == "adc":
+            return _rank(adc, k)
+        # adc_refine: the top refine·k LIVE ADC candidates per query,
+        # re-scored exactly. The full-vector join stays inside the
+        # probed cells (the candidate came from one), so the
+        # assignments scan keeps the same IN-filter row-group pruning
+        # as the exact path — it just reads refine·k rows per query
+        # instead of every candidate in the probed cells.
+        cand_ids = _rank(adc, refine * k).select(query_id, self.id_col)
+        embf = None
+        for p in _index_component_frames(spark, self.path, "assignments"):
+            s = p.filter(F.col("cell").isin(probed)).select(
+                F.col("id").alias(self.id_col), "emb"
+            )
+            embf = s if embf is None else embf.unionByName(s)
+        embf = embf.dropDuplicates([self.id_col])
+        qmeta = qcells.select(query_id, "__qe", "__nq").dropDuplicates(
+            [query_id]
+        )
+        recand = (
+            cand_ids.join(embf, self.id_col)
+            .join(F.broadcast(qmeta), query_id)
+            .select(query_id, self.id_col, "__qe", "__nq", "emb")
+        )
+        return _rank(_exact_scored(recand), k)

@@ -555,3 +555,139 @@ def test_query_row_count_cache_lifecycle(spark, tmp_path):
     assert store._n_rows_cache is None  # invalidated by compact
     store.query(q, k=3, n_probe=4).collect()
     assert store._n_rows_cache == n1 - 1  # fold dropped the tombstoned row
+
+
+# --- IVF-PQ: the code-compressed probe path ------------------------------
+
+
+def _pq_store(spark, tmp_path, name="ivfpq"):
+    store = VectorIndexStore(str(tmp_path / name))
+    store.build(_emb(spark), k=8, iters=1)
+    store.enable_pq(spark)
+    return store
+
+
+def test_pq_adc_matches_operator_level_topk(spark, tmp_path):
+    """query(scoring='adc') at full probe == pq_adc_topk over the same
+    codes and books — the store adds probing/persistence, never a
+    different score (bit-equal: the shared subspace-grouped fold)."""
+    from biodata_pipeline_spark.operators.dedup import (
+        _index_component_frames,
+    )
+    from biodata_pipeline_spark.operators.pq import pq_adc_topk
+
+    store = _pq_store(spark, tmp_path)
+    q = _queries(spark)
+    got = store.query(q, 10, n_probe=8, scoring="adc")
+    books = store._pq_books(spark)
+    codes = None
+    for p in _index_component_frames(spark, store.path, "pq_codes"):
+        codes = p if codes is None else codes.unionByName(p)
+    want = pq_adc_topk(
+        q,
+        codes.select(F.col("id").alias("vec_id"), "codes"),
+        books,
+        10,
+        use_kernel=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_pq_refine_recall_at_least_adc(spark, tmp_path):
+    store = _pq_store(spark, tmp_path)
+    q = _queries(spark)
+    exact = {
+        (r[0], r[1]) for r in store.query(q, 10, n_probe=8).collect()
+    }
+    adc = {
+        (r[0], r[1])
+        for r in store.query(q, 10, n_probe=8, scoring="adc").collect()
+    }
+    ref = {
+        (r[0], r[1])
+        for r in store.query(
+            q, 10, n_probe=8, scoring="adc_refine", refine=8
+        ).collect()
+    }
+    assert len(ref & exact) >= len(adc & exact)
+    # each query's identical twin is in the index: ADC scores it 1.0
+    # (same codes as the query's own encoding), refine keeps it at rank 1
+    top1 = store.query(q, 10, n_probe=8, scoring="adc_refine").filter(
+        "rank = 1"
+    )
+    assert {(r[0], r[1]) for r in top1.collect()} == {
+        (r["query_id"], r["query_id"]) for r in q.collect()
+    }
+
+
+def test_pq_add_remove_compact_lifecycle(spark, tmp_path):
+    """New batches are encoded on enroll; a removed id disappears from
+    ADC results immediately; compaction folds pq_codes alongside
+    assignments with identical post-fold results."""
+    store = VectorIndexStore(str(tmp_path / "ivfpq_life"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 300), k=8, iters=1)
+    store.enable_pq(spark)
+    q = _queries(spark)
+
+    extra = _emb(spark).filter(F.col("vec_id") >= 300)
+    store.add(extra, batch_id="b1")
+    # an exact-duplicate probe of a newly added vector finds it via ADC
+    probe = extra.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    got = store.query(probe, 1, n_probe=8, scoring="adc").first()
+    assert got["vec_id"] == probe.first()["query_id"]
+
+    top = store.query(q, 3, n_probe=8, scoring="adc")
+    dead = [r["vec_id"] for r in top.filter("rank = 1").collect()]
+    store.remove(spark, dead)
+    after = store.query(q, 3, n_probe=8, scoring="adc")
+    assert not set(dead) & {r["vec_id"] for r in after.collect()}
+
+    pre = sorted(map(tuple, after.collect()))
+    stats = store.compact(spark, n_buckets=4)
+    assert "pq_codes" in stats and "assignments" in stats
+    post = sorted(
+        map(tuple, store.query(q, 3, n_probe=8, scoring="adc").collect())
+    )
+    assert pre == post
+    # refine contract: every refined result was one of the top
+    # refine·k ADC candidates of its query (exact rescoring reorders
+    # WITHIN that set, never reaches outside it)
+    ref_post = store.query(
+        q, 3, n_probe=8, scoring="adc_refine", refine=4
+    ).collect()
+    adc12 = {
+        (r[0], r[1])
+        for r in store.query(q, 12, n_probe=8, scoring="adc").collect()
+    }
+    assert {(r[0], r[1]) for r in ref_post} <= adc12
+    assert all(1 <= r["rank"] <= 3 for r in ref_post)
+
+
+def test_pq_requires_enable(spark, tmp_path):
+    store = VectorIndexStore(str(tmp_path / "ivf_nopq"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 100), k=4, iters=1)
+    q = _queries(spark, n=2)
+    with pytest.raises(ValueError, match="enable_pq"):
+        store.query(q, 3, n_probe=4, scoring="adc").collect()
+    with pytest.raises(ValueError, match="unknown scoring"):
+        store.query(q, 3, scoring="cosine")
+
+
+def test_pq_reenable_is_idempotent_retrain(spark, tmp_path):
+    store = _pq_store(spark, tmp_path, "ivfpq_re")
+    q = _queries(spark, n=3)
+    a = sorted(
+        map(tuple, store.query(q, 5, n_probe=8, scoring="adc").collect())
+    )
+    n = store.enable_pq(spark)  # same corpus -> same books -> same codes
+    assert n == _emb(spark).filter(F.col("embedding").isNotNull()).count()
+    fresh = VectorIndexStore(store.path)  # no warm caches
+    b = sorted(
+        map(tuple, fresh.query(q, 5, n_probe=8, scoring="adc").collect())
+    )
+    assert a == b
