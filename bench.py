@@ -126,6 +126,13 @@ HEADLINE = [
     "q21d_approx_percentiles",    # 1.4 s — approx-sketch percentile swap
     "q_dup_source_matrix",        # 1.1 s — cross-source dup matrix
     "q_ivf_ann",                  # 1.2 s — IVF ANN probe path
+    # round 12 additions (the >1 s policy): the product-quantization
+    # family — each refits the 4 subspace codebooks (the dominant cost,
+    # m×iters small Lloyd jobs) before encoding/scoring:
+    "q_pq_codes",                 # 4.4 s — PQ fit + Arrow encode kernel
+    "q_pq_adc_topk",              # 3.6 s — codes-only ADC top-10
+    "q_pq_ann_refined",           # 4.1 s — ADC shortlist + exact refine
+    "q_pq_recall_audit",          # 6.2 s — PQ vs exact recall, 2 variants
 ]
 
 
