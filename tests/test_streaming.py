@@ -454,3 +454,56 @@ def test_vector_ingest_requires_built_store(spark, tmp_path):
         process_vector_ingest_batch(
             emb, 0, str(tmp_path / "missing_idx"), str(tmp_path / "r"), 64
         )
+
+
+def test_vector_ingest_stream_encodes_pq_per_batch(spark, tmp_path):
+    """Streamed IVF-PQ: with a PQ layer enabled, every micro-batch's
+    vectors are encoded on enroll (store.add does it — the stream sink
+    needs no PQ awareness), newly streamed vectors are immediately
+    searchable through the codes-only ADC path, and a crash-replay of a
+    batch id overwrites both components without duplicates."""
+    from biodata_pipeline_spark.operators.ann_store import VectorIndexStore
+    from biodata_pipeline_spark.streaming.vector_ingest import (
+        process_vector_ingest_batch,
+        run_vector_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = VectorIndexStore(str(tmp_path / "vpq_idx"))
+    store.build(emb.filter(F.col("vec_id") < 100), k=4, iters=1)
+    store.enable_pq(spark)
+
+    batch = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    src = str(tmp_path / "vpq_src")
+    batch.coalesce(1).write.parquet(src, mode="overwrite")
+    rep = str(tmp_path / "vpq_rep")
+    ckpt = str(tmp_path / "vpq_ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_vector_ingest(stream, ckpt, store.path, rep, dim=64)
+
+    # codes exist for every enrolled vector, old and streamed
+    n_codes = spark.read.parquet(f"{store.path}/pq_codes").count()
+    assert n_codes == 110
+
+    # a streamed vector is its own ADC nearest neighbor (identical
+    # codes to its own encoding -> ADC sim 1.0)
+    probe = emb.filter(F.col("vec_id") == 105).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    fresh = VectorIndexStore(store.path)  # no warm caches
+    got = fresh.query(probe, k=1, n_probe=4, scoring="adc").collect()
+    assert [r.vec_id for r in got] == [105]
+
+    # crash-replay: partition overwrite on BOTH components, no dupes
+    process_vector_ingest_batch(batch, 0, store.path, rep, 64)
+    assert spark.read.parquet(f"{store.path}/assignments").count() == 110
+    assert spark.read.parquet(f"{store.path}/pq_codes").count() == 110
