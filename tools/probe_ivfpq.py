@@ -14,7 +14,8 @@ The claims under test:
    ``adc_refine`` then repairs most of it by re-scoring the top
    refine·k exactly.
 
-Usage: python tools/probe_ivfpq.py [sizes ...]   (default 200000 1000000)
+Usage: python tools/probe_ivfpq.py [--m M] [sizes ...]
+       (default m=4, sizes 200000 1000000)
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def rung(spark, n: int) -> dict:
+def rung(spark, n: int, m: int = 4) -> dict:
     base = synth_vecs(spark, n).localCheckpoint()
     q = synth_vecs(spark, N_QUERIES, id_base=20_000_000).select(
         F.col("vec_id").alias("query_id"),
@@ -63,7 +64,7 @@ def rung(spark, n: int) -> dict:
     store.build(base, k=K_CELLS, iters=2, train_sample=25_000)
     build_secs = round(time.time() - t0, 2)
     t0 = time.time()
-    store.enable_pq(spark, train_sample=100_000)
+    store.enable_pq(spark, m=m, train_sample=100_000)
     enable_secs = round(time.time() - t0, 2)
     store.compact(spark)  # measure both paths on the bucketed layout
     def _component_mb(prefix: str) -> float:
@@ -82,6 +83,7 @@ def rung(spark, n: int) -> dict:
     }
     out = {
         "n": n,
+        "m": m,
         "build_secs": build_secs,
         "enable_pq_secs": enable_secs,
         **sizes,
@@ -113,11 +115,17 @@ def rung(spark, n: int) -> dict:
 
 
 def main() -> None:
-    sizes = [int(s) for s in sys.argv[1:]] or [200_000, 1_000_000]
+    args = sys.argv[1:]
+    m = 4
+    if "--m" in args:
+        i = args.index("--m")
+        m = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sizes = [int(s) for s in args] or [200_000, 1_000_000]
     spark = get_spark("probe-ivfpq")
     rows = []
     for n in sizes:
-        row = rung(spark, n)
+        row = rung(spark, n, m=m)
         rows.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"probe": "ivfpq", "rows": rows}))
