@@ -509,6 +509,7 @@ def build_vector_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     train_sample: int | None = None,
+    pq_m: int | None = None,
 ) -> tuple["DataFrame", "DataFrame"]:
     """Embedding-side lifecycle entry: ingest-gate census → index ONLY
     the geometrically valid vectors → report cell occupancy. Returns
@@ -523,7 +524,11 @@ def build_vector_index(
     whole-corpus ranking, here answerable per-cell at any corpus
     size). At warehouse scale pass ``train_sample`` so Lloyd's loop
     iterates over a bounded deterministic sample instead of re-scanning
-    the full corpus per iteration (see VectorIndexStore.build)."""
+    the full corpus per iteration (see VectorIndexStore.build), and
+    ``pq_m`` to attach the product-quantization layer in the same pass
+    (codes per enrolled vector; ``query(scoring="adc"/"adc_refine")``
+    then scans codes instead of floats — the IVF-PQ shape, see
+    operators/pq.py and the SCALING.md ladder)."""
     from biodata_pipeline_spark.functions.vector import embedding_defect
     from biodata_pipeline_spark.operators.ann_store import VectorIndexStore
 
@@ -535,4 +540,6 @@ def build_vector_index(
     )
     store = VectorIndexStore(index_path, id_col=id_col, emb_col=emb_col)
     store.build(clean, k=k, iters=iters, train_sample=train_sample)
+    if pq_m is not None:
+        store.enable_pq(spark, m=pq_m, train_sample=train_sample)
     return census, store.cell_stats(spark)

@@ -119,6 +119,19 @@ def test_build_vector_index_pipeline_gates_defective_vectors(
     assert by_defect["null"] == 1 and by_defect["wrong_dim"] == 1
     assert sum(r.n_vecs for r in cells.collect()) == 80
 
+    # pq_m attaches the PQ layer in the same pass: every clean vector
+    # gets codes and the ADC path serves immediately
+    census2, _ = build_vector_index(
+        emb, str(tmp_path / "ivf_pipe_pq"), dim=64, k=4, iters=1, pq_m=4
+    )
+    census2.collect()  # pipelines return lazy frames; force the census
+    store = VectorIndexStore(str(tmp_path / "ivf_pipe_pq"))
+    q = _queries(spark, n=2)
+    got = store.query(q, 1, n_probe=4, scoring="adc")
+    assert {(r[0], r[1]) for r in got.collect()} == {
+        (r["query_id"], r["query_id"]) for r in q.collect()
+    }
+
 
 def test_compaction_preserves_query_results(spark, tmp_path):
     store = VectorIndexStore(str(tmp_path / "ivf3"))
