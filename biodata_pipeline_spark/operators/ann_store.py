@@ -154,6 +154,70 @@ def measured_n_probe(
     return n_cells
 
 
+def measured_pq_refine(
+    store: "VectorIndexStore",
+    queries: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    max_sample: int = 32,
+    max_refine: int = 64,
+) -> int:
+    """Cheapest ``refine`` multiplier whose MEASURED recall@k (against
+    the exact ranking at the same ``n_probe``) meets ``target_recall``
+    on a bounded query sample — ``measured_n_probe``'s sibling for the
+    IVF-PQ path: n_probe prices the probe, refine prices the
+    representation, and the two calibrations compose (total recall ≈
+    probe recall × this one).
+
+    Monotonicity (why first crossing = cheapest): the refine·k ADC
+    shortlist only grows with refine, and the final top-k is the exact
+    re-ranking of that shortlist — a true top-k member in the shortlist
+    can only be displaced by candidates with a strictly higher exact
+    sim, which are themselves true top-k members, so every shortlisted
+    true hit survives and hits = |shortlist ∩ exact top-k|, monotone
+    nondecreasing in refine. The walk doubles refine and terminates at
+    ``max_refine`` (a shortlist that saturates the probed candidates
+    returns the exact-at-n_probe ranking, recall 1.0 vs that truth).
+    Cost: O(log max_refine) bounded queries — run once per
+    corpus/store, not per query batch. If the measured crossing never
+    arrives the cap is returned; the caller's recall shortfall then
+    lives in m (code resolution — see the SCALING.md (m, refine) grid),
+    not refine."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    spark = queries.sparkSession
+    sample = (
+        queries.select(query_id, query_emb)
+        .orderBy(query_id)
+        .limit(max_sample)
+        .localCheckpoint()
+    )
+    truth = (
+        store.query(sample, k, n_probe=n_probe,
+                    query_id=query_id, query_emb=query_emb)
+        .select(query_id, store.id_col)
+        .localCheckpoint()  # reused once per walk step
+    )
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1
+    refine = 1
+    while True:
+        got = store.query(
+            sample, k, n_probe=n_probe, scoring="adc_refine",
+            refine=refine, query_id=query_id, query_emb=query_emb,
+        )
+        hits = truth.join(
+            got.select(query_id, store.id_col), [query_id, store.id_col]
+        ).count()
+        if hits / n_truth >= target_recall or refine >= max_refine:
+            return refine
+        refine = min(refine * 2, max_refine)
+
+
 # Above this many enrolled index rows, query() scores candidates in the
 # Arrow kernel instead of the interpreted JVM HOF fold (see query()).
 KERNEL_INDEX_THRESHOLD = 100_000

@@ -704,3 +704,57 @@ def test_pq_reenable_is_idempotent_retrain(spark, tmp_path):
         map(tuple, fresh.query(q, 5, n_probe=8, scoring="adc").collect())
     )
     assert a == b
+
+
+def test_measured_pq_refine_cheapest_crossing(spark, tmp_path):
+    """measured_pq_refine returns the smallest power-of-two refine whose
+    measured recall@k vs the exact-at-same-n_probe ranking meets the
+    target — verified against a manual sweep on the fixture store."""
+    from biodata_pipeline_spark.operators.ann_store import (
+        measured_pq_refine,
+    )
+
+    store = _pq_store(spark, tmp_path, "ivfpq_cal")
+    q = _queries(spark, n=8)
+    truth = {
+        (r[0], r[1]) for r in store.query(q, 10, n_probe=8).collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r[0], r[1])
+            for r in store.query(
+                q, 10, n_probe=8, scoring="adc_refine", refine=refine
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    target = 0.8
+    picked = measured_pq_refine(
+        store, q, target_recall=target, k=10, n_probe=8, max_sample=8
+    )
+    assert recall(picked) >= target
+    # cheapest among the walked powers of two
+    r = 1
+    while r < picked:
+        assert recall(r) < target
+        r *= 2
+    # monotonicity spot-check (the proof's empirical witness)
+    assert recall(picked * 2) >= recall(picked)
+
+
+def test_measured_pq_refine_contract_edges(spark, tmp_path):
+    from biodata_pipeline_spark.operators.ann_store import (
+        measured_pq_refine,
+    )
+
+    store = _pq_store(spark, tmp_path, "ivfpq_cal2")
+    q = _queries(spark, n=2)
+    with pytest.raises(ValueError, match="target_recall"):
+        measured_pq_refine(store, q, target_recall=0.0)
+    # unreachable target returns the cap, not an infinite walk
+    got = measured_pq_refine(
+        store, q, target_recall=1.0, k=10, n_probe=8,
+        max_sample=2, max_refine=4,
+    )
+    assert got <= 4
