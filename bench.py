@@ -133,6 +133,7 @@ HEADLINE = [
     "q_pq_adc_topk",              # 3.6 s — codes-only ADC top-10
     "q_pq_ann_refined",           # 4.1 s — ADC shortlist + exact refine
     "q_pq_recall_audit",          # 6.2 s — PQ vs exact recall, 2 variants
+    "q_pq_train_error",           # 4.7 s — per-subspace quantization error
 ]
 
 

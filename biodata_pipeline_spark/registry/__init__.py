@@ -67,24 +67,24 @@ _ALL_ORACLE = {
 # #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2). Round-12 rotation,
 # computed from the CORRECTNESS_r01-r11 union (max driver round per
 # key; after r11 the latest rows are 24×r09, 50×r10, 50×r11):
-#   1-4:   the four round-12 product-quantization queries — NEVER
+#   1-5:   the five round-12 product-quantization queries — NEVER
 #          driver-checked (new this round), so they go first (the
 #          standing never-checked-first rule);
-#   5-7:   the persistent-IVF query family (VERDICT r11 #2): the
+#   6-8:   the persistent-IVF query family (VERDICT r11 #2): the
 #          r11 join-form cell-ranking + kernel-scoring rewire and the
 #          r12 count-cache / duplicate-query_id fixes landed AFTER
 #          these keys' last driver rows (q_ivf_ann and
 #          q_embed_cosine_dedup: r10; q_ivf_cell_assign: r09) — the
 #          fold-parity pytests predict hash-green, the driver row
 #          proves it on current code;
-#   8-30:  the remaining 23 r09-checked keys — the analytic / corpus /
+#   9-31:  the remaining 23 r09-checked keys — the analytic / corpus /
 #          sampling / audit tail;
-#   31-50: 20 of the 50 r10-checked keys: the kmeans/PCA family first
+#   32-50: 19 of the 50 r10-checked keys: the kmeans/PCA family first
 #          (its assignment path is shared with the r11/r12 IVF rewires)
 #          then the relational/temporal/vector core q09-q35; the other
-#          30 r10-checked rotate in next round.
-# Outside the window this round: those 30 r10-checked (incl. the
-# q36/q37/q_sql_region_revenue/q_upsert_latest tail the PQ keys
+#          31 r10-checked rotate in next round.
+# Outside the window this round: those 31 r10-checked (incl. the
+# q35b/q36/q37/q_sql_region_revenue/q_upsert_latest tail the PQ keys
 # displaced) and the 50 r11-checked — every one has a green driver row
 # within the last two rounds and all are locally re-verified by
 # tools/check_oracle.py on current code each round. After this round
@@ -95,6 +95,7 @@ _DRIVER_WINDOW = [
     "q_pq_adc_topk",
     "q_pq_ann_refined",
     "q_pq_recall_audit",
+    "q_pq_train_error",
     # -- block 1: the rewired persistent-IVF query family ----------------
     "q_ivf_ann",
     "q_embed_cosine_dedup",
@@ -143,7 +144,6 @@ _DRIVER_WINDOW = [
     "q33_except_difference",
     "q34_intersect",
     "q35_tumbling_window",
-    "q35b_cascade_hourly",
 ]
 
 DRIVER_WINDOW_SIZE = 50

@@ -536,6 +536,69 @@ def q_pq_recall_audit(spark, sf_dir):
     )
 
 
+def q_pq_train_error(spark, sf_dir):
+    """Per-subspace quantization error of the trained PQ codebooks —
+    the PQ layer's drift/quality signal (``cell_stats``'s sibling for
+    the code side): each vector's distance to its chosen codeword,
+    aggregated per subspace as round(sum, 6)/count (the engine's
+    sum-then-divide rule). Rising error on fresh data means the frozen
+    codebooks no longer fit the distribution and ``enable_pq`` should
+    retrain; a subspace whose error dwarfs the others is where raising
+    ``m`` pays first. Per-row distances are the same in-order float64
+    folds the DuckDB Lloyd chains carry as ``dist``, so the row is
+    hash-checked like the rest of the family."""
+    from biodata_pipeline_spark.operators.pq import (
+        PQ_M,
+        pq_encode_kernel,
+        pq_fit,
+    )
+    from biodata_pipeline_spark.operators.similarity import matrix_literal
+
+    emb = _pq_corpus(spark, sf_dir)
+    sd = EMB_DIM // PQ_M
+
+    def build():
+        books = pq_fit(emb)
+        codes = pq_encode_kernel(emb, books)
+        e = F.col("embedding").cast("array<double>")
+
+        def _dist(j):
+            row = F.element_at(
+                matrix_literal(books[j]),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(e, j * sd + 1, sd),
+                    row,
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"), _dist(j).alias("dist")
+                )
+                for j in range(PQ_M)
+            ]
+        )
+        return (
+            codes.select(F.inline(pairs))
+            .groupBy("sub")
+            .agg(
+                F.count("*").alias("n_vecs"),
+                (F.round(F.sum("dist"), 6) / F.count("*")).alias("avg_err"),
+            )
+        )
+
+    return _empty_fallback(
+        spark, build, "sub int, n_vecs long, avg_err double"
+    )
+
+
 def q_embedding_validate(spark, sf_dir):
     """Embedding ingest gate census: classify every vector into its
     defect class — null / wrong_dim / null_element / non_finite /
@@ -603,6 +666,7 @@ SPARK = {
     "q_pq_adc_topk": q_pq_adc_topk,
     "q_pq_ann_refined": q_pq_ann_refined,
     "q_pq_recall_audit": q_pq_recall_audit,
+    "q_pq_train_error": q_pq_train_error,
 }
 
 # Dot products and norms are computed with list_sum over an in-order
@@ -1307,6 +1371,19 @@ ORACLE = {
         )
         SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
         FROM ranked WHERE rank <= 10
+    """,
+    "q_pq_train_error": f"""
+        WITH {_PQ_VECS},
+        {_pq_sql('vecs')},
+        errs AS (
+            SELECT 0 AS sub, dist FROM pq0a2
+            UNION ALL SELECT 1, dist FROM pq1a2
+            UNION ALL SELECT 2, dist FROM pq2a2
+            UNION ALL SELECT 3, dist FROM pq3a2
+        )
+        SELECT sub, count(*) AS n_vecs,
+               round(sum(dist), 6) / count(*) AS avg_err
+        FROM errs GROUP BY sub
     """,
     "q_pq_recall_audit": f"""
         WITH {_PQ_VECS},
