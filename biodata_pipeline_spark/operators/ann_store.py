@@ -394,7 +394,11 @@ class VectorIndexStore:
         self._n_rows_cache: int | None = None
         # trained PQ codebooks, read once per instance (m×k_sub rows —
         # driver-sized by design, like the coarse quantizer); refreshed
-        # by enable_pq()
+        # by enable_pq(). Unlike the row-count gate, a stale entry here
+        # would change RESULTS (old books scoring new codes), so a
+        # re-enable from ANOTHER instance against the same path requires
+        # fresh readers — the single-writer-per-store-path discipline
+        # every mutating method already assumes.
         self._pq_cache: list[list[list[float]]] | None = None
 
     # -- build / maintain -------------------------------------------------
@@ -575,16 +579,24 @@ class VectorIndexStore:
             "id", "cell", "codes"
         ).localCheckpoint()  # materialize BEFORE any store mutation
         n = coded.count()
+        # Mutation order makes every crash window VISIBLE, never
+        # silently wrong: (1) delete old codes FIRST — old codes under
+        # NEW codebooks would score garbage sims without any error, so
+        # the codes must go dark before the books can change (an ADC
+        # query in the window raises "no PQ codes", the recovery is
+        # re-running enable_pq, which is idempotent); (2) overwrite the
+        # codebooks; (3) write the fresh full encode (supersedes any
+        # per-batch deltas from earlier adds). A crash mid-(3) leaves a
+        # partial batch — consistent with the new books, just thinner —
+        # repaired by the same re-run, the store-wide replay contract.
+        fs, hp = _fs_path(spark, f"{self.path}/pq_codes")
+        if fs.exists(hp):
+            fs.delete(hp, True)
         spark.createDataFrame(
             rows, "sub int, code int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/pq/codebooks"
         )
-        # fresh full encode replaces any previous code state (re-enable
-        # = retrain); per-batch deltas from earlier adds are superseded
-        fs, hp = _fs_path(spark, f"{self.path}/pq_codes")
-        if fs.exists(hp):
-            fs.delete(hp, True)
         SignatureStore._write_batch(
             spark, coded, f"{self.path}/pq_codes", "pq_enable"
         )

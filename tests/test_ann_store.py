@@ -758,3 +758,20 @@ def test_measured_pq_refine_contract_edges(spark, tmp_path):
         max_sample=2, max_refine=4,
     )
     assert got <= 4
+
+
+def test_pq_codes_missing_is_visible_not_wrong(spark, tmp_path):
+    """The enable_pq crash-window contract: codebooks present but codes
+    absent (the window between the delete and the rewrite) must raise a
+    visible error from the ADC path — never score stale codes against
+    new books."""
+    import shutil
+
+    store = _pq_store(spark, tmp_path, "ivfpq_dark")
+    shutil.rmtree(f"{store.path}/pq_codes")
+    q = _queries(spark, n=2)
+    with pytest.raises(ValueError, match="no PQ codes"):
+        store.query(q, 3, n_probe=8, scoring="adc").collect()
+    # recovery: re-running enable_pq restores service
+    store.enable_pq(spark)
+    assert store.query(q, 3, n_probe=8, scoring="adc").count() == 6
