@@ -188,7 +188,6 @@ def measured_pq_refine(
     not refine."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
-    spark = queries.sparkSession
     sample = (
         queries.select(query_id, query_emb)
         .orderBy(query_id)
@@ -580,15 +579,55 @@ class VectorIndexStore:
         ).localCheckpoint()  # materialize BEFORE any store mutation
         n = coded.count()
         # Mutation order makes every crash window VISIBLE, never
-        # silently wrong: (1) delete old codes FIRST — old codes under
-        # NEW codebooks would score garbage sims without any error, so
-        # the codes must go dark before the books can change (an ADC
-        # query in the window raises "no PQ codes", the recovery is
-        # re-running enable_pq, which is idempotent); (2) overwrite the
-        # codebooks; (3) write the fresh full encode (supersedes any
-        # per-batch deltas from earlier adds). A crash mid-(3) leaves a
-        # partial batch — consistent with the new books, just thinner —
-        # repaired by the same re-run, the store-wide replay contract.
+        # silently wrong: (1) retire ALL old code state FIRST — old
+        # codes under NEW codebooks would score garbage sims without
+        # any error, so the codes must go dark before the books can
+        # change (an ADC query in the window raises "no PQ codes", the
+        # recovery is re-running enable_pq, which is idempotent);
+        # (2) overwrite the codebooks; (3) write the fresh full encode
+        # (supersedes any per-batch deltas from earlier adds). A crash
+        # mid-(3) leaves a partial batch — consistent with the new
+        # books, just thinner — repaired by the same re-run, the
+        # store-wide replay contract.
+        #
+        # "All old code state" includes the COMPACTED pq_codes table
+        # when a compaction ran since the last enable (r12 review: the
+        # delta-dir delete alone left the compacted table live in the
+        # meta, so a retrain-after-compact gave every previously
+        # enrolled id two CONFLICTING code rows and dropDuplicates
+        # picked an arbitrary survivor). Retirement order within (1):
+        # flip the meta pointer minus the pq_codes keys first (readers
+        # stop seeing the table — the atomic single-file rename the
+        # compaction machinery uses), then drop/delete the now
+        # unreferenced table dirs and the delta dir; a crash between
+        # the two leaves storage-only orphans, never readable stale
+        # codes (the compact sweep also clears old version dirs).
+        from biodata_pipeline_spark.operators.dedup import (
+            _read_index_meta,
+            _write_index_meta,
+        )
+
+        meta = _read_index_meta(spark, self.path)
+        if meta is not None and "pq_codes_table" in meta:
+            new_meta = {
+                k: v for k, v in meta.items()
+                if not k.startswith("pq_codes_")
+            }
+            new_meta["version"] = int(meta["version"]) + 1
+            _write_index_meta(spark, self.path, new_meta)
+            spark.sql(f"DROP TABLE IF EXISTS {meta['pq_codes_table']}")
+            tfs, thp = _fs_path(spark, meta["pq_codes_path"])
+            if tfs.exists(thp):
+                tfs.delete(thp, True)
+        # sweep any orphaned versioned dirs a crashed prior retirement
+        # left behind (same pattern as the compaction's version sweep)
+        import re as _re
+
+        dfs, dbase = _fs_path(spark, self.path)
+        if dfs.exists(dbase):
+            for st in dfs.listStatus(dbase):
+                if _re.match(r"^pq_codes_v\d+$", st.getPath().getName()):
+                    dfs.delete(st.getPath(), True)
         fs, hp = _fs_path(spark, f"{self.path}/pq_codes")
         if fs.exists(hp):
             fs.delete(hp, True)
@@ -795,6 +834,9 @@ class VectorIndexStore:
         r10 operating-curve tables are in SCALING.md)."""
         if scoring not in ("exact", "adc", "adc_refine"):
             raise ValueError(f"unknown scoring {scoring!r}")
+        if scoring == "adc_refine" and refine < 1:
+            # rank<=refine*k would silently return ZERO rows per query
+            raise ValueError(f"adc_refine needs refine >= 1, got {refine}")
         from pyspark.sql import Window
 
         spark = queries.sparkSession
@@ -869,8 +911,20 @@ class VectorIndexStore:
             {r["cell"] for r in qcells.select("cell").distinct().collect()}
         )
 
-        def _cand_from(part_name: str, value_col: str):
-            parts = _index_component_frames(spark, self.path, part_name)
+        aparts_memo: list = []
+
+        def _aparts():
+            # the assignments component frames, listed ONCE per query()
+            # call (r12 review: the exact path listed them in both the
+            # candidate build and the row-count gate — each listing
+            # re-reads the meta file and parquet footers)
+            if not aparts_memo:
+                aparts_memo.append(
+                    _index_component_frames(spark, self.path, "assignments")
+                )
+            return aparts_memo[0]
+
+        def _cand_from(parts, part_name: str, value_col: str):
             if not parts:
                 raise ValueError(
                     f"no index at {self.path}"
@@ -912,12 +966,7 @@ class VectorIndexStore:
             # footer-only claim doesn't hold for the bucketed-table
             # scan path).
             if self._n_rows_cache is None:
-                self._n_rows_cache = sum(
-                    p.count()
-                    for p in _index_component_frames(
-                        spark, self.path, "assignments"
-                    )
-                )
+                self._n_rows_cache = sum(p.count() for p in _aparts())
             if self._n_rows_cache > kernel_threshold:
                 return _score_candidates_kernel(cand, query_id, self.id_col)
             return cand.select(
@@ -957,10 +1006,16 @@ class VectorIndexStore:
             )
 
         if scoring == "exact":
-            return _rank(_exact_scored(_cand_from("assignments", "emb")), k)
+            return _rank(
+                _exact_scored(_cand_from(_aparts(), "assignments", "emb")), k
+            )
 
         books = self._pq_books(spark)
-        ccand = _cand_from("pq_codes", "codes").filter(
+        ccand = _cand_from(
+            _index_component_frames(spark, self.path, "pq_codes"),
+            "pq_codes",
+            "codes",
+        ).filter(
             F.col("codes").isNotNull()  # defective-element rows: no codes
         )
         adc = _score_candidates_pq_kernel(ccand, query_id, self.id_col, books)
@@ -974,7 +1029,7 @@ class VectorIndexStore:
         # instead of every candidate in the probed cells.
         cand_ids = _rank(adc, refine * k).select(query_id, self.id_col)
         embf = None
-        for p in _index_component_frames(spark, self.path, "assignments"):
+        for p in _aparts():
             s = p.filter(F.col("cell").isin(probed)).select(
                 F.col("id").alias(self.id_col), "emb"
             )

@@ -2009,8 +2009,14 @@ def compact_dedup_index(
             full = transforms[part](full)
         if dead is not None:
             full = full.join(dead, "id", "left_anti")
+        # a component may be newer than the last compaction (a PQ layer
+        # attached after a compact): the old meta then has no keys for
+        # it, which must mean "no compacted files yet", not a KeyError
+        # that permanently blocks compaction (r12 review)
         files_before = _file_count(f"{index_dir}/{part}") + (
-            _file_count(meta[f"{part}_path"]) if meta else 0
+            _file_count(meta[f"{part}_path"])
+            if meta and f"{part}_path" in meta
+            else 0
         )
         path = f"{index_dir}/{part}_v{version}"
         name = _index_table_name(index_dir, part, version)
@@ -2057,7 +2063,8 @@ def compact_dedup_index(
         _delete(p)
     if meta:
         for part in (parts or _INDEX_BUCKET_KEYS):
-            spark.sql(f"DROP TABLE IF EXISTS {meta[f'{part}_table']}")
+            if f"{part}_table" in meta:  # component may postdate the meta
+                spark.sql(f"DROP TABLE IF EXISTS {meta[f'{part}_table']}")
     if dead is not None:
         # clear exactly the snapshot-time files; concurrently-appended
         # tombstones stay pending (see the snapshot note above)

@@ -952,6 +952,75 @@ _PQ_VECS = """
             WHERE embedding IS NOT NULL AND len(embedding) = 64
         )"""
 
+
+# Shared CTE fragments for the PQ oracle family (r12 review: the qn /
+# adc / cand / rex blocks were pasted verbatim into three entries — a
+# future fold/tie-break fix applied to one would silently diverge the
+# others). Each is used by 2-3 of the q_pq_* oracles below.
+def _pq_qn_sql(n: int) -> str:
+    """Query slice with its exact norm: (query_id, embedding, nq)."""
+    return f"""
+        qn AS (
+            SELECT vec_id AS query_id, embedding,
+                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
+            FROM vecs WHERE vec_id < {n}
+        )"""
+
+
+_PQ_ADC = f"""
+        adc AS (
+            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
+            FROM qn q CROSS JOIN pq_rows d
+        )"""
+
+
+def _pq_top_sql(name: str, source: str, limit: int) -> str:
+    """Id-only per-query top-``limit`` of ``source`` (sim DESC, vec_id)."""
+    return f"""
+        {name} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+                FROM {source}
+            ) WHERE rk <= {limit}
+        )"""
+
+
+_PQ_EXACT_SIM = (
+    f"""round({_dot_sql('q.embedding', 'v.embedding')}
+                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
+                         9)"""
+)
+
+# exact rescore of the ADC shortlist (the refine stage)
+_PQ_REX = f"""
+        rex AS (
+            SELECT c.query_id, c.vec_id, {_PQ_EXACT_SIM} AS sim
+            FROM cand c
+            JOIN qn q ON q.query_id = c.query_id
+            JOIN vecs v ON v.vec_id = c.vec_id
+        )"""
+
+# exact brute-force ground truth over the full corpus
+_PQ_EX = f"""
+        ex AS (
+            SELECT q.query_id, v.vec_id, {_PQ_EXACT_SIM} AS sim
+            FROM qn q CROSS JOIN vecs v
+        )"""
+
+
+def _pq_ranked_sql(source: str) -> str:
+    """(query_id, vec_id, sim, rank) over ``source`` — the final-answer
+    window shared by the top-k oracle entries."""
+    return f"""
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM {source}
+        )"""
+
 # DuckDB's generate_series can't take lateral column bounds, so use a
 # constant upper bound and filter (documents are well under 16384 chars).
 _CHUNKS = """
@@ -1329,59 +1398,20 @@ ORACLE = {
     "q_pq_adc_topk": f"""
         WITH {_PQ_VECS},
         {_pq_sql('vecs')},
-        qn AS (
-            SELECT vec_id AS query_id, embedding,
-                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
-            FROM vecs WHERE vec_id < 5
-        ),
-        adc AS (
-            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
-            FROM qn q CROSS JOIN pq_rows d
-        ),
-        ranked AS (
-            SELECT query_id, vec_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, vec_id) AS rank
-            FROM adc
-        )
+        {_pq_qn_sql(5)},
+        {_PQ_ADC},
+        {_pq_ranked_sql('adc')}
         SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
         FROM ranked WHERE rank <= 10
     """,
     "q_pq_ann_refined": f"""
         WITH {_PQ_VECS},
         {_pq_sql('vecs')},
-        qn AS (
-            SELECT vec_id AS query_id, embedding,
-                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
-            FROM vecs WHERE vec_id < 5
-        ),
-        adc AS (
-            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
-            FROM qn q CROSS JOIN pq_rows d
-        ),
-        cand AS (
-            SELECT query_id, vec_id FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, vec_id) AS rk
-                FROM adc
-            ) WHERE rk <= 40
-        ),
-        rex AS (
-            SELECT c.query_id, c.vec_id,
-                   round({_dot_sql('q.embedding', 'v.embedding')}
-                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
-                         9) AS sim
-            FROM cand c
-            JOIN qn q ON q.query_id = c.query_id
-            JOIN vecs v ON v.vec_id = c.vec_id
-        ),
-        ranked AS (
-            SELECT query_id, vec_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, vec_id) AS rank
-            FROM rex
-        )
+        {_pq_qn_sql(5)},
+        {_PQ_ADC},
+        {_pq_top_sql('cand', 'adc', 40)},
+        {_PQ_REX},
+        {_pq_ranked_sql('rex')}
         SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
         FROM ranked WHERE rank <= 10
     """,
@@ -1401,63 +1431,14 @@ ORACLE = {
     "q_pq_recall_audit": f"""
         WITH {_PQ_VECS},
         {_pq_sql('vecs')},
-        qn AS (
-            SELECT vec_id AS query_id, embedding,
-                   sqrt({_dot_sql('embedding', 'embedding')}) AS nq
-            FROM vecs WHERE vec_id < 100
-        ),
-        adc AS (
-            SELECT q.query_id, d.vec_id, {_pq_adc_sim_sql('q', 'd')} AS sim
-            FROM qn q CROSS JOIN pq_rows d
-        ),
-        adc10 AS (
-            SELECT query_id, vec_id FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, vec_id) AS rk
-                FROM adc
-            ) WHERE rk <= 10
-        ),
-        cand AS (
-            SELECT query_id, vec_id FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, vec_id) AS rk
-                FROM adc
-            ) WHERE rk <= 40
-        ),
-        rex AS (
-            SELECT c.query_id, c.vec_id,
-                   round({_dot_sql('q.embedding', 'v.embedding')}
-                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
-                         9) AS sim
-            FROM cand c
-            JOIN qn q ON q.query_id = c.query_id
-            JOIN vecs v ON v.vec_id = c.vec_id
-        ),
-        ref10 AS (
-            SELECT query_id, vec_id FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, vec_id) AS rk
-                FROM rex
-            ) WHERE rk <= 10
-        ),
-        ex AS (
-            SELECT q.query_id, v.vec_id,
-                   round({_dot_sql('q.embedding', 'v.embedding')}
-                         / (q.nq * sqrt({_dot_sql('v.embedding', 'v.embedding')})),
-                         9) AS sim
-            FROM qn q CROSS JOIN vecs v
-        ),
-        ex10 AS (
-            SELECT query_id, vec_id FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, vec_id) AS rk
-                FROM ex
-            ) WHERE rk <= 10
-        ),
+        {_pq_qn_sql(100)},
+        {_PQ_ADC},
+        {_pq_top_sql('adc10', 'adc', 10)},
+        {_pq_top_sql('cand', 'adc', 40)},
+        {_PQ_REX},
+        {_pq_top_sql('ref10', 'rex', 10)},
+        {_PQ_EX},
+        {_pq_top_sql('ex10', 'ex', 10)},
         truth AS (SELECT count(*) AS n FROM ex10)
         SELECT 'adc' AS variant, count(*) AS n_hits,
                round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)

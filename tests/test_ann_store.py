@@ -775,3 +775,79 @@ def test_pq_codes_missing_is_visible_not_wrong(spark, tmp_path):
     # recovery: re-running enable_pq restores service
     store.enable_pq(spark)
     assert store.query(q, 3, n_probe=8, scoring="adc").count() == 6
+
+
+def test_pq_reenable_after_compact_retires_compacted_codes(
+    spark, tmp_path
+):
+    """r12 review (confirmed): enable_pq after a compaction must retire
+    the COMPACTED code table too — the delta-dir delete alone left it
+    live in the meta, giving every previously enrolled id two
+    CONFLICTING code rows (old books' codes under new books) and
+    silently wrong ADC sims."""
+    from biodata_pipeline_spark.operators.dedup import (
+        _index_component_frames,
+    )
+    from biodata_pipeline_spark.operators.pq import pq_adc_topk
+
+    store = VectorIndexStore(str(tmp_path / "ivfpq_rc"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 300), k=8, iters=1)
+    store.enable_pq(spark)
+    store.compact(spark, n_buckets=4)
+    store.add(_emb(spark).filter(F.col("vec_id") >= 300), batch_id="b1")
+    store.enable_pq(spark)  # retrain on the grown corpus
+
+    codes = None
+    for p in _index_component_frames(spark, store.path, "pq_codes"):
+        codes = p if codes is None else codes.unionByName(p)
+    # exactly one code row per enrolled id — no stale-table survivors
+    n_ids = codes.select("id").distinct().count()
+    assert codes.count() == n_ids == _emb(spark).filter(
+        F.col("embedding").isNotNull()
+    ).count()
+    # and the ADC results equal the operator-level ranking under the
+    # CURRENT books (a stale survivor would diverge)
+    q = _queries(spark, n=3)
+    fresh = VectorIndexStore(store.path)
+    got = fresh.query(q, 5, n_probe=8, scoring="adc")
+    want = pq_adc_topk(
+        q,
+        codes.select(F.col("id").alias("vec_id"), "codes"),
+        fresh._pq_books(spark),
+        5,
+        use_kernel=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_pq_enable_after_compact_then_compact_again(spark, tmp_path):
+    """r12 review (confirmed): a store whose compaction meta predates
+    enable_pq could never compact again — the files_before accounting
+    indexed meta['pq_codes_path'] unconditionally (KeyError). The
+    sequence build → compact → enable_pq → compact must fold both
+    components."""
+    store = VectorIndexStore(str(tmp_path / "ivfpq_mc"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 200), k=4, iters=1)
+    store.compact(spark, n_buckets=4)  # pre-PQ meta
+    store.enable_pq(spark)
+    q = _queries(spark, n=3)
+    pre = sorted(
+        map(tuple, store.query(q, 5, n_probe=4, scoring="adc").collect())
+    )
+    stats = store.compact(spark, n_buckets=4)  # crashed before the fix
+    assert "pq_codes" in stats and "assignments" in stats
+    post = sorted(
+        map(tuple, store.query(q, 5, n_probe=4, scoring="adc").collect())
+    )
+    assert pre == post
+
+
+def test_pq_refine_zero_raises(spark, tmp_path):
+    """refine < 1 would silently return ZERO rows per query (rank <= 0)
+    — must raise instead."""
+    store = _pq_store(spark, tmp_path, "ivfpq_r0")
+    q = _queries(spark, n=2)
+    with pytest.raises(ValueError, match="refine >= 1"):
+        store.query(q, 5, n_probe=8, scoring="adc_refine", refine=0)
