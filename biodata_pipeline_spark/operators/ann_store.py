@@ -774,6 +774,39 @@ class VectorIndexStore:
         )
         return new
 
+    def describe(self, spark) -> dict:
+        """Operational snapshot for maintenance decisions: live row
+        count, coarse-quantizer size, pending tombstones, compaction
+        version, and the PQ layer's shape (or None). Runs a few small
+        jobs — a maintenance call, not a query-path one; the numbers an
+        operator reads before choosing between ``compact``, ``rebuild``
+        and ``enable_pq`` retrain."""
+        from biodata_pipeline_spark.operators.dedup import (
+            _read_index_meta,
+        )
+
+        tomb = self._tombstones(spark)
+        meta = _read_index_meta(spark, self.path) or {}
+        out = {
+            "n_live_vectors": self.vectors(spark).count(),
+            "n_cells": len(self.centroids(spark)),
+            "n_pending_tombstones": (
+                tomb.select("id").distinct().count()
+                if tomb is not None
+                else 0
+            ),
+            "compaction_version": int(meta.get("version", 0)),
+            "pq": None,
+        }
+        if self.pq_enabled(spark):
+            books = self._pq_books(spark)
+            out["pq"] = {
+                "m": len(books),
+                "k_sub": len(books[0]),
+                "subdim": len(books[0][0]),
+            }
+        return out
+
     def cell_stats(self, spark) -> DataFrame:
         """(cell, n_vecs) occupancy — the drift report. A cell running
         hot (≫ corpus/k) means the frozen quantizer no longer fits the

@@ -851,3 +851,22 @@ def test_pq_refine_zero_raises(spark, tmp_path):
     q = _queries(spark, n=2)
     with pytest.raises(ValueError, match="refine >= 1"):
         store.query(q, 5, n_probe=8, scoring="adc_refine", refine=0)
+
+
+def test_describe_reports_store_state(spark, tmp_path):
+    store = VectorIndexStore(str(tmp_path / "ivf_desc"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 100), k=4, iters=1)
+    d = store.describe(spark)
+    assert d["n_live_vectors"] == 100 and d["n_cells"] == 4
+    assert d["n_pending_tombstones"] == 0 and d["pq"] is None
+    assert d["compaction_version"] == 0
+    store.remove(spark, [1, 2, 3])
+    store.enable_pq(spark)
+    d = store.describe(spark)
+    assert d["n_live_vectors"] == 97
+    assert d["n_pending_tombstones"] == 3
+    assert d["pq"] == {"m": 4, "k_sub": 16, "subdim": 16}
+    store.compact(spark, n_buckets=4)
+    d = store.describe(spark)
+    assert d["n_pending_tombstones"] == 0
+    assert d["compaction_version"] >= 1
