@@ -533,7 +533,10 @@ def q_pq_recall_audit(spark, sf_dir):
                 queries, codes, books, PQ_TOPK, use_kernel=True, **kwargs
             ).select("query_id", "vec_id")
             out.append(
-                exact.join(got, ["query_id", "vec_id"])
+                # both sides are <= n_queries * k rows; without the hint
+                # the static plan sort-merge-joins them (AQE fixes it at
+                # runtime, but the audited plan should say what runs)
+                exact.join(F.broadcast(got), ["query_id", "vec_id"])
                 .agg(F.count("*").alias("n_hits"))
                 .select(
                     F.lit(variant).alias("variant"),
