@@ -64,86 +64,84 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2). Round-12 rotation,
-# computed from the CORRECTNESS_r01-r11 union (max driver round per
-# key; after r11 the latest rows are 24×r09, 50×r10, 50×r11):
-#   1-5:   the five round-12 product-quantization queries — NEVER
-#          driver-checked (new this round), so they go first (the
-#          standing never-checked-first rule);
-#   6-8:   the persistent-IVF query family (VERDICT r11 #2): the
-#          r11 join-form cell-ranking + kernel-scoring rewire and the
-#          r12 count-cache / duplicate-query_id fixes landed AFTER
-#          these keys' last driver rows (q_ivf_ann and
-#          q_embed_cosine_dedup: r10; q_ivf_cell_assign: r09) — the
-#          fold-parity pytests predict hash-green, the driver row
-#          proves it on current code;
-#   9-31:  the remaining 23 r09-checked keys — the analytic / corpus /
-#          sampling / audit tail;
-#   32-50: 19 of the 50 r10-checked keys: the kmeans/PCA family first
-#          (its assignment path is shared with the r11/r12 IVF rewires)
-#          then the relational/temporal/vector core q09-q35; the other
-#          31 r10-checked rotate in next round.
-# Outside the window this round: those 31 r10-checked (incl. the
-# q35b/q36/q37/q_sql_region_revenue/q_upsert_latest tail the PQ keys
-# displaced) and the 50 r11-checked — every one has a green driver row
-# within the last two rounds and all are locally re-verified by
-# tools/check_oracle.py on current code each round. After this round
-# no key's latest driver row is older than r10.
+# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1). Round-13
+# rotation, computed from the CORRECTNESS_r01-r12 union (max driver
+# round per key; after r12 the latest rows are 29×r10, 50×r11, 50×r12):
+#   1-5:   the five product-quantization queries: checked r12, but the
+#          round-13 PQ default change (m 4→16, refine 4→8 — VERDICT r12
+#          "what's wrong" #1 / next-round #2) changes their output, so
+#          the changed-code-first rule puts them back at the head;
+#   6-9:   the four banding-rewire consumers (VERDICT r12 #1): the
+#          Arrow XXH64 banding kernel rerouted every MinHash consumer
+#          (dedup.py) in r12 AFTER these keys' last driver rows (r10) —
+#          the bit-parity pytests predict green, the driver row proves
+#          it on current code;
+#   10-34: the remaining 25 r10-checked keys — the approximate /
+#          sampling / scrub / temporal tail;
+#   35-50: 16 of the 50 r11-checked keys: the dedup/LSH audit family
+#          first (their last rows also predate the r12 banding kernel),
+#          then the oldest relational scans q01-q06; the other 34
+#          r11-checked rotate in next round.
+# Outside the window this round: those 34 r11-checked and the 45
+# r12-checked — every one has a green driver row within the last two
+# rounds and all are locally re-verified by tools/check_oracle.py on
+# current code each round. After this round no key's latest driver row
+# is older than r11.
 _DRIVER_WINDOW = [
-    # -- block 0: round-12 PQ family, never driver-checked ----------------
+    # -- block 0: PQ family — defaults changed this round (m 16/refine 8)
     "q_pq_codes",
     "q_pq_adc_topk",
     "q_pq_ann_refined",
     "q_pq_recall_audit",
     "q_pq_train_error",
-    # -- block 1: the rewired persistent-IVF query family ----------------
-    "q_ivf_ann",
-    "q_embed_cosine_dedup",
-    "q_ivf_cell_assign",
-    # -- block 2: the remaining 23 r09-checked, registry-family order ----
-    "q_bpe_encode_corpus",
-    "q_contamination_check",
-    "q_corpus_profile",
-    "q_corpus_shuffle",
-    "q_cube_pricing",
-    "q_dedup_clusters",
-    "q_grouping_sets_revenue",
-    "q_lsh_precision_audit",
-    "q_media_inventory",
-    "q_mixture_allocation",
-    "q_mixture_schedule",
-    "q_pack_sequences",
-    "q_passage_dedup",
-    "q_quality_classifier",
-    "q_shard_manifest",
-    "q_stats_corr",
-    "q_stratified_split",
-    "q_tfidf_top_terms",
-    "q_token_entropy",
-    "q_unigram_logprob",
-    "q_vocab_oov_rate",
-    "q_weighted_sample",
-    "q_winnow_fingerprints",
-    # -- block 3: 24 r10-checked — kmeans family, then the core ----------
-    "q_kmeans_clusters",
-    "q_semantic_dedup",
-    "q_pca_projection",
-    "q09_exact_dedup",
-    "q11_multiway_join_revenue",
-    "q16_asof_join",
-    "q21_pricing_summary",
-    "q24_cosine_topk",
-    "q25_similarity_join",
-    "q26_retrieval_rank_detail",
-    "q26b_retrieval_rank_summary",
-    "q28_lag_prev_event",
-    "q29_sliding_frame_avg",
-    "q31_per_group_topk",
-    "q31b_collect_ordered",
-    "q32_union_all",
-    "q33_except_difference",
-    "q34_intersect",
-    "q35_tumbling_window",
+    # -- block 1: banding-rewire consumers, last checked r10 -------------
+    "q_leakage_recall_audit",
+    "q_lsh_similarity_join",
+    "q_minhash_lsh_dedup",
+    "q_split_leakage_lsh",
+    # -- block 2: the remaining 25 r10-checked, registry-family order ----
+    "q21d_approx_percentiles",
+    "q35b_cascade_hourly",
+    "q36_sliding_window",
+    "q37_session_window",
+    "q_approx_count_distinct",
+    "q_bpe_encode_pinned",
+    "q_bpe_pack_ids",
+    "q_bpe_step_argmax",
+    "q_cms_heavy_hitters",
+    "q_embed_quantize",
+    "q_embedding_stats",
+    "q_embedding_validate",
+    "q_fingerprint",
+    "q_group_weighted_sample",
+    "q_hash_sample",
+    "q_lang_guess",
+    "q_media_frame_sample",
+    "q_ntile_distribution",
+    "q_passage_scrub",
+    "q_percentile_accuracy_audit",
+    "q_pii_scrub",
+    "q_pivot_priority_matrix",
+    "q_simhash_dedup",
+    "q_sql_region_revenue",
+    "q_upsert_latest",
+    # -- block 3: 16 r11-checked — dedup/LSH audit family, then q01-q06 --
+    "q_lsh_recall_audit",
+    "q_lsh_pair_recall_audit",
+    "q_simhash_recall_audit",
+    "q_split_leakage",
+    "q_dedup_cc_audit",
+    "q_dedup_survivors_best",
+    "q_dup_source_matrix",
+    "q_line_dedup_scrub",
+    "q_ann_bucket_recall",
+    "q_ngram_jaccard_dedup",
+    "q01_text_scan_blank_filter",
+    "q02_delimited_comment_filter",
+    "q03_prompt_template_projection",
+    "q04_alpaca_projection",
+    "q05_suffix_marker_predicate",
+    "q06_regex_suffix_strip",
 ]
 
 DRIVER_WINDOW_SIZE = 50
