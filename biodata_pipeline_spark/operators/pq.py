@@ -50,7 +50,14 @@ from biodata_pipeline_spark.operators.similarity import (
     matrix_literal,
 )
 
-PQ_M = 4        # subspaces (64d -> four 16d slices)
+# Default m=16 (64d -> sixteen 4d slices) is the measured operating
+# point, not a guess: the r12 (m, refine) recall grid (SCALING.md) put
+# m=4 at recall@10 0.226 adc / 0.633 refined on the real corpus while
+# m=16 reads 0.483 adc and 0.958 at refine·8 — with the ADC scan wall
+# unmoved (the LUT kernel's cost is lookup-bound, not m-bound) and the
+# code footprint still ~6.5× smaller than the float rows. m=4 remains
+# an explicit override for when footprint dominates recall.
+PQ_M = 16       # subspaces (64d -> sixteen 4d slices)
 PQ_KSUB = 16    # codewords per subspace (codes fit 4 bits here; prod: 256)
 PQ_ITERS = 2    # Lloyd updates per subspace, same default as kmeans_fit
 
@@ -119,7 +126,10 @@ def pq_encode_ref(
     in-order squared-L2 fold against the codebook matrix literal, ties
     to the lowest code — the expression tree the DuckDB oracle mirrors.
     Adds ``codes_col`` (array<int>, length m). Engine bulk path is
-    ``pq_encode_kernel`` (decision-identical, parity-pinned)."""
+    ``pq_encode_kernel`` (decision-identical, parity-pinned — including
+    on DEFECTIVE rows: a null / NaN / Inf element yields a NULL codes
+    entry here too, instead of the arbitrary argmin an all-NaN distance
+    array would produce under Spark's NaN-equals-NaN ordering)."""
     m = len(codebooks)
     sd = len(codebooks[0][0])
     dim = m * sd
@@ -158,7 +168,16 @@ def pq_encode_ref(
                 0,
             )
         )
-    return base.withColumn(codes_col, F.array(*parts))
+    defective = F.exists(
+        emb,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return base.withColumn(
+        codes_col,
+        F.when(defective, F.lit(None)).otherwise(F.array(*parts)),
+    )
 
 
 def pq_encode_kernel(

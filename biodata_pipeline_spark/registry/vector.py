@@ -380,10 +380,19 @@ def q_approx_count_distinct(spark, sf_dir):
 EMB_DIM = 64
 
 # --- product quantization (operators/pq.py) ---------------------------------
+# The declared family runs at the operators' measured defaults: m is
+# operators/pq.py's PQ_M (16 since r13 — the (m, refine) grid's
+# operating point), and refine·8 is the grid's recall-0.958 partner
+# setting (SCALING.md r12; VERDICT r12 #2). Both the Spark queries and
+# the generated DuckDB oracle derive every m-dependent shape from the
+# same constant, so a future default change stays one-line.
+from biodata_pipeline_spark.operators.pq import PQ_M as _PQ_M_DEFAULT
+
 PQ_QUERIES_N = 5       # declared top-k queries (q24's slice)
 PQ_AUDIT_QUERIES = 100  # recall-audit query sample (the ANN-audit size)
-PQ_REFINE = 4           # refined variant rescores top refine*k exactly
+PQ_REFINE = 8           # refined variant rescores top refine*k exactly
 PQ_TOPK = 10
+PQ_SD = EMB_DIM // _PQ_M_DEFAULT  # subspace width at the default m
 
 
 def _pq_corpus(spark, sf_dir):
@@ -421,13 +430,14 @@ def _pq_books_for(spark, sf_dir):
 
 
 def q_pq_codes(spark, sf_dir):
-    """Product-quantization codes for every vector: 4 subspace codebooks
-    (16 codewords × 16 dims each) trained by the engine's deterministic
-    per-subspace k-means, encoded in ONE Arrow-kernel pass — 16 bits of
-    code replacing 256 bytes of float, the compressed representation the
+    """Product-quantization codes for every vector: PQ_M subspace
+    codebooks (16 codewords × 64/PQ_M dims each, m=16 at the measured
+    default) trained by the engine's deterministic per-subspace
+    k-means, encoded in ONE Arrow-kernel pass — 4·m bits of code
+    replacing 256 bytes of float, the compressed representation the
     ADC queries score against. The hash check replays the whole fit +
-    encode in DuckDB (four prefixed Lloyd chains), so it pins the
-    kernel's argmin/tie-break parity cross-engine."""
+    encode in DuckDB (one prefixed Lloyd chain per subspace), so it
+    pins the kernel's argmin/tie-break parity cross-engine."""
     from biodata_pipeline_spark.operators.pq import (
         PQ_M,
         pq_encode_kernel,
@@ -448,13 +458,14 @@ def q_pq_codes(spark, sf_dir):
 
     return _empty_fallback(
         spark, build,
-        "vec_id long, code0 int, code1 int, code2 int, code3 int",
+        "vec_id long, "
+        + ", ".join(f"code{j} int" for j in range(_PQ_M_DEFAULT)),
     )
 
 
 def q_pq_adc_topk(spark, sf_dir):
     """Asymmetric-distance top-10 for the first 5 queries: candidates
-    scored from their 4-code representation alone (LUT kernel — m table
+    scored from their m-code representation alone (LUT kernel — m table
     lookups per candidate, never the stored floats). The approximate
     twin of q24_cosine_topk; sim is the ADC estimate."""
     from biodata_pipeline_spark.operators.pq import (
@@ -478,10 +489,11 @@ def q_pq_adc_topk(spark, sf_dir):
 
 
 def q_pq_ann_refined(spark, sf_dir):
-    """ADC candidates exact-refined: the top refine·k=40 code-scored
+    """ADC candidates exact-refined: the top refine·k=80 code-scored
     candidates per query are re-scored against their true vectors and
-    re-ranked — the standard PQ recall repair, touching 40 full vectors
-    per query instead of the corpus. sim is the exact cosine."""
+    re-ranked — the standard PQ recall repair (refine·8 is the measured
+    grid's recall-0.958 partner to m=16), touching 80 full vectors per
+    query instead of the corpus. sim is the exact cosine."""
     from biodata_pipeline_spark.operators.pq import (
         pq_adc_topk,
         pq_encode_kernel,
@@ -505,7 +517,7 @@ def q_pq_ann_refined(spark, sf_dir):
 def q_pq_recall_audit(spark, sf_dir):
     """Measured recall@10 of the PQ paths vs exact cosine ground truth
     over a 100-query sample — the honesty row for the compressed
-    representation (the LSH/SimHash audit discipline): 16-bit codes on
+    representation (the LSH/SimHash audit discipline): 4·m-bit codes on
     a structure-free uniform corpus are the documented worst case, and
     this query records exactly what that costs, per variant (codes-only
     ADC vs exact-refined)."""
@@ -884,7 +896,7 @@ def _kmeans_sql(source: str, k: int = 8, iters: int = 2, grain: int = 6) -> str:
 
 def _pq_sql(
     source: str,
-    m: int = 4,
+    m: int = _PQ_M_DEFAULT,
     k_sub: int = 16,
     iters: int = 2,
     dim: int = 64,
@@ -931,7 +943,9 @@ def _pq_sql(
     return ",".join(parts)
 
 
-def _pq_adc_sim_sql(q: str = "q", d: str = "d", m: int = 4, sd: int = 16) -> str:
+def _pq_adc_sim_sql(
+    q: str = "q", d: str = "d", m: int = _PQ_M_DEFAULT, sd: int = PQ_SD
+) -> str:
     """The ADC cosine estimate: per-subspace in-order partial dots /
     norms added LEFT-ASSOCIATIVELY (SQL ``+`` parses left-assoc) — the
     exact subspace-grouped IEEE-754 sequence of pq_adc_scores and the
@@ -1390,13 +1404,15 @@ ORACLE = {
         SELECT id_a, id_b, sim FROM dup_edges
     """,
     # --- product quantization: the full fit + encode + ADC pipeline is
-    # SQL-replayable (four prefixed Lloyd chains — the q_kmeans_clusters
-    # promotion technique applied per subspace), so even the Arrow LUT
-    # kernel's sims get a cross-engine value hash. -----------------------
+    # SQL-replayable (one prefixed Lloyd chain per subspace — the
+    # q_kmeans_clusters promotion technique applied m times), so even the
+    # Arrow LUT kernel's sims get a cross-engine value hash. -------------
     "q_pq_codes": f"""
         WITH {_PQ_VECS},
         {_pq_sql('vecs')}
-        SELECT vec_id, code0, code1, code2, code3 FROM pq_codes
+        SELECT vec_id,
+               {", ".join(f"code{j}" for j in range(_PQ_M_DEFAULT))}
+        FROM pq_codes
     """,
     "q_pq_adc_topk": f"""
         WITH {_PQ_VECS},
@@ -1412,7 +1428,7 @@ ORACLE = {
         {_pq_sql('vecs')},
         {_pq_qn_sql(5)},
         {_PQ_ADC},
-        {_pq_top_sql('cand', 'adc', 40)},
+        {_pq_top_sql('cand', 'adc', PQ_REFINE * PQ_TOPK)},
         {_PQ_REX},
         {_pq_ranked_sql('rex')}
         SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
@@ -1423,9 +1439,8 @@ ORACLE = {
         {_pq_sql('vecs')},
         errs AS (
             SELECT 0 AS sub, dist FROM pq0a2
-            UNION ALL SELECT 1, dist FROM pq1a2
-            UNION ALL SELECT 2, dist FROM pq2a2
-            UNION ALL SELECT 3, dist FROM pq3a2
+            {" ".join(f"UNION ALL SELECT {j}, dist FROM pq{j}a2"
+                      for j in range(1, _PQ_M_DEFAULT))}
         )
         SELECT sub, count(*) AS n_vecs,
                round(sum(dist), 6) / count(*) AS avg_err
@@ -1437,7 +1452,7 @@ ORACLE = {
         {_pq_qn_sql(100)},
         {_PQ_ADC},
         {_pq_top_sql('adc10', 'adc', 10)},
-        {_pq_top_sql('cand', 'adc', 40)},
+        {_pq_top_sql('cand', 'adc', PQ_REFINE * PQ_TOPK)},
         {_PQ_REX},
         {_pq_top_sql('ref10', 'rex', 10)},
         {_PQ_EX},

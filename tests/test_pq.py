@@ -76,6 +76,34 @@ def test_encode_paths_decision_identical(emb, books):
     assert rng["lo"] >= 0 and rng["hi"] < PQ_KSUB
 
 
+def test_encode_paths_decision_identical_on_defective_rows(spark, books):
+    """Parity holds on DIRTY input too (r12 advice): a NaN / Inf / null
+    element must yield NULL codes on BOTH paths — without the explicit
+    defective-row gate, the declarative argmin over an all-NaN distance
+    array would pick an arbitrary code under Spark's NaN=NaN ordering
+    while the kernel emits NULL."""
+    ok = [float(i % 7 - 3) for i in range(64)]
+    rows = [
+        (1, ok),
+        (2, ok[:1] + [float("nan")] + ok[2:]),
+        (3, ok[:5] + [None] + ok[6:]),
+        (4, ok[:63] + [float("inf")]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode_ref(df, books).collect()
+    }
+    ker = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode_kernel(df, books).collect()
+    }
+    assert set(ref) == set(ker) == {1, 2, 3, 4}
+    assert ref == ker
+    assert ref[1] is not None
+    assert ref[2] is None and ref[3] is None and ref[4] is None
+
+
 def test_encode_defective_elements_null_codes(spark, books):
     """Null / non-finite ELEMENTS -> NULL codes entry; null or
     wrong-length vectors are excluded (the geometry contract)."""
@@ -208,4 +236,4 @@ def test_registry_empty_fallback(spark, tmp_path):
     pw.write_table(schema.empty_table(), sf / "embeddings.parquet")
     out = q_pq_codes(spark, str(sf))
     assert out.count() == 0
-    assert out.columns == ["vec_id", "code0", "code1", "code2", "code3"]
+    assert out.columns == ["vec_id"] + [f"code{j}" for j in range(PQ_M)]
