@@ -65,6 +65,64 @@ from biodata_pipeline_spark.operators.pq import (
 from biodata_pipeline_spark.operators.similarity import SIM_ROUND
 
 
+def _read_store_doc(spark, store_path: str, name: str) -> dict | None:
+    """One small JSON document under the store path (``{name}.json``),
+    read via the filesystem API — no Spark job. Returns None when
+    absent. Store-level facts (the PQ books etag, the calibration
+    record) live in these docs rather than the compaction meta because
+    ``compact_dedup_index`` rebuilds its meta fresh on every fold and
+    would silently drop foreign keys."""
+    import json
+
+    from biodata_pipeline_spark.operators.dedup import _fs_path
+
+    fs, hp = _fs_path(spark, f"{store_path}/{name}.json")
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_store_doc(spark, store_path: str, name: str, doc: dict) -> None:
+    """Atomic single-file replace: write to ``.tmp``, rename into place
+    (the ``_write_index_meta`` discipline) — a reader sees the old doc
+    or the new one, never a torn write."""
+    import json
+
+    from biodata_pipeline_spark.operators.dedup import _fs_path
+
+    fs, tmp = _fs_path(spark, f"{store_path}/{name}.json.tmp")
+    _, final = _fs_path(spark, f"{store_path}/{name}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"store doc flip failed: {tmp} -> {final}")
+
+
+def _books_etag(books: list[list[list[float]]]) -> str:
+    """Content hash of the PQ codebooks — the cross-instance staleness
+    guard (r12 advice): a content etag (not a counter) means an
+    idempotent retrain on the same corpus keeps caches valid, while ANY
+    book change — from this process or another — is detected."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(books, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
 def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
     """Conservative no-measurement n_probe fallback (VERDICT r9 #3).
 
@@ -100,11 +158,14 @@ def measured_n_probe(
     query_id: str = "query_id",
     query_emb: str = "query_emb",
     max_sample: int = 32,
-) -> int:
+    with_recall: bool = False,
+) -> "int | tuple[int, float]":
     """Cheapest n_probe whose MEASURED recall@k on a bounded query
     sample meets ``target_recall`` (VERDICT r10 #4) — the setting a
     user would actually ship, vs ``recommended_n_probe``'s
-    near-exhaustive no-measurement fallback.
+    near-exhaustive no-measurement fallback. With ``with_recall`` the
+    return is ``(n_probe, measured_recall)`` — the number the caller
+    persists (``VectorIndexStore.calibrate``) or logs.
 
     Protocol: take a deterministic ``max_sample``-query slice (ordered
     by ``query_id`` — bounded driver-side state, the centroid-collect
@@ -140,7 +201,7 @@ def measured_n_probe(
     )
     n_truth = truth.count()
     if n_truth == 0:
-        return 1
+        return (1, 1.0) if with_recall else 1
     n_probe = 1
     while n_probe < n_cells:
         got = store.query(sample, k, n_probe=n_probe,
@@ -148,10 +209,12 @@ def measured_n_probe(
         hits = truth.join(
             got.select(query_id, store.id_col), [query_id, store.id_col]
         ).count()
-        if hits / n_truth >= target_recall:
-            return n_probe
+        recall = hits / n_truth
+        if recall >= target_recall:
+            return (n_probe, recall) if with_recall else n_probe
         n_probe = min(n_probe * 2, n_cells)
-    return n_cells
+    # at n_probe = n_cells the IVF ranking IS the ground truth above
+    return (n_cells, 1.0) if with_recall else n_cells
 
 
 def measured_pq_refine(
@@ -164,7 +227,8 @@ def measured_pq_refine(
     query_emb: str = "query_emb",
     max_sample: int = 32,
     max_refine: int = 64,
-) -> int:
+    with_recall: bool = False,
+) -> "int | tuple[int, float]":
     """Cheapest ``refine`` multiplier whose MEASURED recall@k (against
     the exact ranking at the same ``n_probe``) meets ``target_recall``
     on a bounded query sample — ``measured_n_probe``'s sibling for the
@@ -183,9 +247,12 @@ def measured_pq_refine(
     returns the exact-at-n_probe ranking, recall 1.0 vs that truth).
     Cost: O(log max_refine) bounded queries — run once per
     corpus/store, not per query batch. If the measured crossing never
-    arrives the cap is returned; the caller's recall shortfall then
-    lives in m (code resolution — see the SCALING.md (m, refine) grid),
-    not refine."""
+    arrives the cap is returned AND a RuntimeWarning names the recall
+    shortfall (r12 advice: a bare ``max_refine`` was indistinguishable
+    from "target met exactly at the cap") — the shortfall then lives in
+    m (code resolution — see the SCALING.md (m, refine) grid), not
+    refine. With ``with_recall`` the return is ``(refine,
+    measured_recall)``, the unambiguous programmatic form."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     sample = (
@@ -202,7 +269,7 @@ def measured_pq_refine(
     )
     n_truth = truth.count()
     if n_truth == 0:
-        return 1
+        return (1, 1.0) if with_recall else 1
     refine = 1
     while True:
         got = store.query(
@@ -212,8 +279,22 @@ def measured_pq_refine(
         hits = truth.join(
             got.select(query_id, store.id_col), [query_id, store.id_col]
         ).count()
-        if hits / n_truth >= target_recall or refine >= max_refine:
-            return refine
+        recall = hits / n_truth
+        if recall >= target_recall or refine >= max_refine:
+            if recall < target_recall:
+                import warnings
+
+                warnings.warn(
+                    f"measured_pq_refine: recall {recall:.4f} at the "
+                    f"max_refine={max_refine} cap is below the "
+                    f"{target_recall} target — raising refine further "
+                    "cannot close this; the shortfall lives in m (code "
+                    "resolution): retrain with enable_pq(m=...) per the "
+                    "SCALING.md (m, refine) grid",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            return (refine, recall) if with_recall else refine
         refine = min(refine * 2, max_refine)
 
 
@@ -394,11 +475,14 @@ class VectorIndexStore:
         # trained PQ codebooks, read once per instance (m×k_sub rows —
         # driver-sized by design, like the coarse quantizer); refreshed
         # by enable_pq(). Unlike the row-count gate, a stale entry here
-        # would change RESULTS (old books scoring new codes), so a
-        # re-enable from ANOTHER instance against the same path requires
-        # fresh readers — the single-writer-per-store-path discipline
-        # every mutating method already assumes.
+        # would change RESULTS (old books scoring new codes), so every
+        # ``_pq_books`` call validates the cache against the persisted
+        # content etag (``pq_etag.json`` — one tiny FS read, no Spark
+        # job) and reloads on mismatch: a re-enable from ANOTHER
+        # instance/process can no longer make this instance silently
+        # encode or score under retired books (r12 advice).
         self._pq_cache: list[list[list[float]]] | None = None
+        self._pq_cache_etag: str | None = None
 
     # -- build / maintain -------------------------------------------------
     def build(
@@ -639,10 +723,27 @@ class VectorIndexStore:
         SignatureStore._write_batch(
             spark, coded, f"{self.path}/pq_codes", "pq_enable"
         )
+        etag = _books_etag(books)
+        _write_store_doc(spark, self.path, "pq_etag", {"etag": etag})
+        # the books changed: any persisted refine calibration measured
+        # against the old codes is void — recorded by fingerprint drift
+        # (calibrate() compares books_etag), nothing to delete here
         self._pq_cache = books
+        self._pq_cache_etag = etag
         return n
 
     def _pq_books(self, spark) -> list[list[list[float]]]:
+        doc = _read_store_doc(spark, self.path, "pq_etag")
+        current = doc["etag"] if doc else None
+        if (
+            self._pq_cache is not None
+            and current is not None
+            and self._pq_cache_etag != current
+        ):
+            # another writer retrained the books under this path —
+            # drop the cache and fall through to a fresh read
+            self._pq_cache = None
+            self._pq_cache_etag = None
         if self._pq_cache is None:
             try:
                 rows = (
@@ -665,7 +766,19 @@ class VectorIndexStore:
             books: list[list[list[float]]] = [[] for _ in range(m)]
             for r in rows:  # (sub, code)-ordered: code index == position
                 books[r["sub"]].append(list(r["centroid"]))
+            loaded = _books_etag(books)
+            if current is not None and loaded != current:
+                # enable_pq crashed between the codebook overwrite and
+                # the etag flip: the on-disk state is half-committed.
+                # Fail loudly — scoring under it could silently mix
+                # books and codes from different trainings.
+                raise ValueError(
+                    f"PQ codebooks at {self.path} do not match the "
+                    "persisted etag (a crashed enable_pq?): re-run "
+                    "enable_pq() to restore a consistent PQ layer"
+                )
             self._pq_cache = books
+            self._pq_cache_etag = loaded
         return self._pq_cache
 
     # -- delete ------------------------------------------------------------
@@ -777,10 +890,11 @@ class VectorIndexStore:
     def describe(self, spark) -> dict:
         """Operational snapshot for maintenance decisions: live row
         count, coarse-quantizer size, pending tombstones, compaction
-        version, and the PQ layer's shape (or None). Runs a few small
+        version, the PQ layer's shape (or None), and the persisted
+        calibration record with its staleness verdict. Runs a few small
         jobs — a maintenance call, not a query-path one; the numbers an
-        operator reads before choosing between ``compact``, ``rebuild``
-        and ``enable_pq`` retrain."""
+        operator reads before choosing between ``compact``, ``rebuild``,
+        ``enable_pq`` retrain and re-``calibrate``."""
         from biodata_pipeline_spark.operators.dedup import (
             _read_index_meta,
         )
@@ -797,6 +911,7 @@ class VectorIndexStore:
             ),
             "compaction_version": int(meta.get("version", 0)),
             "pq": None,
+            "calibration": None,
         }
         if self.pq_enabled(spark):
             books = self._pq_books(spark)
@@ -805,7 +920,109 @@ class VectorIndexStore:
                 "k_sub": len(books[0]),
                 "subdim": len(books[0][0]),
             }
+        cal = _read_store_doc(spark, self.path, "calibration")
+        if cal is not None:
+            out["calibration"] = cal
+            out["calibration_stale"] = not self._calibration_fresh(
+                cal.get("fingerprint", {}),
+                self._fingerprint(spark, n_rows=out["n_live_vectors"]),
+            )
         return out
+
+    # relative live-row drift beyond which a persisted calibration no
+    # longer speaks for the corpus (the recall curve moves with cell
+    # occupancy, not with compaction — folding is result-identical, so
+    # compaction_version is deliberately NOT part of the fingerprint)
+    CALIBRATION_MAX_DRIFT = 0.2
+
+    def _fingerprint(self, spark, n_rows: int | None = None) -> dict:
+        """What the calibration was measured AGAINST: live row count,
+        quantizer size, and the PQ books' content etag (None when no PQ
+        layer / a legacy layer without an etag doc)."""
+        doc = _read_store_doc(spark, self.path, "pq_etag")
+        return {
+            "n_rows": (
+                self.vectors(spark).count() if n_rows is None else n_rows
+            ),
+            "n_cells": len(self.centroids(spark)),
+            "books_etag": doc["etag"] if doc else None,
+        }
+
+    def _calibration_fresh(self, measured: dict, current: dict) -> bool:
+        if measured.get("n_cells") != current.get("n_cells"):
+            return False
+        if measured.get("books_etag") != current.get("books_etag"):
+            return False  # retrained books: the refine curve moved
+        old_n = measured.get("n_rows") or 0
+        new_n = current.get("n_rows") or 0
+        drift = abs(new_n - old_n) / max(old_n, 1)
+        return drift <= self.CALIBRATION_MAX_DRIFT
+
+    def calibrate(
+        self,
+        spark,
+        queries: DataFrame,
+        target_recall: float = 0.9,
+        k: int = 10,
+        query_id: str = "query_id",
+        query_emb: str = "query_emb",
+        max_sample: int = 32,
+        max_refine: int = 64,
+        force: bool = False,
+    ) -> dict:
+        """Calibrate-once semantics for the store's measured knobs
+        (VERDICT r12 #4): run ``measured_n_probe`` (and, when a PQ
+        layer is attached, ``measured_pq_refine`` at that n_probe),
+        persist the settings WITH their measured recalls and the corpus
+        fingerprint they were measured against, and on every later call
+        — including from a fresh instance or process — return the
+        stored record without re-measuring, as long as the fingerprint
+        is still fresh (same quantizer, same PQ books, live-row drift
+        within ``CALIBRATION_MAX_DRIFT``).
+
+        The point is cost: the measurement is O(log n_cells ·
+        log max_refine) bounded queries — 454 s at the 1M rung
+        (SCALING.md) — and its result is a per-corpus constant, so
+        paying it once per corpus *state* rather than once per process
+        is the difference between a knob and a tax. Returns the
+        calibration dict; ``reused`` says whether a stored record was
+        served. ``force`` re-measures unconditionally (e.g. after a
+        workload shift the fingerprint can't see)."""
+        fp = self._fingerprint(spark)
+        stored = _read_store_doc(spark, self.path, "calibration")
+        if (
+            not force
+            and stored is not None
+            and stored.get("target_recall") == target_recall
+            and stored.get("k") == k
+            and self._calibration_fresh(stored.get("fingerprint", {}), fp)
+        ):
+            return {**stored, "reused": True}
+        n_probe, np_recall = measured_n_probe(
+            self, queries, target_recall, k,
+            query_id=query_id, query_emb=query_emb,
+            max_sample=max_sample, with_recall=True,
+        )
+        doc = {
+            "target_recall": target_recall,
+            "k": k,
+            "n_probe": n_probe,
+            "n_probe_recall": round(np_recall, 4),
+            "refine": None,
+            "refine_recall": None,
+            "fingerprint": fp,
+        }
+        if self.pq_enabled(spark):
+            refine, rf_recall = measured_pq_refine(
+                self, queries, target_recall, k, n_probe=n_probe,
+                query_id=query_id, query_emb=query_emb,
+                max_sample=max_sample, max_refine=max_refine,
+                with_recall=True,
+            )
+            doc["refine"] = refine
+            doc["refine_recall"] = round(rf_recall, 4)
+        _write_store_doc(spark, self.path, "calibration", doc)
+        return {**doc, "reused": False}
 
     def cell_stats(self, spark) -> DataFrame:
         """(cell, n_vecs) occupancy — the drift report. A cell running
