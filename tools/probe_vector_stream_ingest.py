@@ -15,8 +15,11 @@ VectorIndexStore. Reports:
   batch-1 level, and the result set asserted BIT-IDENTICAL across the
   fold (the store ladder's contract, now end-to-end after streaming).
 
-Usage: python tools/probe_vector_stream_ingest.py [n_batches] [vecs_per_batch]
-       (default: 100 x 500; artifacts under .probe_vector_ingest/)
+Usage: python tools/probe_vector_stream_ingest.py [n_batches] [vecs_per_batch] [k_cells]
+       (default: 100 x 500 at k=16; artifacts under .probe_vector_ingest/.
+       k_cells=64 is the production-shaped arm — r12 recorded that 16
+       cells can never fill a core-count bucket layout, so the
+       post-compact-search claim is only meaningful at k >= cores.)
 """
 
 from __future__ import annotations
@@ -89,6 +92,10 @@ def gen_batches(spark, input_dir: str, n_batches: int, per_batch: int) -> None:
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    k_cells = int(sys.argv[3]) if len(sys.argv) > 3 else K_CELLS
+    # probe a constant 1/4 of the cells so the search reads the same
+    # corpus fraction at every k arm (r12 rungs: n_probe=4 at k=16)
+    n_probe = max(N_PROBE, k_cells // 4)
     # search-latency checkpoints scale with the run length (the r12
     # 5k/50k-batch throughput runs use 10-20 batches, not 100)
     checkpoint_batches = tuple(
@@ -105,7 +112,7 @@ def main() -> None:
     base = synth_vecs(spark, BASE_N).localCheckpoint()
     store = VectorIndexStore(dirs["index"])
     t0 = time.time()
-    store.build(base, k=K_CELLS, iters=2, train_sample=25_000)
+    store.build(base, k=k_cells, iters=2, train_sample=25_000)
     build_secs = round(time.time() - t0, 2)
     gen_batches(spark, dirs["input"], n_batches, per_batch)
 
@@ -120,7 +127,7 @@ def main() -> None:
             t0 = time.time()
             got = sorted(
                 (r.query_id, r.vec_id, r.rank, r.sim)
-                for r in store.query(q, k=10, n_probe=N_PROBE).collect()
+                for r in store.query(q, k=10, n_probe=n_probe).collect()
             )
             walls.append(time.time() - t0)
         return round(min(walls), 2), got
@@ -182,6 +189,8 @@ def main() -> None:
         json.dumps(
             {
                 "probe": "vector_stream_ingest",
+                "k_cells": k_cells,
+                "n_probe": n_probe,
                 "n_batches": len(latencies),
                 "vecs_per_batch": per_batch,
                 "build_secs": build_secs,
