@@ -14,8 +14,11 @@ The claims under test:
    ``adc_refine`` then repairs most of it by re-scoring the top
    refine·k exactly.
 
-Usage: python tools/probe_ivfpq.py [--m M] [sizes ...]
-       (default m=4, sizes 200000 1000000)
+Usage: python tools/probe_ivfpq.py [--m M] [--ksub K] [--refine R] [sizes ...]
+       (default m=16, k_sub=16, refine=8, sizes 200000 1000000;
+       --ksub 256 is the byte-code arm — the recall lever the r13
+       SCALING entry names for when the refine funnel alone can't hold
+       the target on a grown corpus)
 """
 
 from __future__ import annotations
@@ -40,7 +43,6 @@ from pyspark.sql import functions as F  # noqa: E402
 K_CELLS = 64
 N_PROBE = 8
 TOPK = 10
-REFINE = 4
 
 
 def _dir_bytes(path: str) -> int:
@@ -51,7 +53,8 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def rung(spark, n: int, m: int = 4) -> dict:
+def rung(spark, n: int, m: int = 16, k_sub: int = 16,
+         refine: int = 8) -> dict:
     base = synth_vecs(spark, n).localCheckpoint()
     q = synth_vecs(spark, N_QUERIES, id_base=20_000_000).select(
         F.col("vec_id").alias("query_id"),
@@ -64,7 +67,7 @@ def rung(spark, n: int, m: int = 4) -> dict:
     store.build(base, k=K_CELLS, iters=2, train_sample=25_000)
     build_secs = round(time.time() - t0, 2)
     t0 = time.time()
-    store.enable_pq(spark, m=m, train_sample=100_000)
+    store.enable_pq(spark, m=m, k_sub=k_sub, train_sample=100_000)
     enable_secs = round(time.time() - t0, 2)
     store.compact(spark)  # measure both paths on the bucketed layout
     def _component_mb(prefix: str) -> float:
@@ -84,6 +87,8 @@ def rung(spark, n: int, m: int = 4) -> dict:
     out = {
         "n": n,
         "m": m,
+        "k_sub": k_sub,
+        "refine": refine,
         "build_secs": build_secs,
         "enable_pq_secs": enable_secs,
         **sizes,
@@ -97,7 +102,7 @@ def rung(spark, n: int, m: int = 4) -> dict:
                 (r.query_id, r.vec_id)
                 for r in store.query(
                     q, TOPK, n_probe=N_PROBE, scoring=scoring,
-                    refine=REFINE,
+                    refine=refine,
                 ).collect()
             }
             walls.append(time.time() - t0)
@@ -116,16 +121,24 @@ def rung(spark, n: int, m: int = 4) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
-    m = 4
-    if "--m" in args:
-        i = args.index("--m")
-        m = int(args[i + 1])
-        args = args[:i] + args[i + 2:]
+
+    def flag(name: str, default: int) -> int:
+        nonlocal_args = args
+        if name in nonlocal_args:
+            i = nonlocal_args.index(name)
+            v = int(nonlocal_args[i + 1])
+            del nonlocal_args[i:i + 2]
+            return v
+        return default
+
+    m = flag("--m", 16)
+    k_sub = flag("--ksub", 16)
+    refine = flag("--refine", 8)
     sizes = [int(s) for s in args] or [200_000, 1_000_000]
     spark = get_spark("probe-ivfpq")
     rows = []
     for n in sizes:
-        row = rung(spark, n, m=m)
+        row = rung(spark, n, m=m, k_sub=k_sub, refine=refine)
         rows.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"probe": "ivfpq", "rows": rows}))
