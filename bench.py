@@ -136,6 +136,8 @@ HEADLINE = [
     "q_pq_ann_refined",           # 0.9 s — ADC shortlist + exact refine
     "q_pq_recall_audit",          # 2.8 s — PQ vs exact recall, 2 variants
     "q_pq_train_error",           # 0.6 s — per-subspace quantization error
+    "q_pq_residual_adc",          # r13 — residual-ADC top-10 (+cell fit)
+    "q_pq_residual_audit",        # r13 — residual vs exact recall, 2 variants
 ]
 
 

@@ -59,6 +59,7 @@ from biodata_pipeline_spark.operators.pq import (
     PQ_ITERS,
     PQ_KSUB,
     PQ_M,
+    _minus_centroid,
     pq_encode_kernel,
     pq_fit,
 )
@@ -423,6 +424,87 @@ def _score_candidates_pq_kernel(
     )
 
 
+def _score_candidates_rpq_kernel(
+    cand: DataFrame, query_id: str, id_col: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Residual-ADC twin of ``_score_candidates_pq_kernel`` (round 13):
+    candidates additionally carry ``cell``, and the estimate
+    reconstructs cos(q, centroid[cell] + Σ_j row_j) with the
+    centroid-extended grouped fold of ``pq.pq_residual_scores`` —
+    numerator: the in-order q·centroid dot first, then the subspace
+    partials in order; denominator: the centroid norm, the 2·cross
+    terms in subspace order, then the row norms — so sims are bit-equal
+    to the declarative form and the LUT kernel. Input rows carry
+    (query_id, id, __qe, __nq, cell, codes); output (query_id, id, sim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    dim = m * sd
+    C = np.array(codebooks, dtype=np.float64)  # (m, k_sub, sd)
+    CC = np.array(centroids, dtype=np.float64)  # (k_cells, dim)
+    in_fields = {f.name: f for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[query_id],
+            in_fields[id_col],
+            StructField("__sim_raw", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {query_id: pdf[query_id], id_col: pdf[id_col],
+                     "__sim_raw": pd.Series([], dtype="float64")}
+                )
+                continue
+            qe = np.array(pdf["__qe"].tolist(), dtype=np.float64)
+            cd = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cg = CC[pdf["cell"].to_numpy(dtype=np.int64)]  # (n, dim)
+            n = len(pdf)
+            s, d = np.zeros(n), np.zeros(n)
+            for i in range(dim):  # numerator starts at the q·cent dot
+                s += qe[:, i] * cg[:, i]
+            for i in range(dim):
+                d += cg[:, i] * cg[:, i]
+            rows = [C[j, cd[:, j], :] for j in range(m)]  # (n, sd) each
+            for j in range(m):  # subspace order = the grouped fold
+                sj = np.zeros(n)
+                for i in range(sd):  # ascending-dim: JVM bit-parity
+                    sj += qe[:, j * sd + i] * rows[j][:, i]
+                s += sj
+            for j in range(m):
+                crj = np.zeros(n)
+                for i in range(sd):
+                    crj += cg[:, j * sd + i] * rows[j][:, i]
+                d += 2.0 * crj
+            for j in range(m):
+                nj = np.zeros(n)
+                for i in range(sd):
+                    nj += rows[j][:, i] * rows[j][:, i]
+                d += nj
+            sim = s / (pdf["__nq"].to_numpy() * np.sqrt(d))
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], id_col: pdf[id_col],
+                 "__sim_raw": sim}
+            )
+
+    return (
+        cand.select(query_id, id_col, "__qe", "__nq", "cell", "codes")
+        .mapInPandas(score, out_schema)
+        .select(
+            query_id, id_col,
+            F.round(F.col("__sim_raw"), SIM_ROUND).alias("sim"),
+        )
+    )
+
+
 def _assign_cells(
     df: DataFrame,
     cents: list[list[float]],
@@ -483,6 +565,9 @@ class VectorIndexStore:
         # encode or score under retired books (r12 advice).
         self._pq_cache: list[list[list[float]]] | None = None
         self._pq_cache_etag: str | None = None
+        # whether the cached books quantize residuals (persisted in the
+        # same pq_etag doc; False for legacy stores without the doc)
+        self._pq_cache_residual: bool = False
 
     # -- build / maintain -------------------------------------------------
     def build(
@@ -593,8 +678,14 @@ class VectorIndexStore:
             # simply lacks this batch's candidates while the exact path
             # has them; never a wrong result, only a visibly thinner
             # approximate index.
+            books = self._pq_books(spark)  # also refreshes the residual flag
+            enc = assigned
+            enc_col = "emb"
+            if self._pq_cache_residual:
+                enc = _minus_centroid(enc, cents, "emb", cell_col="cell")
+                enc_col = "__rvec"
             coded = pq_encode_kernel(
-                assigned, self._pq_books(spark), emb_col="emb"
+                enc, books, emb_col=enc_col
             ).select("id", "cell", "codes")
             if batch_id is None:
                 coded.write.mode("append").parquet(f"{self.path}/pq_codes")
@@ -619,6 +710,7 @@ class VectorIndexStore:
         k_sub: int = PQ_KSUB,
         iters: int = PQ_ITERS,
         train_sample: int | None = None,
+        residual: bool = False,
     ) -> int:
         """Attach a PQ layer: train ``m`` per-subspace codebooks on the
         enrolled live corpus (bounded by ``train_sample`` at scale, the
@@ -632,7 +724,17 @@ class VectorIndexStore:
         Returns vectors encoded. Tombstoned ids are excluded from
         training and encoding; codes for ids removed LATER are masked
         by the same read-time anti-join as everything else and fold out
-        at compaction."""
+        at compaction.
+
+        ``residual=True`` quantizes each vector's RESIDUAL against its
+        cell centroid (FAISS IndexIVFPQ's encode_residual form — within
+        a cell the residual spread is a fraction of the corpus spread,
+        so the same m × k_sub budget buys finer resolution; measured at
+        the 1M rung in SCALING.md r13). The flag persists with the
+        books' etag, every later ``add`` encodes residuals, and
+        ``query(scoring="adc"/"adc_refine")`` scores with the
+        centroid-extended grouped fold (``pq.pq_residual_scores``'s
+        bit-parity contract)."""
         from biodata_pipeline_spark.operators.dedup import _fs_path
 
         cents = self.centroids(spark)  # raises if the store is missing
@@ -644,10 +746,13 @@ class VectorIndexStore:
         live = self._minus_tombstones(
             spark, full.dropDuplicates(["id"])
         )
+        if residual:
+            live = _minus_centroid(live, cents, "emb", cell_col="cell")
+        enc_col = "__rvec" if residual else "emb"
         books = pq_fit(
             live.select(
                 F.col("id").alias(self.id_col),
-                F.col("emb").alias(self.emb_col),
+                F.col(enc_col).alias(self.emb_col),
             ),
             m=m, k_sub=k_sub, iters=iters,
             id_col=self.id_col, emb_col=self.emb_col,
@@ -658,7 +763,7 @@ class VectorIndexStore:
             for j in range(m)
             for c in range(k_sub)
         ]
-        coded = pq_encode_kernel(live, books, emb_col="emb").select(
+        coded = pq_encode_kernel(live, books, emb_col=enc_col).select(
             "id", "cell", "codes"
         ).localCheckpoint()  # materialize BEFORE any store mutation
         n = coded.count()
@@ -724,17 +829,22 @@ class VectorIndexStore:
             spark, coded, f"{self.path}/pq_codes", "pq_enable"
         )
         etag = _books_etag(books)
-        _write_store_doc(spark, self.path, "pq_etag", {"etag": etag})
+        _write_store_doc(
+            spark, self.path, "pq_etag",
+            {"etag": etag, "residual": bool(residual)},
+        )
         # the books changed: any persisted refine calibration measured
         # against the old codes is void — recorded by fingerprint drift
         # (calibrate() compares books_etag), nothing to delete here
         self._pq_cache = books
         self._pq_cache_etag = etag
+        self._pq_cache_residual = bool(residual)
         return n
 
     def _pq_books(self, spark) -> list[list[list[float]]]:
         doc = _read_store_doc(spark, self.path, "pq_etag")
         current = doc["etag"] if doc else None
+        self._pq_cache_residual = bool(doc.get("residual")) if doc else False
         if (
             self._pq_cache is not None
             and current is not None
@@ -919,6 +1029,7 @@ class VectorIndexStore:
                 "m": len(books),
                 "k_sub": len(books[0]),
                 "subdim": len(books[0][0]),
+                "residual": self._pq_cache_residual,
             }
         cal = _read_store_doc(spark, self.path, "calibration")
         if cal is not None:
@@ -1174,13 +1285,15 @@ class VectorIndexStore:
                 )
             return aparts_memo[0]
 
-        def _cand_from(parts, part_name: str, value_col: str):
+        def _cand_from(parts, part_name: str, value_col: str,
+                       keep_cell: bool = False):
             if not parts:
                 raise ValueError(
                     f"no index at {self.path}"
                     if part_name == "assignments"
                     else f"no PQ codes at {self.path}: enable_pq() first"
                 )
+            extra = ["cell"] if keep_cell else []
             cand = None
             for p in parts:
                 s = p.filter(F.col("cell").isin(probed)).join(
@@ -1190,6 +1303,7 @@ class VectorIndexStore:
                     F.col("id").alias(self.id_col),
                     "__qe",
                     "__nq",
+                    *extra,
                     value_col,
                 )
                 cand = s if cand is None else cand.unionByName(s)
@@ -1260,15 +1374,24 @@ class VectorIndexStore:
                 _exact_scored(_cand_from(_aparts(), "assignments", "emb")), k
             )
 
-        books = self._pq_books(spark)
+        books = self._pq_books(spark)  # refreshes the residual flag too
+        residual = self._pq_cache_residual
         ccand = _cand_from(
             _index_component_frames(spark, self.path, "pq_codes"),
             "pq_codes",
             "codes",
+            keep_cell=residual,
         ).filter(
             F.col("codes").isNotNull()  # defective-element rows: no codes
         )
-        adc = _score_candidates_pq_kernel(ccand, query_id, self.id_col, books)
+        if residual:
+            adc = _score_candidates_rpq_kernel(
+                ccand, query_id, self.id_col, books, cents
+            )
+        else:
+            adc = _score_candidates_pq_kernel(
+                ccand, query_id, self.id_col, books
+            )
         if scoring == "adc":
             return _rank(adc, k)
         # adc_refine: the top refine·k LIVE ADC candidates per query,

@@ -492,3 +492,282 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", "sim")
     )
+
+
+# --- residual IVF-PQ (round 13) ---------------------------------------------
+# Encoding the RESIDUAL x - centroid[cell] instead of x is the textbook
+# IVF-PQ form (FAISS IndexIVFPQ's encode_residual default): within one
+# coarse cell the residual spread is a fraction of the corpus spread, so
+# the same m × k_sub code budget buys proportionally finer resolution.
+# The ADC estimate then reconstructs x̂ = centroid[cell] + Σ_j row_j and
+# scores cos(q, x̂) from driver-sized lookup tables alone:
+#
+#   numerator   N  = dot(q, c)   +  Σ_j dot(q_j, row_j)
+#   denominator D² = dot(c, c)   +  Σ_j 2·dot(c_j, row_j)  +  Σ_j dot(row_j, row_j)
+#
+# with every fold in-order (ascending dimension), the Σ_j groups summed
+# left-associatively in that exact sequence — the subspace-grouped
+# determinism discipline of pq_adc_scores extended by the two centroid
+# terms, so the declarative form, the LUT kernel and the DuckDB oracle
+# are bit-equal by construction.
+
+
+def _minus_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str,
+    cell_col: str = "cell",
+    out_col: str = "__rvec",
+) -> DataFrame:
+    """Adds ``out_col`` = emb - centroid[cell] (exact float64
+    subtraction, so both engines produce identical residual bits)."""
+    crow = F.element_at(matrix_literal(centroids), F.col(cell_col) + 1)
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(emb_col).cast("array<double>"),
+            crow,
+            lambda x, c: x - c,
+        ),
+    )
+
+
+def pq_residual_scores(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Declarative residual-ADC scorer (the oracle's expression tree):
+    codes rows must carry ``cell_col``; codebooks were trained on
+    residuals. Returns (query_id, id, sim_adc)."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_emb).cast("array<double>").alias("__qe"),
+        l2_norm(F.col(query_emb)).alias("__nq"),
+    ).dropDuplicates([query_id])
+    mats = _codebook_literals(codebooks)
+    crow = F.element_at(matrix_literal(centroids), F.col(cell_col) + 1)
+    rows = [
+        F.element_at(mats[j], F.element_at(F.col(codes_col), j + 1) + 1)
+        for j in range(m)
+    ]
+    qsub = [F.slice(F.col("__qe"), j * sd + 1, sd) for j in range(m)]
+    csub = [F.slice(crow, j * sd + 1, sd) for j in range(m)]
+    num = sum(
+        (dot(qsub[j], rows[j]) for j in range(m)),
+        start=dot(F.col("__qe"), crow),
+    )
+    den2 = sum(
+        (dot(rows[j], rows[j]) for j in range(m)),
+        start=sum(
+            (F.lit(2.0) * dot(csub[j], rows[j]) for j in range(m)),
+            start=dot(crow, crow),
+        ),
+    )
+    c = codes.filter(F.col(codes_col).isNotNull()).select(
+        F.col(id_col), F.col(cell_col), F.col(codes_col)
+    )
+    return q.crossJoin(c).select(
+        query_id,
+        id_col,
+        F.round(num / (F.col("__nq") * F.sqrt(den2)), SIM_ROUND).alias(
+            "sim_adc"
+        ),
+    )
+
+
+def pq_residual_scores_kernel(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Arrow LUT twin of ``pq_residual_scores`` — the engine's bulk
+    path. Per query: lut[j][c] as in ``pq_adc_scores_kernel`` plus
+    qc[cell] = in-order dot(q, centroid); per cell: cn = in-order
+    ||centroid||², cross[j][c] = in-order dot(centroid_j, row_j) — all
+    driver-sized ((k_cells·m·k_sub) doubles), shipped in the closure.
+    Accumulation order matches the declarative form exactly (numerator:
+    qc then j ascending; denominator: cn, the 2·cross terms j
+    ascending, then the row norms j ascending), so sims are bit-equal
+    by construction; SIM_ROUND rounding stays JVM-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    dim = m * sd
+    C = np.array(codebooks, dtype=np.float64)  # (m, k_sub, sd)
+    CC = np.array(centroids, dtype=np.float64)  # (k_cells, dim)
+    qrows = (
+        queries.select(
+            F.col(query_id),
+            F.col(query_emb).cast("array<double>").alias("__qe"),
+            l2_norm(F.col(query_emb)).alias("__nq"),
+        )
+        .dropDuplicates([query_id])
+        .collect()
+    )
+    qids = [r[query_id] for r in qrows]
+    qmat = np.array([r["__qe"] for r in qrows], dtype=np.float64)
+    qnrm = np.array([r["__nq"] for r in qrows], dtype=np.float64)
+    nq = len(qids)
+    k_cells = CC.shape[0]
+    lut = np.zeros((nq, m, C.shape[1]))
+    rn2 = np.zeros((m, C.shape[1]))
+    cross = np.zeros((k_cells, m, C.shape[1]))
+    for j in range(m):
+        qs = qmat[:, j * sd:(j + 1) * sd] if nq else qmat.reshape(0, sd)
+        for i in range(sd):  # ascending-dim: JVM bit-parity
+            lut[:, j, :] += qs[:, i][:, None] * C[j, :, i][None, :]
+            rn2[j, :] += C[j, :, i] * C[j, :, i]
+            cross[:, j, :] += (
+                CC[:, j * sd + i][:, None] * C[j, :, i][None, :]
+            )
+    qc = np.zeros((nq, k_cells))
+    cn = np.zeros(k_cells)
+    for i in range(dim):  # ascending-dim full-width folds
+        if nq:
+            qc += qmat[:, i][:, None] * CC[:, i][None, :]
+        cn += CC[:, i] * CC[:, i]
+
+    in_fields = {f.name: f for f in codes.schema.fields}
+    qf = queries.schema[query_id]
+    out_schema = StructType(
+        [
+            StructField(query_id, qf.dataType),
+            in_fields[id_col],
+            StructField("__sim_raw", DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n or not nq:
+                yield pd.DataFrame(
+                    {
+                        query_id: pd.Series([], dtype="object"),
+                        id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                        "__sim_raw": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            cd = np.array(pdf[codes_col].tolist(), dtype=np.int64)
+            cells = pdf[cell_col].to_numpy(dtype=np.int64)
+            s = qc[:, cells].copy()  # (nq, n): numerator starts at qc
+            for j in range(m):
+                s += lut[:, j, :][:, cd[:, j]]
+            d = cn[cells].copy()
+            for j in range(m):
+                d += 2.0 * cross[cells, j, cd[:, j]]
+            for j in range(m):
+                d += rn2[j, cd[:, j]]
+            sim = s / (qnrm[:, None] * np.sqrt(d)[None, :])
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(qids, n),
+                    id_col: np.tile(ids, nq),
+                    "__sim_raw": sim.ravel(),
+                }
+            )
+
+    return (
+        codes.filter(F.col(codes_col).isNotNull())
+        .select(id_col, cell_col, codes_col)
+        .mapInPandas(score, out_schema)
+        .select(
+            query_id,
+            id_col,
+            F.round(F.col("__sim_raw"), SIM_ROUND).alias("sim_adc"),
+        )
+    )
+
+
+def pq_residual_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int,
+    refine: int = 0,
+    vectors: DataFrame | None = None,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    codes_col: str = "codes",
+    cell_col: str = "cell",
+    use_kernel: bool = False,
+) -> DataFrame:
+    """Top-``k`` per query by residual-ADC score, optionally
+    exact-refined against the ORIGINAL vectors (``vectors``: (id, emb))
+    — ``pq_adc_topk``'s residual sibling, same rank/tie-break
+    contract."""
+    from pyspark.sql import Window
+
+    scorer = (
+        pq_residual_scores_kernel if use_kernel else pq_residual_scores
+    )
+    scored = scorer(
+        queries, codes, codebooks, centroids,
+        query_id=query_id, query_emb=query_emb,
+        id_col=id_col, codes_col=codes_col, cell_col=cell_col,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sim_adc").desc(), F.col(id_col)
+    )
+    if not refine:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col, "rank", F.col("sim_adc").alias("sim"))
+        )
+    if vectors is None:
+        raise ValueError("pq_residual_topk: refine>0 requires vectors")
+    cand = (
+        scored.withColumn("__ark", F.row_number().over(w))
+        .filter(F.col("__ark") <= refine * k)
+        .select(query_id, id_col)
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_emb).cast("array<double>").alias("__qe"),
+        l2_norm(F.col(query_emb)).alias("__nq"),
+    ).dropDuplicates([query_id])
+    exact = (
+        cand.join(vectors.select(id_col, emb_col), id_col)
+        .join(q, query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                dot(F.col("__qe"), F.col(emb_col))
+                / (F.col("__nq") * l2_norm(F.col(emb_col))),
+                SIM_ROUND,
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "sim")
+    )

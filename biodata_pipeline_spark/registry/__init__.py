@@ -67,20 +67,22 @@ _ALL_ORACLE = {
 # #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1). Round-13
 # rotation, computed from the CORRECTNESS_r01-r12 union (max driver
 # round per key; after r12 the latest rows are 29×r10, 50×r11, 50×r12):
-#   1-5:   the five product-quantization queries: checked r12, but the
+#   1-2:   the round-13 residual-IVF-PQ pair — never driver-checked
+#          (new this round, the standing never-checked-first rule);
+#   3-7:   the five r12 product-quantization queries: checked r12, but the
 #          round-13 PQ default change (m 4→16, refine 4→8 — VERDICT r12
 #          "what's wrong" #1 / next-round #2) changes their output, so
 #          the changed-code-first rule puts them back at the head;
-#   6-9:   the four banding-rewire consumers (VERDICT r12 #1): the
+#   8-11:  the four banding-rewire consumers (VERDICT r12 #1): the
 #          Arrow XXH64 banding kernel rerouted every MinHash consumer
 #          (dedup.py) in r12 AFTER these keys' last driver rows (r10) —
 #          the bit-parity pytests predict green, the driver row proves
 #          it on current code;
-#   10-34: the remaining 25 r10-checked keys — the approximate /
+#   12-36: the remaining 25 r10-checked keys — the approximate /
 #          sampling / scrub / temporal tail;
-#   35-50: 16 of the 50 r11-checked keys: the dedup/LSH audit family
+#   37-50: 14 of the 50 r11-checked keys: the dedup/LSH audit family
 #          first (their last rows also predate the r12 banding kernel),
-#          then the oldest relational scans q01-q06; the other 34
+#          then the oldest relational scans q01-q04; the other 36
 #          r11-checked rotate in next round.
 # Outside the window this round: those 34 r11-checked and the 45
 # r12-checked — every one has a green driver row within the last two
@@ -88,7 +90,12 @@ _ALL_ORACLE = {
 # current code each round. After this round no key's latest driver row
 # is older than r11.
 _DRIVER_WINDOW = [
-    # -- block 0: PQ family — defaults changed this round (m 16/refine 8)
+    # -- block 0a: the round-13 residual-IVF-PQ pair — NEVER
+    #    driver-checked (new this round, the standing
+    #    never-checked-first rule)
+    "q_pq_residual_adc",
+    "q_pq_residual_audit",
+    # -- block 0b: PQ family — defaults changed this round (m 16/refine 8)
     "q_pq_codes",
     "q_pq_adc_topk",
     "q_pq_ann_refined",
@@ -125,7 +132,7 @@ _DRIVER_WINDOW = [
     "q_simhash_dedup",
     "q_sql_region_revenue",
     "q_upsert_latest",
-    # -- block 3: 16 r11-checked — dedup/LSH audit family, then q01-q06 --
+    # -- block 3: 14 r11-checked — dedup/LSH audit family, then q01-q04 --
     "q_lsh_recall_audit",
     "q_lsh_pair_recall_audit",
     "q_simhash_recall_audit",
@@ -140,8 +147,6 @@ _DRIVER_WINDOW = [
     "q02_delimited_comment_filter",
     "q03_prompt_template_projection",
     "q04_alpaca_projection",
-    "q05_suffix_marker_predicate",
-    "q06_regex_suffix_strip",
 ]
 
 DRIVER_WINDOW_SIZE = 50

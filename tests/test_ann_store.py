@@ -866,7 +866,9 @@ def test_describe_reports_store_state(spark, tmp_path):
     d = store.describe(spark)
     assert d["n_live_vectors"] == 97
     assert d["n_pending_tombstones"] == 3
-    assert d["pq"] == {"m": PQ_M, "k_sub": 16, "subdim": 64 // PQ_M}
+    assert d["pq"] == {
+        "m": PQ_M, "k_sub": 16, "subdim": 64 // PQ_M, "residual": False,
+    }
     store.compact(spark, n_buckets=4)
     d = store.describe(spark)
     assert d["n_pending_tombstones"] == 0
@@ -1020,3 +1022,95 @@ def test_measured_pq_refine_warns_at_cap_below_target(spark, tmp_path):
             and "max_refine" in str(w.message)
             for w in caught
         )
+
+
+# --- residual IVF-PQ at the store level (round 13) ------------------------
+
+
+def test_pq_residual_store_matches_operator_level(spark, tmp_path):
+    """query(scoring='adc') on a residual-enabled store at full probe ==
+    pq_residual_topk over the same codes/books/centroids — the store
+    adds probing/persistence, never a different score (the shared
+    centroid-extended grouped fold, bit-equal across all three
+    forms)."""
+    from biodata_pipeline_spark.operators.dedup import (
+        _index_component_frames,
+    )
+    from biodata_pipeline_spark.operators.pq import pq_residual_topk
+
+    store = VectorIndexStore(str(tmp_path / "ivfr"))
+    store.build(_emb(spark), k=8, iters=1)
+    n = store.enable_pq(spark, residual=True)
+    assert n == _emb(spark).count()
+    q = _queries(spark)
+    got = store.query(q, 10, n_probe=8, scoring="adc")
+    books = store._pq_books(spark)
+    cents = store.centroids(spark)
+    codes = None
+    for p in _index_component_frames(spark, store.path, "pq_codes"):
+        codes = p if codes is None else codes.unionByName(p)
+    want = pq_residual_topk(
+        q,
+        codes.select(F.col("id").alias("vec_id"), "cell", "codes"),
+        books,
+        cents,
+        10,
+        use_kernel=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    d = store.describe(spark)
+    assert d["pq"]["residual"] is True
+
+
+def test_pq_residual_add_and_reopen_encode_residuals(spark, tmp_path):
+    """The residual flag persists with the books' etag: a FRESH instance
+    (or the same one) encodes later batches as residuals, so their
+    refined self-twins rank first — and the refine path returns exact
+    cosine 1.0 for the twin, proving the codes decoded against the
+    right representation."""
+    store = VectorIndexStore(str(tmp_path / "ivfr2"))
+    base = _emb(spark).filter(F.col("vec_id") < 150)
+    store.build(base, k=4, iters=1)
+    store.enable_pq(spark, residual=True)
+
+    reopened = VectorIndexStore(store.path)
+    extra = _emb(spark).filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 170)
+    )
+    reopened.add(extra, batch_id="r1")
+    probe = extra.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    found = reopened.query(
+        probe, 1, n_probe=4, scoring="adc_refine", refine=4
+    ).collect()
+    assert len(found) == 20
+    assert all(r.vec_id == r.query_id and r.rank == 1 for r in found)
+    assert all(r.sim == pytest.approx(1.0) for r in found)
+
+
+def test_pq_residual_reenable_flips_representation(spark, tmp_path):
+    """residual=True -> False retrain flips the flag AND the etag, so a
+    stale instance refreshes to the raw representation (results match a
+    fresh raw-PQ store bit-for-bit)."""
+    store = VectorIndexStore(str(tmp_path / "ivfr3"))
+    store.build(_emb(spark), k=8, iters=1)
+    store.enable_pq(spark, residual=True)
+    stale = VectorIndexStore(store.path)
+    stale._pq_books(spark)
+    assert stale._pq_cache_residual is True
+
+    store.enable_pq(spark, residual=False)
+    q = _queries(spark)
+    got_stale = stale.query(q, 5, n_probe=8, scoring="adc")
+    raw = VectorIndexStore(str(tmp_path / "ivfr3_raw"))
+    raw.build(_emb(spark), k=8, iters=1)
+    raw.enable_pq(spark)
+    want = raw.query(q, 5, n_probe=8, scoring="adc")
+    assert stale._pq_cache_residual is False
+    assert sorted(map(tuple, got_stale.collect())) == sorted(
+        map(tuple, want.collect())
+    )

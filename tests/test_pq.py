@@ -237,3 +237,96 @@ def test_registry_empty_fallback(spark, tmp_path):
     out = q_pq_codes(spark, str(sf))
     assert out.count() == 0
     assert out.columns == ["vec_id"] + [f"code{j}" for j in range(PQ_M)]
+
+
+# --- residual IVF-PQ (round 13) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def residual_state(spark, emb):
+    """(centroids, codes-with-cell, residual-trained books) over the
+    test corpus — the residual pipeline every residual test shares."""
+    from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters_kernel,
+        kmeans_fit,
+    )
+    from biodata_pipeline_spark.operators.pq import _minus_centroid
+
+    cents = kmeans_fit(emb, 4, 1, "vec_id", "embedding")
+    assigned = assign_clusters_kernel(emb, cents).select(
+        "vec_id", "embedding", F.col("cluster").alias("cell")
+    )
+    resid = _minus_centroid(assigned, cents, "embedding")
+    books = pq_fit(resid, emb_col="__rvec")
+    codes = (
+        pq_encode_kernel(resid, books, emb_col="__rvec")
+        .select("vec_id", "cell", "codes")
+        .localCheckpoint()
+    )
+    return cents, codes, books
+
+
+def test_residual_scores_paths_bit_equal(emb, queries, residual_state):
+    from biodata_pipeline_spark.operators.pq import (
+        pq_residual_scores,
+        pq_residual_scores_kernel,
+    )
+
+    cents, codes, books = residual_state
+    a = pq_residual_scores(queries, codes, books, cents).withColumnRenamed(
+        "sim_adc", "a"
+    )
+    b = pq_residual_scores_kernel(
+        queries, codes, books, cents
+    ).withColumnRenamed("sim_adc", "b")
+    j = a.join(b, ["query_id", "vec_id"])
+    assert j.count() == queries.count() * emb.count()
+    # bit-equal by construction: both sides run the identical grouped
+    # IEEE-754 sequence (qc + subspace dots; cn + 2·cross + row norms)
+    assert j.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_residual_topk_contract_and_refine(emb, queries, residual_state):
+    """Dense ranks 1..k; exact-refined recall >= codes-only recall; and
+    the residual representation beats raw-corpus PQ at equal budget on
+    this clustered-by-cells corpus slice (the reason residual encoding
+    exists)."""
+    from biodata_pipeline_spark.operators.retrieval import cosine_top_k
+    from biodata_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_residual_topk,
+    )
+
+    cents, codes, books = residual_state
+    k = 10
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_top_k(queries, emb, k).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    adc = pq_residual_topk(
+        queries, codes, books, cents, k, use_kernel=True
+    )
+    ranks = adc.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert ranks.filter((F.col("n") != k) | (F.col("mx") != k)).count() == 0
+    r_adc = recall(adc)
+    r_ref = recall(
+        pq_residual_topk(
+            queries, codes, books, cents, k,
+            refine=4, vectors=emb, use_kernel=True,
+        )
+    )
+    assert r_ref >= r_adc
+
+    raw_books = pq_fit(emb)
+    raw_codes = pq_encode_kernel(emb, raw_books)
+    r_raw = recall(
+        pq_adc_topk(queries, raw_codes, raw_books, k, use_kernel=True)
+    )
+    assert r_adc >= r_raw

@@ -54,7 +54,7 @@ def _dir_bytes(path: str) -> int:
 
 
 def rung(spark, n: int, m: int = 16, k_sub: int = 16,
-         refine: int = 8) -> dict:
+         refine: int = 8, residual: bool = False) -> dict:
     base = synth_vecs(spark, n).localCheckpoint()
     q = synth_vecs(spark, N_QUERIES, id_base=20_000_000).select(
         F.col("vec_id").alias("query_id"),
@@ -67,7 +67,9 @@ def rung(spark, n: int, m: int = 16, k_sub: int = 16,
     store.build(base, k=K_CELLS, iters=2, train_sample=25_000)
     build_secs = round(time.time() - t0, 2)
     t0 = time.time()
-    store.enable_pq(spark, m=m, k_sub=k_sub, train_sample=100_000)
+    store.enable_pq(
+        spark, m=m, k_sub=k_sub, train_sample=100_000, residual=residual
+    )
     enable_secs = round(time.time() - t0, 2)
     store.compact(spark)  # measure both paths on the bucketed layout
     def _component_mb(prefix: str) -> float:
@@ -89,6 +91,7 @@ def rung(spark, n: int, m: int = 16, k_sub: int = 16,
         "m": m,
         "k_sub": k_sub,
         "refine": refine,
+        "residual": residual,
         "build_secs": build_secs,
         "enable_pq_secs": enable_secs,
         **sizes,
@@ -134,11 +137,15 @@ def main() -> None:
     m = flag("--m", 16)
     k_sub = flag("--ksub", 16)
     refine = flag("--refine", 8)
+    residual = "--residual" in args
+    if residual:
+        args.remove("--residual")
     sizes = [int(s) for s in args] or [200_000, 1_000_000]
     spark = get_spark("probe-ivfpq")
     rows = []
     for n in sizes:
-        row = rung(spark, n, m=m, k_sub=k_sub, refine=refine)
+        row = rung(spark, n, m=m, k_sub=k_sub, refine=refine,
+                   residual=residual)
         rows.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"probe": "ivfpq", "rows": rows}))
