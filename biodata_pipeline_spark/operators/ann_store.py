@@ -679,13 +679,9 @@ class VectorIndexStore:
             # has them; never a wrong result, only a visibly thinner
             # approximate index.
             books = self._pq_books(spark)  # also refreshes the residual flag
-            enc = assigned
-            enc_col = "emb"
-            if self._pq_cache_residual:
-                enc = _minus_centroid(enc, cents, "emb", cell_col="cell")
-                enc_col = "__rvec"
             coded = pq_encode_kernel(
-                enc, books, emb_col=enc_col
+                assigned, books, emb_col="emb",
+                centroids=cents if self._pq_cache_residual else None,
             ).select("id", "cell", "codes")
             if batch_id is None:
                 coded.write.mode("append").parquet(f"{self.path}/pq_codes")
@@ -746,24 +742,46 @@ class VectorIndexStore:
         live = self._minus_tombstones(
             spark, full.dropDuplicates(["id"])
         )
+        fit_src = live
+        fit_sample = train_sample
         if residual:
-            live = _minus_centroid(live, cents, "emb", cell_col="cell")
+            # the JVM zip_with subtract is an interpreted HOF, so it is
+            # kept off every full-corpus pass: the training rows are
+            # SAMPLED FIRST (the same (md5(id), id) rule pq_fit would
+            # apply — identical rows, identical books) and only the
+            # bounded sample is subtracted; the full-corpus ENCODE pass
+            # below fuses the subtraction into the Arrow kernel
+            # (bit-identical — IEEE subtraction is exact). Before these
+            # two moves a residual attach cost 5× the raw one at the 1M
+            # rung (SCALING r13).
+            if train_sample is not None:
+                fit_src = (
+                    live.orderBy(
+                        F.md5(F.col("id").cast("string")), F.col("id")
+                    )
+                    .limit(train_sample)
+                )
+                fit_sample = None
+            fit_src = _minus_centroid(fit_src, cents, "emb", cell_col="cell")
         enc_col = "__rvec" if residual else "emb"
         books = pq_fit(
-            live.select(
+            fit_src.select(
                 F.col("id").alias(self.id_col),
                 F.col(enc_col).alias(self.emb_col),
             ),
             m=m, k_sub=k_sub, iters=iters,
             id_col=self.id_col, emb_col=self.emb_col,
-            dim=dim, train_sample=train_sample,
+            dim=dim, train_sample=fit_sample,
         )
         rows = [
             (j, c, [float(x) for x in books[j][c]])
             for j in range(m)
             for c in range(k_sub)
         ]
-        coded = pq_encode_kernel(live, books, emb_col=enc_col).select(
+        coded = pq_encode_kernel(
+            live, books, emb_col="emb",
+            centroids=cents if residual else None,
+        ).select(
             "id", "cell", "codes"
         ).localCheckpoint()  # materialize BEFORE any store mutation
         n = coded.count()

@@ -185,6 +185,8 @@ def pq_encode_kernel(
     codebooks: list[list[list[float]]],
     emb_col: str = "embedding",
     codes_col: str = "codes",
+    centroids: list[list[float]] | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Arrow-vectorized encoder — the engine's bulk path: ONE pass
     computes all ``m`` argmins per vector. Bit-parity contract with
@@ -194,7 +196,16 @@ def pq_encode_kernel(
     ``np.argmin``'s first-occurrence rule IS the lowest-code tie-break.
     Rows with a null / non-finite ELEMENT get a NULL codes entry
     (matching the JVM fold's null propagation; numpy would silently
-    misassign). Carries all input columns; adds ``codes_col``."""
+    misassign). Carries all input columns; adds ``codes_col``.
+
+    ``centroids`` (with ``cell_col``) fuses the RESIDUAL subtraction
+    into the same numpy pass: encode x − centroids[cell] without ever
+    materializing the residual column. IEEE-754 subtraction is exact
+    and deterministic, so the fused path is bit-identical to
+    ``_minus_centroid`` + encode (pytest-pinned) — it exists because
+    the JVM ``zip_with`` subtract is an interpreted HOF that cost a
+    residual ``enable_pq`` 5× the raw attach at the 1M rung before the
+    fusion (SCALING r13)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType, StructField
@@ -204,6 +215,11 @@ def pq_encode_kernel(
     sd = len(codebooks[0][0])
     dim = m * sd
     C = np.array(codebooks, dtype=np.float64)  # (m, k_sub, sd)
+    CC = (
+        np.array(centroids, dtype=np.float64)
+        if centroids is not None
+        else None
+    )
     base = df.filter(
         F.col(emb_col).isNotNull() & (F.size(emb_col) == dim)
     )
@@ -221,6 +237,8 @@ def pq_encode_kernel(
                 yield res
                 continue
             mat = np.array(pdf[emb_name].tolist(), dtype=np.float64)
+            if CC is not None:
+                mat = mat - CC[pdf[cell_col].to_numpy(dtype=np.int64)]
             n = mat.shape[0]
             finite = np.isfinite(mat).all(axis=1)  # None->NaN on convert
             codes = np.zeros((n, m), dtype=np.int32)

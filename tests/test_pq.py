@@ -330,3 +330,26 @@ def test_residual_topk_contract_and_refine(emb, queries, residual_state):
         pq_adc_topk(queries, raw_codes, raw_books, k, use_kernel=True)
     )
     assert r_adc >= r_raw
+
+
+def test_fused_residual_encode_bit_identical(emb, residual_state):
+    """pq_encode_kernel(centroids=...) fuses the residual subtraction
+    into the numpy pass — codes must equal the materialized
+    _minus_centroid + encode route exactly (IEEE subtraction is exact,
+    so 'decision-identical' here is full equality)."""
+    from biodata_pipeline_spark.operators.kmeans import (
+        assign_clusters_kernel,
+    )
+
+    cents, codes_want, books = residual_state
+    assigned = assign_clusters_kernel(emb, cents).select(
+        "vec_id", "embedding", F.col("cluster").alias("cell")
+    )
+    fused = pq_encode_kernel(
+        assigned, books, centroids=cents
+    ).select("vec_id", F.col("codes").alias("c_fused"))
+    j = codes_want.withColumnRenamed("codes", "c_ref").join(
+        fused, "vec_id"
+    )
+    assert j.count() == emb.count()
+    assert j.filter(F.col("c_ref") != F.col("c_fused")).count() == 0
