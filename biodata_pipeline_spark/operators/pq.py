@@ -550,6 +550,21 @@ def _minus_centroid(
     )
 
 
+def pq_residual_decode(
+    codes_col: str | F.Column,
+    cell_col: str | F.Column,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+) -> F.Column:
+    """Reconstructed vector for RESIDUAL codes: centroid[cell] +
+    concat of the per-subspace codeword rows — ``pq_decode``'s residual
+    sibling (the x̂ the ADC estimate scores against), a pure expression,
+    no join."""
+    cell = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    crow = F.element_at(matrix_literal(centroids), cell + 1)
+    return F.zip_with(crow, pq_decode(codes_col, codebooks), lambda c, r: c + r)
+
+
 def pq_residual_scores(
     queries: DataFrame,
     codes: DataFrame,

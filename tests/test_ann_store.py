@@ -1114,3 +1114,20 @@ def test_pq_residual_reenable_flips_representation(spark, tmp_path):
     assert sorted(map(tuple, got_stale.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_calibrate_on_residual_store(spark, tmp_path):
+    """calibrate() composes with residual=True: the refine walk runs
+    through the residual ADC dispatch, the record persists with the
+    residual books' etag, and a reopened instance serves it."""
+    store = VectorIndexStore(str(tmp_path / "ivfr_cal"))
+    store.build(_emb(spark), k=8, iters=1)
+    store.enable_pq(spark, residual=True)
+    q = _queries(spark, n=8)
+    first = store.calibrate(spark, q, target_recall=0.9, k=5)
+    assert first["reused"] is False and first["refine"] >= 1
+    assert first["fingerprint"]["books_etag"] == store._pq_cache_etag
+    again = VectorIndexStore(store.path).calibrate(
+        spark, q, target_recall=0.9, k=5
+    )
+    assert again["reused"] is True and again["refine"] == first["refine"]

@@ -353,3 +353,21 @@ def test_fused_residual_encode_bit_identical(emb, residual_state):
     )
     assert j.count() == emb.count()
     assert j.filter(F.col("c_ref") != F.col("c_fused")).count() == 0
+
+
+def test_residual_decode_reconstructs(spark, residual_state):
+    """x̂ = centroid[cell] + codeword rows, elementwise exact."""
+    from biodata_pipeline_spark.operators.pq import pq_residual_decode
+
+    cents, codes, books = residual_state
+    sd = 64 // len(books)
+    rows = codes.limit(10).select(
+        "vec_id", "cell", "codes",
+        pq_residual_decode("codes", "cell", books, cents).alias("dec"),
+    ).collect()
+    for r in rows:
+        assert len(r["dec"]) == 64
+        for j, code in enumerate(r["codes"]):
+            for i in range(sd):
+                want = cents[r["cell"]][j * sd + i] + books[j][code][i]
+                assert r["dec"][j * sd + i] == want  # exact IEEE add
