@@ -257,3 +257,90 @@ def interleave_schedule(
     return sched.withColumn(
         "position", F.row_number().over(w_pos)
     ).select("position", key_col, group_col, "rank_in_group", "vtime")
+
+
+# The bounded-merge gate for md5_top_n: at or below this many corpus
+# rows the plain orderBy().limit() path runs — its TakeOrdered merge is
+# n × P rows, harmless at this size — and above it the threshold path
+# keeps the merge bounded by ~1.25·n candidates regardless of corpus
+# size or partition count (measured at the 1M rung in SCALING.md r14).
+MD5_TOPN_DIRECT_ROWS = 131_072
+
+
+def md5_top_n(
+    df: DataFrame,
+    n: int,
+    key: str,
+    direct_rows: int = MD5_TOPN_DIRECT_ROWS,
+) -> DataFrame:
+    """The ``n`` rows smallest by ``(md5(key), key)`` — the engine-wide
+    deterministic training-sample rule (``seed_centroids`` /
+    ``VectorIndexStore.build`` / ``pq_fit``) — selected WITHOUT an
+    unbounded driver merge (VERDICT r13 #4).
+
+    ``orderBy(md5, key).limit(n)`` plans as TakeOrderedAndProject:
+    every partition ships its own top-n to the DRIVER, an n × P row
+    merge — ~1.8 GB at the 1M-row / 100k-sample rung (SCALING.md
+    r13:2099) and n × 1000 partitions on a real cluster, where it is
+    the attach-path bottleneck for every trained representation.
+    Above ``direct_rows`` total rows this takes the threshold path
+    instead:
+
+      1. count the corpus (the key column alone — column-pruned scan);
+      2. one ``approxQuantile`` ladder over the numeric 13-hex-char
+         md5 prefix (52 bits: exact in a double) at fractions
+         1.25·n/total, ×4, ×16, ..., 1.0;
+      3. one conditional agg verifies the cheapest ladder threshold t
+         with ``count(prefix <= t) >= n``;
+      4. filter to that threshold — a distributed superset of ~1.25·n
+         rows — and run the ORIGINAL sort-limit on it: the TakeOrdered
+         merge now sees only bounded candidates.
+
+    The output is IDENTICAL to the direct rule for ANY verified
+    threshold, not approximately so: with ≥ n rows at prefix ≤ t,
+    every row above t is lexicographically after all of them (md5 is
+    fixed-width hex, so prefix order bounds full-digest order), hence
+    after the true top-n — the superset provably contains the exact
+    answer, and the final sort applies the exact rule. approxQuantile's
+    estimation error therefore never touches WHAT is returned, only
+    how much slack the superset carries; the ladder's 1.0 rung makes
+    termination unconditional. Rows with a NULL key are excluded (md5
+    of NULL is NULL — such rows never sort into a deterministic
+    sample; the callers' id contracts exclude them anyway)."""
+    if n <= 0:
+        raise ValueError(f"md5_top_n: n must be positive, got {n}")
+    key_c = F.col(key)
+    mk = F.md5(key_c.cast("string"))
+    base = df.filter(key_c.isNotNull())
+    total = base.count()
+    if total <= max(n, direct_rows):
+        return base.orderBy(mk, key_c).limit(n)
+    keyed = base.withColumn(
+        "__mk_num",
+        F.conv(F.substring(mk, 1, 13), 16, 10).cast("double"),
+    )
+    fracs = []
+    f = min(1.0, 1.25 * n / total)
+    while True:
+        fracs.append(f)
+        if f >= 1.0:
+            break
+        f = min(1.0, f * 4)
+    ladder = keyed.approxQuantile("__mk_num", fracs, 0.001)
+    counts = keyed.agg(
+        *[
+            F.sum((F.col("__mk_num") <= F.lit(t)).cast("long")).alias(
+                f"c{i}"
+            )
+            for i, t in enumerate(ladder)
+        ]
+    ).collect()[0]
+    t_ok = next(
+        ladder[i] for i in range(len(ladder)) if (counts[f"c{i}"] or 0) >= n
+    )
+    return (
+        keyed.filter(F.col("__mk_num") <= F.lit(t_ok))
+        .drop("__mk_num")
+        .orderBy(mk, key_c)
+        .limit(n)
+    )

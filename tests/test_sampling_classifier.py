@@ -279,3 +279,48 @@ def test_quality_percentile_gate_tie_break_is_id(spark):
 
     got = sorted(r.doc_id for r in quality_percentile_gate(scored).collect())
     assert got == [0, 1, 2]  # ceil(3) lowest ids win the all-tied bucket
+
+
+# --- md5_top_n: the bounded-merge deterministic sample rule (round 14) ----
+
+
+def test_md5_top_n_identical_to_direct_rule_both_paths(spark):
+    """The threshold path must return EXACTLY the rows of
+    orderBy(md5(key), key).limit(n) — the fast path is exact, not
+    approximate (the superset provably contains the true top-n)."""
+    from biodata_pipeline_spark.operators.sampling import md5_top_n
+
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 13).alias("payload")
+    )
+    want = [
+        (r.id, r.payload)
+        for r in df.orderBy(
+            F.md5(F.col("id").cast("string")), F.col("id")
+        )
+        .limit(100)
+        .collect()
+    ]
+    direct = md5_top_n(df, 100, "id")  # 3000 rows: under the gate
+    assert [(r.id, r.payload) for r in direct.collect()] == want
+    fast = md5_top_n(df, 100, "id", direct_rows=0)  # force threshold path
+    assert [(r.id, r.payload) for r in fast.collect()] == want
+
+
+def test_md5_top_n_edges(spark):
+    import pytest as _pytest
+
+    from biodata_pipeline_spark.operators.sampling import md5_top_n
+
+    df = spark.range(40).select(F.col("id"))
+    # n >= total: every row, still deterministic
+    assert md5_top_n(df, 100, "id").count() == 40
+    assert md5_top_n(df, 100, "id", direct_rows=0).count() == 40
+    # NULL keys are excluded on both paths (md5(NULL) never sorts)
+    withnull = df.select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id")).alias("id")
+    )
+    got = md5_top_n(withnull, 100, "id").collect()
+    assert len(got) == 35 and all(r.id is not None for r in got)
+    with _pytest.raises(ValueError, match="positive"):
+        md5_top_n(df, 0, "id")
