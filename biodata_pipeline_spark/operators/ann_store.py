@@ -57,29 +57,64 @@ from biodata_pipeline_spark.operators.kmeans import (
 )
 from biodata_pipeline_spark.operators.pq import (
     PQ_ITERS,
-    PQ_KSUB,
     PQ_M,
     _minus_centroid,
     pq_encode_kernel,
     pq_fit,
+    recommended_k_sub,
 )
 from biodata_pipeline_spark.operators.similarity import SIM_ROUND
 
 
+def _store_doc_versions(spark, store_path: str, name: str) -> list[int]:
+    """Committed versions of a store doc (``{name}_v{n}.json`` under the
+    store path), ascending; version 0 stands for a legacy unversioned
+    ``{name}.json``. No Spark job — one directory listing."""
+    import re
+
+    from biodata_pipeline_spark.operators.dedup import _fs_path
+
+    fs, base = _fs_path(spark, store_path)
+    if not fs.exists(base):
+        return []
+    pat = re.compile(rf"^{re.escape(name)}_v(\d+)\.json$")
+    versions = []
+    for st in fs.listStatus(base):
+        fname = st.getPath().getName()
+        m = pat.match(fname)
+        if m:
+            versions.append(int(m.group(1)))
+        elif fname == f"{name}.json":
+            versions.append(0)
+    return sorted(versions)
+
+
 def _read_store_doc(spark, store_path: str, name: str) -> dict | None:
-    """One small JSON document under the store path (``{name}.json``),
-    read via the filesystem API — no Spark job. Returns None when
-    absent. Store-level facts (the PQ books etag, the calibration
-    record) live in these docs rather than the compaction meta because
-    ``compact_dedup_index`` rebuilds its meta fresh on every fold and
-    would silently drop foreign keys."""
+    """One small JSON document under the store path, read via the
+    filesystem API — no Spark job. Returns None when absent. Store-level
+    facts (the PQ books etag, the calibration record) live in these docs
+    rather than the compaction meta because ``compact_dedup_index``
+    rebuilds its meta fresh on every fold and would silently drop
+    foreign keys.
+
+    Docs are versioned single files ``{name}_v{n}.json`` (the
+    ``_read_index_meta`` discipline, r13 advice): the read takes the
+    HIGHEST committed version, so a writer crash at any point leaves
+    the previous doc readable — there is no window where the doc is
+    absent and a consumer silently takes a legacy default (the exact
+    failure the old delete-then-rename flip allowed: a residual PQ
+    store scored as raw PQ, wrong sims, no error). Legacy unversioned
+    ``{name}.json`` files from older stores read as version 0."""
     import json
 
     from biodata_pipeline_spark.operators.dedup import _fs_path
 
-    fs, hp = _fs_path(spark, f"{store_path}/{name}.json")
-    if not fs.exists(hp):
+    versions = _store_doc_versions(spark, store_path, name)
+    if not versions:
         return None
+    v = versions[-1]
+    fname = f"{name}.json" if v == 0 else f"{name}_v{v}.json"
+    fs, hp = _fs_path(spark, f"{store_path}/{fname}")
     stream = fs.open(hp)
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -91,24 +126,46 @@ def _read_store_doc(spark, store_path: str, name: str) -> dict | None:
 
 
 def _write_store_doc(spark, store_path: str, name: str, doc: dict) -> None:
-    """Atomic single-file replace: write to ``.tmp``, rename into place
-    (the ``_write_index_meta`` discipline) — a reader sees the old doc
-    or the new one, never a torn write."""
+    """Atomic doc replace with NO missing-doc window (r13 advice): write
+    ``{name}_v{n+1}.json.tmp``, rename to its final name — a pure rename
+    of a NEW name, nothing is deleted first — then best-effort prune the
+    superseded versions (and any orphaned ``.tmp``). A crash before the
+    rename leaves the old doc current; a crash after it leaves two
+    committed versions and the read's highest-version rule picks the new
+    one. The old fixed-filename flip had to delete the live doc before
+    renaming over it, and a crash in that window silently demoted the
+    store to the legacy no-doc path."""
     import json
+    import re
 
     from biodata_pipeline_spark.operators.dedup import _fs_path
 
-    fs, tmp = _fs_path(spark, f"{store_path}/{name}.json.tmp")
-    _, final = _fs_path(spark, f"{store_path}/{name}.json")
+    versions = _store_doc_versions(spark, store_path, name)
+    new_v = (versions[-1] if versions else 0) + 1
+    fs, tmp = _fs_path(spark, f"{store_path}/{name}_v{new_v}.json.tmp")
+    _, final = _fs_path(spark, f"{store_path}/{name}_v{new_v}.json")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"store doc flip failed: {tmp} -> {final}")
+    # prune superseded versions + orphaned tmps — storage hygiene only;
+    # a failure here never affects what readers see
+    fs2, base = _fs_path(spark, store_path)
+    pat = re.compile(
+        rf"^{re.escape(name)}(_v(\d+))?\.json(\.tmp)?$"
+    )
+    for st in fs2.listStatus(base):
+        fname = st.getPath().getName()
+        m = pat.match(fname)
+        if not m:
+            continue
+        v = int(m.group(2)) if m.group(2) else 0
+        is_tmp = bool(m.group(3))
+        if v < new_v or (is_tmp and v <= new_v):
+            fs2.delete(st.getPath(), False)
 
 
 def _books_etag(books: list[list[list[float]]]) -> str:
@@ -122,6 +179,73 @@ def _books_etag(books: list[list[list[float]]]) -> str:
     return hashlib.md5(
         json.dumps(books, separators=(",", ":")).encode()
     ).hexdigest()
+
+
+# structure_ratio at or above this reads "structure-free": residual
+# quantization measured at parity-at-best with raw codes on such
+# corpora (the r13 1M uniform arm; fixture + rung measurements in
+# SCALING.md r14), so enable_pq(residual=True) warns — k_sub is the
+# binding recall lever there, not the residual representation.
+STRUCTURE_PARITY_RATIO = 0.8
+
+
+def _structure_ratio(
+    sample: DataFrame,
+    cents: list[list[float]],
+    emb_col: str = "emb",
+    cell_col: str = "cell",
+) -> float | None:
+    """Measured cluster-structure signal on the (bounded) training
+    sample: RMS of the cell residuals over RMS of the centered corpus —
+    ``sqrt( E‖x − centroid(cell)‖² / Σ_i Var(x_i) )`` (VERDICT r13 #3).
+
+    ≪ 1 means the coarse cells absorb most of the spread (real cluster
+    structure — residual PQ's measured win case: the same m × k_sub
+    budget quantizes a fraction of the spread); ≈ 1 means the cells
+    explain almost nothing (structure-free — residual measured at
+    parity with raw, SCALING.md r13/r14). Cost: one shuffle of
+    sample × dim (i, x, r) rows into ≤ dim groups with map-side
+    partial aggregation — the interpreted ``zip_with`` subtract runs
+    on the BOUNDED sample only, per the r13 residual-fit discipline.
+    Returns None on an empty sample or zero corpus variance (a
+    constant corpus has no structure to speak of)."""
+    import math
+
+    withr = _minus_centroid(
+        sample.select(
+            F.col(emb_col).cast("array<double>").alias("__x"),
+            F.col(cell_col),
+        ),
+        cents,
+        "__x",
+        cell_col=cell_col,
+    )
+    per_dim = (
+        withr.select(
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("__x").alias("x"),
+                    F.col("__rvec").alias("r"),
+                )
+            ).alias("i", "z")
+        )
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("z.x")).alias("sx"),
+            F.sum(F.col("z.x") * F.col("z.x")).alias("sxx"),
+            F.sum(F.col("z.r") * F.col("z.r")).alias("srr"),
+        )
+        .collect()  # ≤ dim rows — driver-sized by design
+    )
+    if not per_dim or not per_dim[0]["n"]:
+        return None
+    n = per_dim[0]["n"]
+    corpus_var = sum(r["sxx"] / n - (r["sx"] / n) ** 2 for r in per_dim)
+    resid_msq = sum(r["srr"] / n for r in per_dim)
+    if corpus_var <= 0:
+        return None
+    return round(math.sqrt(resid_msq / corpus_var), 4)
 
 
 def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
@@ -505,6 +629,68 @@ def _score_candidates_rpq_kernel(
     )
 
 
+def _score_candidates_sq_kernel(
+    cand: DataFrame, query_id: str, id_col: str, bounds: dict
+) -> DataFrame:
+    """Arrow SQ8 scoring of (query, candidate-codes) rows — the byte
+    probe's scorer (round 14): candidates arrive as dim uint8 codes,
+    the midpoint decode ``mn + (c + ½)·rg/256`` runs in the same
+    float64 ops as the declarative ``sq_decode`` expression, and the
+    cosine accumulates dimension-by-dimension in ASCENDING order (the
+    ``_score_candidates_kernel`` bit-parity fold) against the exact
+    query side. Rounding stays JVM-side. Input rows carry
+    (query_id, id, __qe, __nq, codes); output (query_id, id, sim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    mn = np.array(bounds["vmin"], dtype=np.float64)
+    rg = np.array(
+        [hi - lo for lo, hi in zip(bounds["vmin"], bounds["vmax"])],
+        dtype=np.float64,
+    )
+    dim = len(mn)
+    in_fields = {f.name: f for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[query_id],
+            in_fields[id_col],
+            StructField("__sim_raw", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {query_id: pdf[query_id], id_col: pdf[id_col],
+                     "__sim_raw": pd.Series([], dtype="float64")}
+                )
+                continue
+            qe = np.array(pdf["__qe"].tolist(), dtype=np.float64)
+            cd = np.array(pdf["codes"].tolist(), dtype=np.float64)
+            recon = mn + (cd + 0.5) * rg / 256.0  # sq_decode, exactly
+            n = len(pdf)
+            s, nc = np.zeros(n), np.zeros(n)
+            for i in range(dim):  # ascending-dim: JVM bit-parity
+                s += qe[:, i] * recon[:, i]
+                nc += recon[:, i] * recon[:, i]
+            sim = s / (pdf["__nq"].to_numpy() * np.sqrt(nc))
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], id_col: pdf[id_col],
+                 "__sim_raw": sim}
+            )
+
+    return (
+        cand.select(query_id, id_col, "__qe", "__nq", "codes")
+        .mapInPandas(score, out_schema)
+        .select(
+            query_id, id_col,
+            F.round(F.col("__sim_raw"), SIM_ROUND).alias("sim"),
+        )
+    )
+
+
 def _assign_cells(
     df: DataFrame,
     cents: list[list[float]],
@@ -607,16 +793,19 @@ class VectorIndexStore:
         """
         spark = vecs.sparkSession
         if train_sample is not None:
-            sample = (
-                vecs.filter(F.col(self.emb_col).isNotNull())
-                .select(self.id_col, self.emb_col)
-                .orderBy(
-                    F.md5(F.col(self.id_col).cast("string")),
-                    F.col(self.id_col),
-                )
-                .limit(train_sample)
-                .persist()  # Lloyd re-reads it iters+1 times; bounded rows
+            from biodata_pipeline_spark.operators.sampling import (
+                md5_top_n,
             )
+
+            # bounded-merge selection (r14): identical rows to the old
+            # orderBy(md5, id).limit(n), but the TakeOrdered driver
+            # merge no longer grows with corpus size × partition count
+            sample = md5_top_n(
+                vecs.filter(F.col(self.emb_col).isNotNull())
+                .select(self.id_col, self.emb_col),
+                train_sample,
+                self.id_col,
+            ).persist()  # Lloyd re-reads it iters+1 times; bounded rows
             try:
                 cents = _fit_quantizer(
                     sample, k, iters, self.id_col, self.emb_col
@@ -689,6 +878,28 @@ class VectorIndexStore:
                 SignatureStore._write_batch(
                     spark, coded, f"{self.path}/pq_codes", batch_id
                 )
+        if self.sq_enabled(spark):
+            # same crash contract as the PQ block above: a missing
+            # batch in sq_codes/ is a thinner byte index, repaired by
+            # replaying the batch. Values beyond the fitted bounds
+            # clamp to 0/255 (the SQ drift semantics — enable_sq8
+            # refits when it matters).
+            from biodata_pipeline_spark.operators.sq import (
+                sq_encode_kernel,
+            )
+
+            sq_coded = sq_encode_kernel(
+                assigned, self._sq_bounds(spark),
+                emb_col="emb", codes_col="codes",
+            ).select("id", "cell", "codes")
+            if batch_id is None:
+                sq_coded.write.mode("append").parquet(
+                    f"{self.path}/sq_codes"
+                )
+            else:
+                SignatureStore._write_batch(
+                    spark, sq_coded, f"{self.path}/sq_codes", batch_id
+                )
         self._n_rows_cache = None  # index grew: re-count at next query()
         return assigned.count()
 
@@ -703,7 +914,7 @@ class VectorIndexStore:
         self,
         spark,
         m: int = PQ_M,
-        k_sub: int = PQ_KSUB,
+        k_sub: int | None = None,
         iters: int = PQ_ITERS,
         train_sample: int | None = None,
         residual: bool = False,
@@ -721,6 +932,13 @@ class VectorIndexStore:
         training and encoding; codes for ids removed LATER are masked
         by the same read-time anti-join as everything else and fold out
         at compaction.
+
+        ``k_sub=None`` (the default) resolves size-aware via
+        ``recommended_k_sub(live rows)``: 256 — FAISS's 8-bit standard,
+        the measured 1M operating point (refined recall 0.975 vs 0.615
+        at k_sub=16, SCALING.md) — once the corpus clears
+        ``KSUB_BYTE_CODE_ROWS``, else 16. Pass k_sub explicitly to pin
+        a representation across growth.
 
         ``residual=True`` quantizes each vector's RESIDUAL against its
         cell centroid (FAISS IndexIVFPQ's encode_residual form — within
@@ -742,37 +960,72 @@ class VectorIndexStore:
         live = self._minus_tombstones(
             spark, full.dropDuplicates(["id"])
         )
-        fit_src = live
-        fit_sample = train_sample
-        if residual:
-            # the JVM zip_with subtract is an interpreted HOF, so it is
-            # kept off every full-corpus pass: the training rows are
-            # SAMPLED FIRST (the same (md5(id), id) rule pq_fit would
-            # apply — identical rows, identical books) and only the
-            # bounded sample is subtracted; the full-corpus ENCODE pass
-            # below fuses the subtraction into the Arrow kernel
-            # (bit-identical — IEEE subtraction is exact). Before these
-            # two moves a residual attach cost 5× the raw one at the 1M
-            # rung (SCALING r13).
-            if train_sample is not None:
-                fit_src = (
-                    live.orderBy(
-                        F.md5(F.col("id").cast("string")), F.col("id")
-                    )
-                    .limit(train_sample)
+        if k_sub is None:
+            # size-aware default (VERDICT r13 #2, the m-fix one knob
+            # later): the byte-code arm once the live corpus clears the
+            # measured rung where 4-bit codes stop holding target
+            # recall — the store picks the production operating point
+            # instead of leaving it in SCALING.md prose. An explicit
+            # k_sub always wins (the declared registry family pins 16:
+            # its oracle replays every Lloyd chain).
+            k_sub = recommended_k_sub(live.count())
+        # ONE bounded training sample serves the codebook fit and the
+        # structure probe. Sampling before pq_fit's validity filter is
+        # row-identical to the old sample-inside-pq_fit order: enrolled
+        # rows passed the geometry contract at add(), so the filter is
+        # a no-op on store rows (the r13 residual path set the
+        # precedent). The interpreted zip_with subtract stays off every
+        # full-corpus pass: only the bounded sample is subtracted here;
+        # the full-corpus ENCODE below fuses the subtraction into the
+        # Arrow kernel (bit-identical: the same correctly-rounded
+        # float64 op on the same operands is deterministic). Before
+        # these moves a residual attach cost 5× the raw one at the 1M
+        # rung (SCALING r13); the sample selection itself rides
+        # md5_top_n's bounded-merge path (r14).
+        from biodata_pipeline_spark.operators.sampling import md5_top_n
+
+        sample = (
+            live
+            if train_sample is None
+            else md5_top_n(live, train_sample, "id")
+        ).persist()  # structure probe + m×(1+iters) Lloyd passes
+        try:
+            structure = _structure_ratio(sample, cents)
+            if (
+                residual
+                and structure is not None
+                and structure >= STRUCTURE_PARITY_RATIO
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"enable_pq(residual=True) on a structure-free "
+                    f"corpus (structure_ratio {structure} >= "
+                    f"{STRUCTURE_PARITY_RATIO}: the coarse cells "
+                    "explain almost none of the spread) — residual "
+                    "codes measured at parity-at-best with raw here; "
+                    "k_sub is the binding recall lever (SCALING.md "
+                    "r13/r14)",
+                    RuntimeWarning,
+                    stacklevel=2,
                 )
-                fit_sample = None
-            fit_src = _minus_centroid(fit_src, cents, "emb", cell_col="cell")
-        enc_col = "__rvec" if residual else "emb"
-        books = pq_fit(
-            fit_src.select(
-                F.col("id").alias(self.id_col),
-                F.col(enc_col).alias(self.emb_col),
-            ),
-            m=m, k_sub=k_sub, iters=iters,
-            id_col=self.id_col, emb_col=self.emb_col,
-            dim=dim, train_sample=fit_sample,
-        )
+            fit_src = (
+                _minus_centroid(sample, cents, "emb", cell_col="cell")
+                if residual
+                else sample
+            )
+            enc_col = "__rvec" if residual else "emb"
+            books = pq_fit(
+                fit_src.select(
+                    F.col("id").alias(self.id_col),
+                    F.col(enc_col).alias(self.emb_col),
+                ),
+                m=m, k_sub=k_sub, iters=iters,
+                id_col=self.id_col, emb_col=self.emb_col,
+                dim=dim, train_sample=None,
+            )
+        finally:
+            sample.unpersist()
         rows = [
             (j, c, [float(x) for x in books[j][c]])
             for j in range(m)
@@ -802,42 +1055,9 @@ class VectorIndexStore:
         # delta-dir delete alone left the compacted table live in the
         # meta, so a retrain-after-compact gave every previously
         # enrolled id two CONFLICTING code rows and dropDuplicates
-        # picked an arbitrary survivor). Retirement order within (1):
-        # flip the meta pointer minus the pq_codes keys first (readers
-        # stop seeing the table — the atomic single-file rename the
-        # compaction machinery uses), then drop/delete the now
-        # unreferenced table dirs and the delta dir; a crash between
-        # the two leaves storage-only orphans, never readable stale
-        # codes (the compact sweep also clears old version dirs).
-        from biodata_pipeline_spark.operators.dedup import (
-            _read_index_meta,
-            _write_index_meta,
-        )
-
-        meta = _read_index_meta(spark, self.path)
-        if meta is not None and "pq_codes_table" in meta:
-            new_meta = {
-                k: v for k, v in meta.items()
-                if not k.startswith("pq_codes_")
-            }
-            new_meta["version"] = int(meta["version"]) + 1
-            _write_index_meta(spark, self.path, new_meta)
-            spark.sql(f"DROP TABLE IF EXISTS {meta['pq_codes_table']}")
-            tfs, thp = _fs_path(spark, meta["pq_codes_path"])
-            if tfs.exists(thp):
-                tfs.delete(thp, True)
-        # sweep any orphaned versioned dirs a crashed prior retirement
-        # left behind (same pattern as the compaction's version sweep)
-        import re as _re
-
-        dfs, dbase = _fs_path(spark, self.path)
-        if dfs.exists(dbase):
-            for st in dfs.listStatus(dbase):
-                if _re.match(r"^pq_codes_v\d+$", st.getPath().getName()):
-                    dfs.delete(st.getPath(), True)
-        fs, hp = _fs_path(spark, f"{self.path}/pq_codes")
-        if fs.exists(hp):
-            fs.delete(hp, True)
+        # picked an arbitrary survivor). See _retire_codes_component
+        # for the retirement order (shared with enable_sq8 since r14).
+        self._retire_codes_component(spark, "pq_codes")
         spark.createDataFrame(
             rows, "sub int, code int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -849,7 +1069,14 @@ class VectorIndexStore:
         etag = _books_etag(books)
         _write_store_doc(
             spark, self.path, "pq_etag",
-            {"etag": etag, "residual": bool(residual)},
+            {
+                "etag": etag,
+                "residual": bool(residual),
+                # the measured structure signal the residual operating
+                # rule depends on (VERDICT r13 #3) — persisted so
+                # describe() can surface it without re-measuring
+                "structure_ratio": structure,
+            },
         )
         # the books changed: any persisted refine calibration measured
         # against the old codes is void — recorded by fingerprint drift
@@ -909,6 +1136,122 @@ class VectorIndexStore:
             self._pq_cache_etag = loaded
         return self._pq_cache
 
+    def _retire_codes_component(self, spark, comp: str) -> None:
+        """Retire ALL state of a code component (``pq_codes`` /
+        ``sq_codes``) ahead of a re-encode — delta dirs AND the
+        compacted table when a compaction ran since the last enable.
+        Retirement order: flip the meta pointer minus the component's
+        keys first (readers stop seeing the table — the atomic
+        single-file rename the compaction machinery uses), then
+        drop/delete the now-unreferenced table dirs and the delta dir;
+        a crash between the two leaves storage-only orphans, never
+        readable stale codes (the sweep also clears versioned dirs a
+        crashed prior retirement left)."""
+        import re as _re
+
+        from biodata_pipeline_spark.operators.dedup import (
+            _fs_path,
+            _read_index_meta,
+            _write_index_meta,
+        )
+
+        meta = _read_index_meta(spark, self.path)
+        if meta is not None and f"{comp}_table" in meta:
+            new_meta = {
+                k: v for k, v in meta.items()
+                if not k.startswith(f"{comp}_")
+            }
+            new_meta["version"] = int(meta["version"]) + 1
+            _write_index_meta(spark, self.path, new_meta)
+            spark.sql(f"DROP TABLE IF EXISTS {meta[f'{comp}_table']}")
+            tfs, thp = _fs_path(spark, meta[f"{comp}_path"])
+            if tfs.exists(thp):
+                tfs.delete(thp, True)
+        dfs, dbase = _fs_path(spark, self.path)
+        if dfs.exists(dbase):
+            for st in dfs.listStatus(dbase):
+                if _re.match(rf"^{comp}_v\d+$", st.getPath().getName()):
+                    dfs.delete(st.getPath(), True)
+        fs, hp = _fs_path(spark, f"{self.path}/{comp}")
+        if fs.exists(hp):
+            fs.delete(hp, True)
+
+    # -- scalar quantization (the byte-per-dimension probe path, r14) -------
+    def sq_enabled(self, spark) -> bool:
+        doc = _read_store_doc(spark, self.path, "sq_meta")
+        return doc is not None and not doc.get("disabled")
+
+    def _sq_bounds(self, spark) -> dict:
+        doc = _read_store_doc(spark, self.path, "sq_meta")
+        if doc is None or doc.get("disabled"):
+            raise ValueError(
+                f"no SQ8 layer at {self.path}: enable_sq8() fits the "
+                "bounds before byte scoring can run"
+                + (
+                    " (a prior enable_sq8 did not complete — re-run it)"
+                    if doc is not None
+                    else ""
+                )
+            )
+        return doc
+
+    def enable_sq8(self, spark) -> int:
+        """Attach an SQ8 layer (PQ's simpler, stronger-recall sibling —
+        see operators/sq.py): per-dimension [min, max] bounds over the
+        live corpus in ONE scan (no Lloyd chains, no training sample),
+        every live vector encoded to dim bytes in ``sq_codes/``
+        (batch semantics identical to ``pq_codes/``), and
+        ``query(scoring="sq8"/"sq8_refine")`` scans bytes instead of
+        floats — 8× less candidate I/O vs float64 rows at near-exact
+        recall. From here ``add`` byte-encodes each new batch on enroll
+        (values beyond the fitted bounds CLAMP — the standard SQ drift
+        semantics; re-run enable_sq8 to refit when ``describe`` shows
+        the corpus has drifted). Re-running refits and fully re-encodes
+        (idempotent). Coexists with a PQ layer: the two code components
+        are independent.
+
+        Mutation order — every crash window VISIBLE, never silently
+        wrong. The bounds doc IS the codebook here, and unlike
+        ``pq_etag`` (where a missing doc meant dangerous legacy
+        semantics) a disabled ``sq_meta`` is the SAFE direction: the
+        layer just reads as off. So: (1) flip the doc to a
+        ``disabled`` tombstone — byte scoring goes dark immediately;
+        (2) retire all old sq code state; (3) write the fresh full
+        encode; (4) flip the doc to the new bounds LAST. A crash
+        before (1) leaves the old consistent layer; between (1) and
+        (4) the layer is visibly disabled ("re-run enable_sq8");
+        after (4) the new layer is consistent — at no point can bytes
+        be scored under bounds they were not encoded with (the
+        new-codes-under-old-doc window a codes-before-doc order would
+        open)."""
+        from biodata_pipeline_spark.operators.sq import (
+            sq_encode_kernel,
+            sq_fit,
+        )
+
+        cents = self.centroids(spark)  # raises if the store is missing
+        dim = len(cents[0])
+        parts = _index_component_frames(spark, self.path, "assignments")
+        full = parts[0].select("id", "emb", "cell")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("id", "emb", "cell"))
+        live = self._minus_tombstones(spark, full.dropDuplicates(["id"]))
+        bounds = sq_fit(live, id_col="id", emb_col="emb", dim=dim)
+        coded = sq_encode_kernel(
+            live, bounds, emb_col="emb", codes_col="codes"
+        ).select("id", "cell", "codes").localCheckpoint()
+        n = coded.count()  # materialized BEFORE any store mutation
+        if _read_store_doc(spark, self.path, "sq_meta") is not None:
+            _write_store_doc(
+                spark, self.path, "sq_meta", {"disabled": True}
+            )
+        self._retire_codes_component(spark, "sq_codes")
+        SignatureStore._write_batch(
+            spark, coded, f"{self.path}/sq_codes", "sq_enable"
+        )
+        _write_store_doc(spark, self.path, "sq_meta", bounds)
+        return n
+
     # -- delete ------------------------------------------------------------
     def remove(self, spark, ids) -> int:
         """Tombstone ``ids`` (a DataFrame carrying ``self.id_col``, or a
@@ -965,6 +1308,8 @@ class VectorIndexStore:
         parts = {"assignments": ["cell"]}
         if self.pq_enabled(spark):
             parts["pq_codes"] = ["cell"]
+        if self.sq_enabled(spark):
+            parts["sq_codes"] = ["cell"]
         return compact_dedup_index(
             spark, self.path, n_buckets=n_buckets, parts=parts,
         )
@@ -1039,16 +1384,35 @@ class VectorIndexStore:
             ),
             "compaction_version": int(meta.get("version", 0)),
             "pq": None,
+            "sq8": None,
             "calibration": None,
+            # always present (r13 advice: callers probing staleness on an
+            # uncalibrated store hit KeyError when this key was conditional)
+            "calibration_stale": None,
         }
         if self.pq_enabled(spark):
             books = self._pq_books(spark)
+            pq_doc = _read_store_doc(spark, self.path, "pq_etag") or {}
             out["pq"] = {
                 "m": len(books),
                 "k_sub": len(books[0]),
                 "subdim": len(books[0][0]),
                 "residual": self._pq_cache_residual,
+                # the size-aware production default for THIS corpus —
+                # an attached layer whose k_sub sits below it is the
+                # "retrain with enable_pq()" signal (VERDICT r13 #2)
+                "recommended_k_sub": recommended_k_sub(
+                    out["n_live_vectors"]
+                ),
+                # measured at the last enable_pq: ≪1 = real cluster
+                # structure (residual's win case), ≈1 = structure-free
+                # (residual parity; k_sub is the lever) — None on
+                # legacy layers that never measured it
+                "structure_ratio": pq_doc.get("structure_ratio"),
             }
+        if self.sq_enabled(spark):
+            b = self._sq_bounds(spark)
+            out["sq8"] = {"dim": len(b["vmin"])}
         cal = _read_store_doc(spark, self.path, "calibration")
         if cal is not None:
             out["calibration"] = cal
@@ -1115,8 +1479,20 @@ class VectorIndexStore:
         paying it once per corpus *state* rather than once per process
         is the difference between a knob and a tax. Returns the
         calibration dict; ``reused`` says whether a stored record was
-        served. ``force`` re-measures unconditionally (e.g. after a
-        workload shift the fingerprint can't see)."""
+        served. ``force`` is the unconditional override — re-measure
+        regardless of the stored record (e.g. after a workload shift
+        the fingerprint can't see).
+
+        Reuse requires the stored record's measurement budget to COVER
+        the request (r13 advice): ``max_sample``/``max_refine`` persist
+        in the doc, and a stored record only serves calls asking for at
+        most that sample size and refine cap — a call with a LARGER
+        budget re-measures rather than silently inheriting a
+        possibly-cap-limited record (legacy docs without the fields
+        re-measure). A reused record whose measured refine recall sits
+        below the target re-raises the cap warning so the shortfall
+        stays visible across processes, not just in the process that
+        first measured it."""
         fp = self._fingerprint(spark)
         stored = _read_store_doc(spark, self.path, "calibration")
         if (
@@ -1124,8 +1500,28 @@ class VectorIndexStore:
             and stored is not None
             and stored.get("target_recall") == target_recall
             and stored.get("k") == k
+            and (stored.get("max_sample") or 0) >= max_sample
+            and (
+                not self.pq_enabled(spark)
+                or (stored.get("max_refine") or 0) >= max_refine
+            )
             and self._calibration_fresh(stored.get("fingerprint", {}), fp)
         ):
+            rr = stored.get("refine_recall")
+            if rr is not None and rr < target_recall:
+                import warnings
+
+                warnings.warn(
+                    f"calibrate: reused record's refine recall {rr} is "
+                    f"below the {target_recall} target (measured at the "
+                    f"max_refine={stored.get('max_refine')} cap) — the "
+                    "shortfall lives in the code resolution: retrain "
+                    "with enable_pq(k_sub=...) / enable_pq(m=...) per "
+                    "the SCALING.md grid, or pass force=True to "
+                    "re-measure",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return {**stored, "reused": True}
         n_probe, np_recall = measured_n_probe(
             self, queries, target_recall, k,
@@ -1139,6 +1535,10 @@ class VectorIndexStore:
             "n_probe_recall": round(np_recall, 4),
             "refine": None,
             "refine_recall": None,
+            # the measurement budget: reuse only serves requests this
+            # record covers (r13 advice)
+            "max_sample": max_sample,
+            "max_refine": max_refine if self.pq_enabled(spark) else None,
             "fingerprint": fp,
         }
         if self.pq_enabled(spark):
@@ -1150,6 +1550,23 @@ class VectorIndexStore:
             )
             doc["refine"] = refine
             doc["refine_recall"] = round(rf_recall, 4)
+            if rf_recall < target_recall:
+                cur_k_sub = len(self._pq_books(spark)[0])
+                rec = recommended_k_sub(fp["n_rows"])
+                if cur_k_sub < rec:
+                    import warnings
+
+                    warnings.warn(
+                        f"calibrate: refine recall {rf_recall:.4f} "
+                        f"missed the {target_recall} target and the "
+                        f"attached PQ layer's k_sub={cur_k_sub} sits "
+                        f"below the size-aware recommendation {rec} "
+                        f"for {fp['n_rows']} live rows — retrain with "
+                        f"enable_pq(k_sub={rec}) (or k_sub=None for "
+                        "the size-aware default), then re-calibrate",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         _write_store_doc(spark, self.path, "calibration", doc)
         return {**doc, "reused": False}
 
@@ -1211,11 +1628,15 @@ class VectorIndexStore:
         ``recommended_n_probe(n_cells, target)``, the conservative
         no-measurement heuristic (near-exhaustive at high targets; the
         r10 operating-curve tables are in SCALING.md)."""
-        if scoring not in ("exact", "adc", "adc_refine"):
+        if scoring not in (
+            "exact", "adc", "adc_refine", "sq8", "sq8_refine"
+        ):
             raise ValueError(f"unknown scoring {scoring!r}")
-        if scoring == "adc_refine" and refine < 1:
+        if scoring.endswith("_refine") and refine < 1:
             # rank<=refine*k would silently return ZERO rows per query
-            raise ValueError(f"adc_refine needs refine >= 1, got {refine}")
+            raise ValueError(
+                f"{scoring} needs refine >= 1, got {refine}"
+            )
         from pyspark.sql import Window
 
         spark = queries.sparkSession
@@ -1306,11 +1727,14 @@ class VectorIndexStore:
         def _cand_from(parts, part_name: str, value_col: str,
                        keep_cell: bool = False):
             if not parts:
-                raise ValueError(
-                    f"no index at {self.path}"
-                    if part_name == "assignments"
-                    else f"no PQ codes at {self.path}: enable_pq() first"
+                if part_name == "assignments":
+                    raise ValueError(f"no index at {self.path}")
+                layer = (
+                    "SQ8 codes at {p}: enable_sq8() first"
+                    if part_name == "sq_codes"
+                    else "PQ codes at {p}: enable_pq() first"
                 )
+                raise ValueError("no " + layer.format(p=self.path))
             extra = ["cell"] if keep_cell else []
             cand = None
             for p in parts:
@@ -1387,10 +1811,55 @@ class VectorIndexStore:
                 .select(query_id, self.id_col, "rank", "sim")
             )
 
+        def _exact_refine(approx_scored):
+            # the top refine·k LIVE approximate candidates per query,
+            # re-scored exactly — the shared recall-repair tail of
+            # adc_refine and sq8_refine. The full-vector join stays
+            # inside the probed cells (the candidate came from one),
+            # so the assignments scan keeps the same IN-filter
+            # row-group pruning as the exact path — it just reads
+            # refine·k rows per query instead of every candidate in
+            # the probed cells.
+            cand_ids = _rank(approx_scored, refine * k).select(
+                query_id, self.id_col
+            )
+            embf = None
+            for p in _aparts():
+                s = p.filter(F.col("cell").isin(probed)).select(
+                    F.col("id").alias(self.id_col), "emb"
+                )
+                embf = s if embf is None else embf.unionByName(s)
+            embf = embf.dropDuplicates([self.id_col])
+            qmeta = qcells.select(
+                query_id, "__qe", "__nq"
+            ).dropDuplicates([query_id])
+            recand = (
+                cand_ids.join(embf, self.id_col)
+                .join(F.broadcast(qmeta), query_id)
+                .select(query_id, self.id_col, "__qe", "__nq", "emb")
+            )
+            return _rank(_exact_scored(recand), k)
+
         if scoring == "exact":
             return _rank(
                 _exact_scored(_cand_from(_aparts(), "assignments", "emb")), k
             )
+
+        if scoring in ("sq8", "sq8_refine"):
+            bounds = self._sq_bounds(spark)
+            scand = _cand_from(
+                _index_component_frames(spark, self.path, "sq_codes"),
+                "sq_codes",
+                "codes",
+            ).filter(
+                F.col("codes").isNotNull()  # defective rows: no codes
+            )
+            sqs = _score_candidates_sq_kernel(
+                scand, query_id, self.id_col, bounds
+            )
+            if scoring == "sq8":
+                return _rank(sqs, k)
+            return _exact_refine(sqs)
 
         books = self._pq_books(spark)  # refreshes the residual flag too
         residual = self._pq_cache_residual
@@ -1412,26 +1881,4 @@ class VectorIndexStore:
             )
         if scoring == "adc":
             return _rank(adc, k)
-        # adc_refine: the top refine·k LIVE ADC candidates per query,
-        # re-scored exactly. The full-vector join stays inside the
-        # probed cells (the candidate came from one), so the
-        # assignments scan keeps the same IN-filter row-group pruning
-        # as the exact path — it just reads refine·k rows per query
-        # instead of every candidate in the probed cells.
-        cand_ids = _rank(adc, refine * k).select(query_id, self.id_col)
-        embf = None
-        for p in _aparts():
-            s = p.filter(F.col("cell").isin(probed)).select(
-                F.col("id").alias(self.id_col), "emb"
-            )
-            embf = s if embf is None else embf.unionByName(s)
-        embf = embf.dropDuplicates([self.id_col])
-        qmeta = qcells.select(query_id, "__qe", "__nq").dropDuplicates(
-            [query_id]
-        )
-        recand = (
-            cand_ids.join(embf, self.id_col)
-            .join(F.broadcast(qmeta), query_id)
-            .select(query_id, self.id_col, "__qe", "__nq", "emb")
-        )
-        return _rank(_exact_scored(recand), k)
+        return _exact_refine(adc)

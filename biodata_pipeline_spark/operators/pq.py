@@ -61,6 +61,27 @@ PQ_M = 16       # subspaces (64d -> sixteen 4d slices)
 PQ_KSUB = 16    # codewords per subspace (codes fit 4 bits here; prod: 256)
 PQ_ITERS = 2    # Lloyd updates per subspace, same default as kmeans_fit
 
+# Above this many corpus rows the byte-code arm (k_sub=256, FAISS's
+# 8-bit standard) is the measured operating point: at the 1M uniform
+# rung k_sub=16 reads refined recall 0.615 vs 0.975 for k_sub=256 at
+# equal probe cost, with query walls unmoved (the LUT stays in L1/L2)
+# and only a ~3× one-time fit premium (SCALING.md r13/r14). Below it
+# the 4-bit default keeps the fit cheap and the recall gap small — and
+# a tiny corpus cannot train 256 codewords per subspace anyway (Lloyd
+# needs comfortably more training rows than centroids).
+KSUB_BYTE_CODE_ROWS = 100_000
+
+
+def recommended_k_sub(n_rows: int) -> int:
+    """Size-aware ``k_sub`` default for STORES (VERDICT r13 #2): the
+    byte-code arm (256) once the corpus clears the measured rung where
+    the 4-bit codes stop holding target recall, ``PQ_KSUB`` below it.
+    The DECLARED registry queries pin k_sub=16 explicitly — their
+    DuckDB oracle replays every per-subspace Lloyd chain textually, and
+    256-codeword chains would blow the oracle's replay budget — so this
+    function is the production default, not the declared-family one."""
+    return 256 if n_rows >= KSUB_BYTE_CODE_ROWS else PQ_KSUB
+
 
 def pq_fit(
     df: DataFrame,
@@ -81,10 +102,15 @@ def pq_fit(
     n rows with the smallest ``(md5(id), id)`` — PQ codebook quality
     saturates at a bounded training set (FAISS trains PQ on ~100k
     points regardless of corpus size), so at 100 TB the fit never
-    iterates over the corpus. Vectors must be ``dim``-long; rows with
+    iterates over the corpus. The selection rides ``md5_top_n``'s
+    bounded-merge path (r14): identical rows, but the TakeOrdered
+    driver merge no longer grows with corpus size × partition count.
+    Vectors must be ``dim``-long; rows with
     null or wrong-length embeddings are excluded (the geometry
     contract — ``q_embedding_validate`` is the gate that counts them).
     """
+    from biodata_pipeline_spark.operators.sampling import md5_top_n
+
     if dim % m:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
     sd = dim // m
@@ -92,12 +118,7 @@ def pq_fit(
         F.col(emb_col).isNotNull() & (F.size(emb_col) == dim)
     ).select(id_col, emb_col)
     if train_sample is not None:
-        base = (
-            base.orderBy(
-                F.md5(F.col(id_col).cast("string")), F.col(id_col)
-            )
-            .limit(train_sample)
-        )
+        base = md5_top_n(base, train_sample, id_col)
     base = base.persist()  # m × (1 seed + iters) passes, bounded rows
     try:
         books = []
@@ -200,8 +221,12 @@ def pq_encode_kernel(
 
     ``centroids`` (with ``cell_col``) fuses the RESIDUAL subtraction
     into the same numpy pass: encode x − centroids[cell] without ever
-    materializing the residual column. IEEE-754 subtraction is exact
-    and deterministic, so the fused path is bit-identical to
+    materializing the residual column. The parity argument is
+    determinism, not exactness: IEEE-754 subtraction is correctly
+    rounded, and both paths perform the identical float64 op on the
+    identical operands, so the results are bit-equal — a different op
+    order or a float32 fast path would NOT preserve this. The fused
+    path is bit-identical to
     ``_minus_centroid`` + encode (pytest-pinned) — it exists because
     the JVM ``zip_with`` subtract is an interpreted HOF that cost a
     residual ``enable_pq`` 5× the raw attach at the 1M rung before the

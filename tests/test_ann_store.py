@@ -866,8 +866,11 @@ def test_describe_reports_store_state(spark, tmp_path):
     d = store.describe(spark)
     assert d["n_live_vectors"] == 97
     assert d["n_pending_tombstones"] == 3
+    sr = d["pq"].pop("structure_ratio")
+    assert sr is None or 0.0 < sr  # measured signal, corpus-dependent
     assert d["pq"] == {
         "m": PQ_M, "k_sub": 16, "subdim": 64 // PQ_M, "residual": False,
+        "recommended_k_sub": 16,  # 97 live rows: far below the byte rung
     }
     store.compact(spark, n_buckets=4)
     d = store.describe(spark)
@@ -1022,6 +1025,250 @@ def test_measured_pq_refine_warns_at_cap_below_target(spark, tmp_path):
             and "max_refine" in str(w.message)
             for w in caught
         )
+
+
+# --- versioned store docs + calibration budget coverage (round 14) --------
+
+
+def test_store_doc_flip_has_no_missing_window(spark, tmp_path):
+    """r13 advice (medium): the doc replace renames a NEW versioned
+    name — at every point in the protocol a committed doc is readable,
+    so a crash can never demote a residual store to the legacy
+    (residual=False) path. Also: highest version wins, superseded
+    versions + legacy files prune after the flip."""
+    import os
+
+    from biodata_pipeline_spark.operators.ann_store import (
+        _read_store_doc,
+        _write_store_doc,
+    )
+
+    p = str(tmp_path / "docstore")
+    os.makedirs(p)
+    assert _read_store_doc(spark, p, "pq_etag") is None
+
+    # legacy unversioned doc reads as version 0
+    with open(f"{p}/pq_etag.json", "w") as f:
+        f.write('{"etag": "legacy", "residual": true}')
+    doc = _read_store_doc(spark, p, "pq_etag")
+    assert doc == {"etag": "legacy", "residual": True}
+
+    # a versioned write supersedes + prunes the legacy file, and the
+    # final name never pre-exists (pure rename, no delete-first window)
+    _write_store_doc(spark, p, "pq_etag", {"etag": "a", "residual": False})
+    assert not os.path.exists(f"{p}/pq_etag.json")
+    assert os.path.exists(f"{p}/pq_etag_v1.json")
+    _write_store_doc(spark, p, "pq_etag", {"etag": "b", "residual": True})
+    assert _read_store_doc(spark, p, "pq_etag")["etag"] == "b"
+    assert not os.path.exists(f"{p}/pq_etag_v1.json")
+
+    # crash-after-rename simulation: two committed versions on disk —
+    # the read takes the highest, never "no doc"
+    with open(f"{p}/pq_etag_v1.json", "w") as f:
+        f.write('{"etag": "stale", "residual": false}')
+    assert _read_store_doc(spark, p, "pq_etag")["etag"] == "b"
+    # crash-before-rename simulation: an orphaned tmp is ignored by the
+    # read and swept by the next write
+    with open(f"{p}/pq_etag_v3.json.tmp", "w") as f:
+        f.write("{torn")
+    assert _read_store_doc(spark, p, "pq_etag")["etag"] == "b"
+    _write_store_doc(spark, p, "pq_etag", {"etag": "c", "residual": True})
+    assert _read_store_doc(spark, p, "pq_etag")["etag"] == "c"
+    assert not os.path.exists(f"{p}/pq_etag_v3.json.tmp")
+    assert not os.path.exists(f"{p}/pq_etag_v1.json")
+
+
+def test_calibrate_budget_covers_request(spark, tmp_path):
+    """r13 advice: a stored record only serves requests within its
+    measurement budget — a larger max_sample or max_refine re-measures
+    instead of silently inheriting a possibly-cap-limited record."""
+    store = _pq_store(spark, tmp_path, name="ivf_cal_budget")
+    q = _queries(spark, n=8)
+    first = store.calibrate(
+        spark, q, target_recall=0.9, k=5, max_sample=8, max_refine=8
+    )
+    assert first["reused"] is False
+    assert first["max_sample"] == 8 and first["max_refine"] == 8
+
+    # smaller-or-equal budget: covered, served from the stored record
+    assert store.calibrate(
+        spark, q, 0.9, k=5, max_sample=4, max_refine=8
+    )["reused"] is True
+    # larger sample: not covered -> re-measure
+    bigger = store.calibrate(
+        spark, q, 0.9, k=5, max_sample=16, max_refine=8
+    )
+    assert bigger["reused"] is False
+    assert bigger["max_sample"] == 16
+    # larger refine cap: not covered -> re-measure
+    assert store.calibrate(
+        spark, q, 0.9, k=5, max_sample=16, max_refine=64
+    )["reused"] is False
+
+
+def test_calibrate_reuse_rewarns_below_target(spark, tmp_path):
+    """A reused record measured at a cap BELOW target re-raises the
+    RuntimeWarning — the shortfall is visible in every process, not
+    just the one that first measured it."""
+    import warnings as _warnings
+
+    store = _pq_store(spark, tmp_path, name="ivf_cal_rewarn")
+    q = _queries(spark, n=4)
+    with _warnings.catch_warnings(record=True):
+        _warnings.simplefilter("always")
+        first = store.calibrate(
+            spark, q, target_recall=1.0, k=10, max_sample=4, max_refine=1
+        )
+    assert first["reused"] is False
+    if first["refine_recall"] is not None and first["refine_recall"] < 1.0:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            again = VectorIndexStore(store.path).calibrate(
+                spark, q, target_recall=1.0, k=10,
+                max_sample=4, max_refine=1,
+            )
+        assert again["reused"] is True
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "below the 1.0 target" in str(w.message)
+            for w in caught
+        )
+
+
+def test_describe_snapshot_contract_uncalibrated(spark, tmp_path):
+    """r13 advice: 'calibration_stale' is always present — None on an
+    uncalibrated store, a bool once a record exists."""
+    store = VectorIndexStore(str(tmp_path / "ivf_desc_uncal"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 60), k=4, iters=1)
+    d = store.describe(spark)
+    assert d["calibration"] is None
+    assert d["calibration_stale"] is None
+    store.calibrate(spark, _queries(spark, n=4), target_recall=0.5, k=3)
+    d = store.describe(spark)
+    assert d["calibration"] is not None
+    assert d["calibration_stale"] is False
+
+
+# --- size-aware k_sub default (round 14) ----------------------------------
+
+
+def test_recommended_k_sub_thresholds():
+    """The size-aware rule: byte codes (256) at and above the measured
+    rung, the 4-bit declared-family default below it."""
+    from biodata_pipeline_spark.operators.pq import (
+        KSUB_BYTE_CODE_ROWS,
+        PQ_KSUB,
+        recommended_k_sub,
+    )
+
+    assert recommended_k_sub(10) == PQ_KSUB
+    assert recommended_k_sub(KSUB_BYTE_CODE_ROWS - 1) == PQ_KSUB
+    assert recommended_k_sub(KSUB_BYTE_CODE_ROWS) == 256
+    assert recommended_k_sub(10 * KSUB_BYTE_CODE_ROWS) == 256
+
+
+def test_enable_pq_size_aware_ksub_default(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #2: enable_pq(k_sub=None) consults the size-aware
+    recommendation, the chosen representation persists across reopen
+    (k_sub is a property of the stored books), and an explicit k_sub
+    always wins. The recommendation is monkeypatched small so the test
+    exercises the plumbing, not a 256-codeword fit."""
+    import biodata_pipeline_spark.operators.ann_store as mod
+
+    store = VectorIndexStore(str(tmp_path / "ivf_ksub"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 120), k=4, iters=1)
+    monkeypatch.setattr(mod, "recommended_k_sub", lambda n: 8)
+    store.enable_pq(spark)  # k_sub=None -> recommendation
+    assert len(store._pq_books(spark)[0]) == 8
+    # reopen: the representation is the books', no ambient state
+    reopened = VectorIndexStore(store.path)
+    assert len(reopened._pq_books(spark)[0]) == 8
+    assert reopened.describe(spark)["pq"]["k_sub"] == 8
+    # explicit k_sub overrides the recommendation
+    store.enable_pq(spark, k_sub=4)
+    assert len(VectorIndexStore(store.path)._pq_books(spark)[0]) == 4
+
+
+# --- measured structure signal for the residual decision (round 14) -------
+
+
+def _clustered_vecs(spark, n=240, dim=8, k=4):
+    """k tight deterministic clusters: center c = unit-ish vector from
+    the cluster index, each member = center + a tiny id-dependent
+    offset. No RNG — the offsets are fixed rational functions of id."""
+    rows = []
+    for i in range(n):
+        c = i % k
+        center = [(1.0 if d == 2 * c else 0.2 * ((c + d) % 3)) for d in range(dim)]
+        off = [((i * (d + 3)) % 7 - 3) * 0.004 for d in range(dim)]
+        rows.append((i, [center[d] + off[d] for d in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _uniformish_vecs(spark, n=240, dim=8):
+    """Structure-free corpus: every coordinate an independent md5-based
+    uniform draw (deterministic, no RNG) — no cluster geometry for the
+    coarse cells to absorb."""
+    import hashlib
+
+    def u(i, d):
+        h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+        return h / float(1 << 31) - 1.0
+
+    rows = [
+        (i, [u(i, d) for d in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_structure_ratio_separates_clustered_from_uniform(spark, tmp_path):
+    """VERDICT r13 #3: the residual operating rule's signal is now
+    measured at fit time. A clustered corpus (residual's win case)
+    reads ≪ 1; a structure-free corpus reads ≈ 1 — on the
+    STRUCTURE_PARITY_RATIO side that triggers the warning. Persisted in
+    the pq_etag doc and surfaced by describe() on reopen."""
+    import warnings as _warnings
+
+    from biodata_pipeline_spark.operators.ann_store import (
+        STRUCTURE_PARITY_RATIO,
+    )
+
+    cl = VectorIndexStore(str(tmp_path / "ivf_clustered"))
+    cl.build(_clustered_vecs(spark), k=4, iters=2)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        cl.enable_pq(spark, m=2, k_sub=4, residual=True)
+    assert not any(
+        "structure-free" in str(w.message) for w in caught
+    ), "clustered corpus must not warn"
+    d = VectorIndexStore(cl.path).describe(spark)
+    assert d["pq"]["structure_ratio"] is not None
+    assert d["pq"]["structure_ratio"] < 0.5
+
+    un = VectorIndexStore(str(tmp_path / "ivf_uniform"))
+    un.build(_uniformish_vecs(spark), k=4, iters=2)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        un.enable_pq(spark, m=2, k_sub=4, residual=True)
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "structure-free" in str(w.message)
+        for w in caught
+    ), "structure-free corpus must warn on residual=True"
+    d = VectorIndexStore(un.path).describe(spark)
+    assert d["pq"]["structure_ratio"] >= STRUCTURE_PARITY_RATIO
+
+    # raw enable measures + persists the signal too, without warning
+    raw = VectorIndexStore(str(tmp_path / "ivf_uniform_raw"))
+    raw.build(_uniformish_vecs(spark), k=4, iters=2)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        raw.enable_pq(spark, m=2, k_sub=4)
+    assert not any("structure-free" in str(w.message) for w in caught)
+    assert (
+        VectorIndexStore(raw.path).describe(spark)["pq"]["structure_ratio"]
+        >= STRUCTURE_PARITY_RATIO
+    )
 
 
 # --- residual IVF-PQ at the store level (round 13) ------------------------

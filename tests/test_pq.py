@@ -335,8 +335,9 @@ def test_residual_topk_contract_and_refine(emb, queries, residual_state):
 def test_fused_residual_encode_bit_identical(emb, residual_state):
     """pq_encode_kernel(centroids=...) fuses the residual subtraction
     into the numpy pass — codes must equal the materialized
-    _minus_centroid + encode route exactly (IEEE subtraction is exact,
-    so 'decision-identical' here is full equality)."""
+    _minus_centroid + encode route exactly (both paths perform the
+    identical correctly-rounded float64 subtraction on the identical
+    operands, so 'decision-identical' here is full equality)."""
     from biodata_pipeline_spark.operators.kmeans import (
         assign_clusters_kernel,
     )
