@@ -138,6 +138,12 @@ HEADLINE = [
     "q_pq_train_error",           # 0.6 s — per-subspace quantization error
     "q_pq_residual_adc",          # r13 — residual-ADC top-10 (+cell fit)
     "q_pq_residual_audit",        # r13 — residual vs exact recall, 2 variants
+    # round 14 additions (the >1 s policy): the SQ8 scalar-quantization
+    # family. The one-scan min/max fit is memoized per (session,
+    # sf_dir) like the PQ books — only the first q_sq8_* key pays it:
+    "q_sq8_codes",                # 0.4 s (+fit) — affine byte encode kernel
+    "q_sq8_topk",                 # 1.2 s — reconstruction-cosine top-10
+    "q_sq8_recall_audit",         # 4.4 s — SQ8 vs exact recall, 2 variants
 ]
 
 

@@ -64,89 +64,88 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1). Round-13
-# rotation, computed from the CORRECTNESS_r01-r12 union (max driver
-# round per key; after r12 the latest rows are 29×r10, 50×r11, 50×r12):
-#   1-2:   the round-13 residual-IVF-PQ pair — never driver-checked
-#          (new this round, the standing never-checked-first rule);
-#   3-7:   the five r12 product-quantization queries: checked r12, but the
-#          round-13 PQ default change (m 4→16, refine 4→8 — VERDICT r12
-#          "what's wrong" #1 / next-round #2) changes their output, so
-#          the changed-code-first rule puts them back at the head;
-#   8-11:  the four banding-rewire consumers (VERDICT r12 #1): the
-#          Arrow XXH64 banding kernel rerouted every MinHash consumer
-#          (dedup.py) in r12 AFTER these keys' last driver rows (r10) —
-#          the bit-parity pytests predict green, the driver row proves
-#          it on current code;
-#   12-36: the remaining 25 r10-checked keys — the approximate /
-#          sampling / scrub / temporal tail;
-#   37-50: 14 of the 50 r11-checked keys: the dedup/LSH audit family
-#          first (their last rows also predate the r12 banding kernel),
-#          then the oldest relational scans q01-q04; the other 36
-#          r11-checked rotate in next round.
-# Outside the window this round: those 34 r11-checked and the 45
-# r12-checked — every one has a green driver row within the last two
-# rounds and all are locally re-verified by tools/check_oracle.py on
-# current code each round. After this round no key's latest driver row
-# is older than r11.
+# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1 / r13 #1).
+# Round-14 rotation, computed from the CORRECTNESS_r01-r13 union (max
+# driver round per key; after r13 the latest rows are 36×r11, 45×r12,
+# 50×r13):
+#   1-3:   the round-14 SQ8 scalar-quantization family — never
+#          driver-checked (new this round, the standing
+#          never-checked-first rule);
+#   4-11:  changed-code-first: round 14 moved the training-sample
+#          selection in pq_fit / enable_pq onto md5_top_n's
+#          bounded-merge path (row-identical, parity-pytest-pinned —
+#          the driver row proves it on current code), so the five PQ
+#          queries + the residual pair rotate back despite their green
+#          r13 rows; q_ivf_cell_assign rides the same rule for the
+#          ann_store.py edits (size-aware k_sub, structure signal,
+#          versioned docs);
+#   12-47: ALL 36 r11-checked keys (VERDICT r13 #1's full list) — the
+#          relational core q05-q08/q10/q12-q15/q17-q23/q27/q30, the
+#          BM25/RRF family, the tokenizer statistics, and the
+#          text-quality/snapshot families;
+#   48-50: the three oldest vector-family r12 keys (q24, q_ivf_ann,
+#          q_kmeans_clusters) — thematically nearest the round's
+#          changed code.
+# Outside the window this round: the remaining 42 r12-checked and the
+# 50 r13-checked — every one has a green driver row within the last
+# two rounds and all are locally re-verifiable by tools/check_oracle.py
+# on current code. After this round no key's latest driver row is
+# older than r12.
 _DRIVER_WINDOW = [
-    # -- block 0a: the round-13 residual-IVF-PQ pair — NEVER
-    #    driver-checked (new this round, the standing
-    #    never-checked-first rule)
-    "q_pq_residual_adc",
-    "q_pq_residual_audit",
-    # -- block 0b: PQ family — defaults changed this round (m 16/refine 8)
+    # -- block 0: the round-14 SQ8 family — NEVER driver-checked --------
+    "q_sq8_codes",
+    "q_sq8_topk",
+    "q_sq8_recall_audit",
+    # -- block 1: changed-code-first — pq.py / ann_store.py edits --------
     "q_pq_codes",
     "q_pq_adc_topk",
     "q_pq_ann_refined",
     "q_pq_recall_audit",
     "q_pq_train_error",
-    # -- block 1: banding-rewire consumers, last checked r10 -------------
-    "q_leakage_recall_audit",
-    "q_lsh_similarity_join",
-    "q_minhash_lsh_dedup",
-    "q_split_leakage_lsh",
-    # -- block 2: the remaining 25 r10-checked, registry-family order ----
-    "q21d_approx_percentiles",
-    "q35b_cascade_hourly",
-    "q36_sliding_window",
-    "q37_session_window",
-    "q_approx_count_distinct",
-    "q_bpe_encode_pinned",
-    "q_bpe_pack_ids",
-    "q_bpe_step_argmax",
-    "q_cms_heavy_hitters",
-    "q_embed_quantize",
-    "q_embedding_stats",
-    "q_embedding_validate",
-    "q_fingerprint",
-    "q_group_weighted_sample",
-    "q_hash_sample",
-    "q_lang_guess",
-    "q_media_frame_sample",
-    "q_ntile_distribution",
-    "q_passage_scrub",
-    "q_percentile_accuracy_audit",
-    "q_pii_scrub",
-    "q_pivot_priority_matrix",
-    "q_simhash_dedup",
-    "q_sql_region_revenue",
-    "q_upsert_latest",
-    # -- block 3: 14 r11-checked — dedup/LSH audit family, then q01-q04 --
-    "q_lsh_recall_audit",
-    "q_lsh_pair_recall_audit",
-    "q_simhash_recall_audit",
-    "q_split_leakage",
-    "q_dedup_cc_audit",
-    "q_dedup_survivors_best",
-    "q_dup_source_matrix",
-    "q_line_dedup_scrub",
-    "q_ann_bucket_recall",
-    "q_ngram_jaccard_dedup",
-    "q01_text_scan_blank_filter",
-    "q02_delimited_comment_filter",
-    "q03_prompt_template_projection",
-    "q04_alpaca_projection",
+    "q_pq_residual_adc",
+    "q_pq_residual_audit",
+    "q_ivf_cell_assign",
+    # -- block 2: the 36 r11-checked keys (VERDICT r13 #1) ---------------
+    "q05_suffix_marker_predicate",
+    "q06_regex_suffix_strip",
+    "q07_word_boundary_match",
+    "q08_comment_prefix_filter",
+    "q09b_exact_dedup_text",
+    "q10_broadcast_dim_join",
+    "q12_semi_join",
+    "q13_anti_join_manifest",
+    "q14_cross_join_grid",
+    "q14b_sweep_grid_literal",
+    "q15_range_join_price_bands",
+    "q17_left_outer_sentinel",
+    "q18_global_avg",
+    "q19_avg_of_group_min",
+    "q20_grouped_count_distinct",
+    "q21b_salted_pricing",
+    "q21c_percentiles",
+    "q22_length_bucket_group",
+    "q23_rollup_revenue",
+    "q27_row_number_rank",
+    "q30_orderby_limit_topk",
+    "q_bm25_multi_topk",
+    "q_bm25_topk",
+    "q_bpe_merge_pairs",
+    "q_bpe_token_count",
+    "q_bpe_train_merges",
+    "q_chunk_documents",
+    "q_corpus_diff",
+    "q_edit_severity",
+    "q_hybrid_rrf",
+    "q_quality_percentile_filter",
+    "q_quality_score",
+    "q_repetition_stats",
+    "q_salted_join_parity",
+    "q_token_stats",
+    "q_word_freq_topk",
+    # -- block 3: oldest r12 vector-family keys (window fill) ------------
+    "q24_cosine_topk",
+    "q_ivf_ann",
+    "q_kmeans_clusters",
 ]
 
 DRIVER_WINDOW_SIZE = 50

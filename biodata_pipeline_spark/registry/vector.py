@@ -738,6 +738,134 @@ def q_pq_residual_audit(spark, sf_dir):
     )
 
 
+# --- scalar quantization, SQ8 (operators/sq.py, round 14) -------------------
+# The byte-per-dimension point on the compression curve: 4× smaller than
+# float32 with near-exact recall, no Lloyd chains to train — so unlike
+# the PQ family the oracle replays the FULL 8-bit production resolution
+# (min/max fit + affine codes + midpoint reconstruction are plain ANSI
+# SQL), and the declared family IS the production operating point.
+
+SQ_CODES_MAX_VEC = 200  # bounded exploded-code output (200 × 64 rows)
+SQ_REFINE = 2           # audit's refined arm rescores top 2·k exactly
+
+_SQ_BOUNDS_MEMO: dict = {}
+
+
+def _sq_bounds_for(spark, sf_dir):
+    """Per-dim [min,max] bounds, memoized per (applicationId, sf_dir)
+    like _PQ_BOOKS_MEMO — one corpus scan, deterministic (min/max are
+    selections: no fold-order hazard), 2×dim floats on the driver."""
+    from biodata_pipeline_spark.operators.sq import sq_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SQ_BOUNDS_MEMO:
+        _SQ_BOUNDS_MEMO[key] = sq_fit(
+            _pq_corpus(spark, sf_dir), dim=EMB_DIM
+        )
+    return _SQ_BOUNDS_MEMO[key]
+
+
+def q_sq8_codes(spark, sf_dir):
+    """SQ8 byte codes for the first 200 vectors, one row per (vector,
+    dimension): each coordinate affinely mapped to [0,255] against
+    per-dimension corpus min/max — FAISS IndexScalarQuantizer(QT_8bit)'s
+    representation, fit in ONE scan (vs PQ's m Lloyd chains). The hash
+    check replays fit + encode in DuckDB at full 8-bit resolution —
+    including the floor/clamp boundary behavior (x = max codes 255, a
+    degenerate dimension codes 0)."""
+    from biodata_pipeline_spark.operators.sq import sq_encode_kernel
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        bounds = _sq_bounds_for(spark, sf_dir)
+        codes = sq_encode_kernel(
+            emb.filter(F.col("vec_id") < SQ_CODES_MAX_VEC), bounds
+        )
+        return codes.select(
+            "vec_id", F.posexplode("sq_codes").alias("dim_i", "code")
+        )
+
+    return _empty_fallback(
+        spark, build, "vec_id long, dim_i int, code int"
+    )
+
+
+def q_sq8_topk(spark, sf_dir):
+    """Asymmetric top-10 for the first 5 queries over byte-coded
+    candidates: exact query against the midpoint reconstruction
+    ``mn + (code + ½)·(mx − mn)/256`` — q24_cosine_topk at a quarter of
+    the candidate I/O; sim is the reconstruction cosine (9dp, id
+    tie-break)."""
+    from biodata_pipeline_spark.operators.sq import (
+        sq_encode_kernel,
+        sq_topk,
+    )
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        bounds = _sq_bounds_for(spark, sf_dir)
+        codes = sq_encode_kernel(emb, bounds)
+        return sq_topk(
+            _pq_queries(emb, PQ_QUERIES_N), codes, bounds, PQ_TOPK,
+            use_kernel=True,
+        )
+
+    return _empty_fallback(
+        spark, build, "query_id long, vec_id long, rank int, sim double"
+    )
+
+
+def q_sq8_recall_audit(spark, sf_dir):
+    """Measured recall@10 of the SQ8 paths vs exact cosine over the
+    100-query audit sample — the honesty row for the byte
+    representation (the PQ-audit discipline), per variant: codes-only
+    reconstruction vs exact-refined top 2·k. 8 bits/dim is the
+    near-exact end of the compression curve; this query records how
+    near, on THIS corpus, hash-checked (every path is deterministic —
+    no rows-only quarantine needed, unlike MinHash/SimHash)."""
+    from biodata_pipeline_spark.operators.sq import (
+        sq_encode_kernel,
+        sq_topk,
+    )
+
+    emb = _pq_corpus(spark, sf_dir)
+
+    def build():
+        bounds = _sq_bounds_for(spark, sf_dir)
+        codes = sq_encode_kernel(emb, bounds)
+        queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
+        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
+            "query_id", "vec_id"
+        ).localCheckpoint()  # reused by both variants + the denominator
+        n_truth = exact.count()
+        out = []
+        for variant, kwargs in (
+            ("sq8", {}),
+            ("refined", {"refine": SQ_REFINE, "vectors": emb}),
+        ):
+            got = sq_topk(
+                queries, codes, bounds, PQ_TOPK, use_kernel=True, **kwargs
+            ).select("query_id", "vec_id")
+            out.append(
+                exact.join(F.broadcast(got), ["query_id", "vec_id"])
+                .agg(F.count("*").alias("n_hits"))
+                .select(
+                    F.lit(variant).alias("variant"),
+                    "n_hits",
+                    F.round(F.col("n_hits") / F.lit(n_truth), 4).alias(
+                        "recall"
+                    ),
+                )
+            )
+        return out[0].unionByName(out[1])
+
+    return _empty_fallback(
+        spark, build, "variant string, n_hits long, recall double"
+    )
+
+
 def q_embedding_validate(spark, sf_dir):
     """Embedding ingest gate census: classify every vector into its
     defect class — null / wrong_dim / null_element / non_finite /
@@ -808,6 +936,9 @@ SPARK = {
     "q_pq_train_error": q_pq_train_error,
     "q_pq_residual_adc": q_pq_residual_adc,
     "q_pq_residual_audit": q_pq_residual_audit,
+    "q_sq8_codes": q_sq8_codes,
+    "q_sq8_topk": q_sq8_topk,
+    "q_sq8_recall_audit": q_sq8_recall_audit,
 }
 
 # Dot products and norms are computed with list_sum over an in-order
@@ -1294,6 +1425,57 @@ _RPQ_ADC = f"""
         )"""
 
 
+# --- SQ8 oracle fragments (round 14) ----------------------------------------
+# Unlike the PQ chains there is nothing iterative to replay: fit is a
+# per-dimension min/max GROUP BY, codes are a floor of the identical
+# float64 affine map, reconstruction a plain expression — the oracle
+# runs the FULL 8-bit production resolution.
+
+_SQ_MM = """
+        sqmm AS (
+            SELECT d.i AS i,
+                   min(CAST(v.embedding[d.i] AS DOUBLE)) AS mn,
+                   max(CAST(v.embedding[d.i] AS DOUBLE)) AS mx
+            FROM vecs v, generate_series(1, 64) AS d(i)
+            GROUP BY d.i
+        )"""
+
+
+def _sq_codes_sql(max_vec: int | None = None) -> str:
+    """Byte codes per (vector, dimension): clamp BEFORE the int cast —
+    textually the Spark expression tree (sq_encode's comment)."""
+    where = f"WHERE v.vec_id < {max_vec}" if max_vec is not None else ""
+    return f"""
+        sqcodes AS (
+            SELECT v.vec_id, m.i,
+                   CASE WHEN m.mx = m.mn THEN 0
+                        ELSE CAST(least(255, greatest(0,
+                             floor((CAST(v.embedding[m.i] AS DOUBLE) - m.mn)
+                                   * 256.0 / (m.mx - m.mn)))) AS INTEGER)
+                   END AS code,
+                   m.mn AS mn, (m.mx - m.mn) AS rg
+            FROM vecs v JOIN sqmm m ON TRUE
+            {where}
+        )"""
+
+
+# midpoint reconstruction, reassembled in dimension order; the column
+# is named `embedding` so _PQ_EXACT_SIM / _PQ_REX score it unchanged
+_SQ_RECON = """
+        sqrecon AS (
+            SELECT vec_id,
+                   list(mn + (code + 0.5) * rg / 256.0 ORDER BY i)
+                       AS embedding
+            FROM sqcodes GROUP BY vec_id
+        )"""
+
+_SQ_SIMS = f"""
+        sqs AS (
+            SELECT q.query_id, v.vec_id, {_PQ_EXACT_SIM} AS sim
+            FROM qn q CROSS JOIN sqrecon v
+        )"""
+
+
 ORACLE = {
     "q_embedding_validate": f"""
         WITH planted AS (
@@ -1686,6 +1868,48 @@ ORACLE = {
                round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
                    AS recall
         FROM ex10 JOIN adc10 USING (query_id, vec_id)
+        UNION ALL
+        SELECT 'refined' AS variant, count(*) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
+                   AS recall
+        FROM ex10 JOIN ref10 USING (query_id, vec_id)
+    """,
+    "q_sq8_codes": f"""
+        WITH {_PQ_VECS},
+        {_SQ_MM},
+        {_sq_codes_sql(SQ_CODES_MAX_VEC)}
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_i, code
+        FROM sqcodes
+    """,
+    "q_sq8_topk": f"""
+        WITH {_PQ_VECS},
+        {_SQ_MM},
+        {_sq_codes_sql()},
+        {_SQ_RECON},
+        {_pq_qn_sql(5)},
+        {_SQ_SIMS},
+        {_pq_ranked_sql('sqs')}
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, sim
+        FROM ranked WHERE rank <= 10
+    """,
+    "q_sq8_recall_audit": f"""
+        WITH {_PQ_VECS},
+        {_SQ_MM},
+        {_sq_codes_sql()},
+        {_SQ_RECON},
+        {_pq_qn_sql(100)},
+        {_SQ_SIMS},
+        {_pq_top_sql('sq10', 'sqs', 10)},
+        {_pq_top_sql('cand', 'sqs', SQ_REFINE * PQ_TOPK)},
+        {_PQ_REX},
+        {_pq_top_sql('ref10', 'rex', 10)},
+        {_PQ_EX},
+        {_pq_top_sql('ex10', 'ex', 10)},
+        truth AS (SELECT count(*) AS n FROM ex10)
+        SELECT 'sq8' AS variant, count(*) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
+                   AS recall
+        FROM ex10 JOIN sq10 USING (query_id, vec_id)
         UNION ALL
         SELECT 'refined' AS variant, count(*) AS n_hits,
                round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
