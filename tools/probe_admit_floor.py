@@ -23,8 +23,15 @@ disproportionately it is the next kernel/plan candidate; if the spread
 is flat, the floor is structural (index-scan latency) and gets
 recorded as closed.
 
-Usage: python tools/probe_admit_floor.py [n_docs]   (default 1000000)
+Usage: python tools/probe_admit_floor.py [n_docs] [--batch B]
+       (default index 1000000 docs, batch 10000)
        artifacts under .probe_admit_floor/
+
+``--batch B`` is the round-14 amortization arm (VERDICT r13 #6): the
+r13 close argued the ~58% job-barrier residue amortizes with batch
+size; running the SAME decomposition at B=50000 against the 1M index
+converts that argument into a measurement (barrier count flat ⇒
+per-doc cost falls ~5×, or a surprise worth knowing).
 """
 
 from __future__ import annotations
@@ -159,7 +166,14 @@ def staged_admit(spark, batch, index_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    args = sys.argv[1:]
+    batch_n = 10_000
+    if "--batch" in args:
+        i = args.index("--batch")
+        batch_n = int(args[i + 1])
+        del args[i:i + 2]
+    n = int(args[0]) if args else 1_000_000
+    half = batch_n // 2
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     spark = get_spark("probe-admit-floor")
     idx = os.path.join(WORK_DIR, "index")
@@ -176,20 +190,24 @@ def main() -> None:
     # untimed warm-up (r12 discipline: the first touch of a fresh 1M
     # store pays Arrow spin-up + JIT warm-up that is not the floor)
     incremental_near_dup_filter(
-        probe_batch(spark, 9), idx, THRESHOLD, batch_id="warmup"
+        probe_batch(spark, 9, n_twins=half, n_novel=half),
+        idx, THRESHOLD, batch_id="warmup"
     )
 
     full_walls = []
     for tag in (1, 2):
         t0 = time.time()
         kept, rep = incremental_near_dup_filter(
-            probe_batch(spark, tag), idx, THRESHOLD, batch_id=f"full{tag}"
+            probe_batch(spark, tag, n_twins=half, n_novel=half),
+            idx, THRESHOLD, batch_id=f"full{tag}"
         )
         kept.count(), rep.count()
         full_walls.append(round(time.time() - t0, 2))
 
     staged = [
-        staged_admit(spark, probe_batch(spark, 4 + i), idx) for i in range(2)
+        staged_admit(spark, probe_batch(spark, 4 + i, n_twins=half,
+                                        n_novel=half), idx)
+        for i in range(2)
     ]
 
     stage_keys = ("signature", "banding", "cand_join", "verify", "batch_self")
@@ -199,6 +217,7 @@ def main() -> None:
             {
                 "probe": "admit_floor",
                 "n_docs_index": n,
+                "batch_docs": batch_n,
                 "enroll_secs": enroll_secs,
                 "full_admit_walls": full_walls,
                 "staged_runs": staged,

@@ -76,7 +76,10 @@ def probe_batch(spark, tag: int, n_twins: int = 5_000, n_novel: int = 5_000):
     twins = synth_docs(
         spark, n_twins,
         doc_base=100_000_000 + tag * 1_000_000,
-        content_base=tag * 10_000,
+        # content spacing scales with the batch so oversized batches
+        # (probe_admit_floor --batch, r14) keep tag ranges disjoint;
+        # identical to the old tag*10_000 at the default shape
+        content_base=tag * max(10_000, 2 * n_twins),
         suffix=" tailword",
     )
     novel = synth_docs(
