@@ -144,6 +144,11 @@ HEADLINE = [
     "q_sq8_codes",                # 0.4 s (+fit) — affine byte encode kernel
     "q_sq8_topk",                 # 1.2 s — reconstruction-cosine top-10
     "q_sq8_recall_audit",         # 4.4 s — SQ8 vs exact recall, 2 variants
+    # the BQ1 binary-quantization family (median fit memoized the same
+    # way — only the first q_bq_* key pays its ranked scan):
+    "q_bq_codes",                 # 0.6 s (+fit) — packed-word encode kernel
+    "q_bq_hamming_topk",          # 0.8 s — integer xor/popcount top-10
+    "q_bq_recall_audit",          # 3.5 s — BQ1 vs exact recall, 2 variants
 ]
 
 

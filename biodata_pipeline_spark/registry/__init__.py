@@ -68,10 +68,10 @@ _ALL_ORACLE = {
 # Round-14 rotation, computed from the CORRECTNESS_r01-r13 union (max
 # driver round per key; after r13 the latest rows are 36×r11, 45×r12,
 # 50×r13):
-#   1-3:   the round-14 SQ8 scalar-quantization family — never
-#          driver-checked (new this round, the standing
-#          never-checked-first rule);
-#   4-11:  changed-code-first: round 14 moved the training-sample
+#   1-6:   the round-14 SQ8 scalar-quantization and BQ1 binary-
+#          quantization families — never driver-checked (new this
+#          round, the standing never-checked-first rule);
+#   7-14:  changed-code-first: round 14 moved the training-sample
 #          selection in pq_fit / enable_pq onto md5_top_n's
 #          bounded-merge path (row-identical, parity-pytest-pinned —
 #          the driver row proves it on current code), so the five PQ
@@ -79,23 +79,23 @@ _ALL_ORACLE = {
 #          r13 rows; q_ivf_cell_assign rides the same rule for the
 #          ann_store.py edits (size-aware k_sub, structure signal,
 #          versioned docs);
-#   12-47: ALL 36 r11-checked keys (VERDICT r13 #1's full list) — the
+#   15-50: ALL 36 r11-checked keys (VERDICT r13 #1's full list) — the
 #          relational core q05-q08/q10/q12-q15/q17-q23/q27/q30, the
 #          BM25/RRF family, the tokenizer statistics, and the
-#          text-quality/snapshot families;
-#   48-50: the three oldest vector-family r12 keys (q24, q_ivf_ann,
-#          q_kmeans_clusters) — thematically nearest the round's
-#          changed code.
-# Outside the window this round: the remaining 42 r12-checked and the
-# 50 r13-checked — every one has a green driver row within the last
+#          text-quality/snapshot families.
+# Outside the window this round: the 45 r12-checked and the 50
+# r13-checked — every one has a green driver row within the last
 # two rounds and all are locally re-verifiable by tools/check_oracle.py
 # on current code. After this round no key's latest driver row is
 # older than r12.
 _DRIVER_WINDOW = [
-    # -- block 0: the round-14 SQ8 family — NEVER driver-checked --------
+    # -- block 0: the round-14 SQ8 + BQ1 families — NEVER driver-checked -
     "q_sq8_codes",
     "q_sq8_topk",
     "q_sq8_recall_audit",
+    "q_bq_codes",
+    "q_bq_hamming_topk",
+    "q_bq_recall_audit",
     # -- block 1: changed-code-first — pq.py / ann_store.py edits --------
     "q_pq_codes",
     "q_pq_adc_topk",
@@ -142,10 +142,6 @@ _DRIVER_WINDOW = [
     "q_salted_join_parity",
     "q_token_stats",
     "q_word_freq_topk",
-    # -- block 3: oldest r12 vector-family keys (window fill) ------------
-    "q24_cosine_topk",
-    "q_ivf_ann",
-    "q_kmeans_clusters",
 ]
 
 DRIVER_WINDOW_SIZE = 50

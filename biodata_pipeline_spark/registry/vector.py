@@ -866,6 +866,148 @@ def q_sq8_recall_audit(spark, sf_dir):
     )
 
 
+# --- binary quantization, BQ1 (operators/bq.py, round 14) -------------------
+# The 1-bit-per-dimension end of the compression curve: 64-dim vectors
+# pack into two 32-bit words and candidates rank by HAMMING distance —
+# pure integer ops (xor + popcount), the only family in the engine with
+# NO rounding contract at all. The median-threshold fit is a selection
+# (value at position (n+1) div 2 per dimension), so like SQ8 the oracle
+# replays the FULL production resolution — fit, packing, and scoring
+# are all plain ANSI SQL.
+
+BQ_CODES_MAX_VEC = 200  # bounded packed-word output (200 × 2 rows)
+BQ_REFINE = 8           # audit's refined arm rescores top 8·k exactly
+
+_BQ_THR_MEMO: dict = {}
+
+
+def _bq_corpus(spark, sf_dir):
+    """The BQ geometry contract: non-null, full-dim, every element
+    finite — fit, candidates, queries, AND the audit's exact ground
+    truth all draw from this one universe (recall numerators and
+    denominators must share it)."""
+    from biodata_pipeline_spark.operators.bq import bq_valid
+
+    return bq_valid(_pq_corpus(spark, sf_dir), dim=EMB_DIM)
+
+
+def _bq_thr_for(spark, sf_dir):
+    """Per-dim lower-median thresholds, memoized per (applicationId,
+    sf_dir) like _SQ_BOUNDS_MEMO — one ranked scan, deterministic (the
+    median is a selection: no fold-order or interpolation hazard), dim
+    floats on the driver."""
+    from biodata_pipeline_spark.operators.bq import bq_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BQ_THR_MEMO:
+        _BQ_THR_MEMO[key] = bq_fit(
+            _bq_corpus(spark, sf_dir), dim=EMB_DIM
+        )
+    return _BQ_THR_MEMO[key]
+
+
+def q_bq_codes(spark, sf_dir):
+    """Packed binary codes for the first 200 vectors, one row per
+    (vector, 32-bit word): bit_d = x_d > median_d (strict — a value AT
+    the threshold codes 0), packed little-endian into two words — the
+    FAISS IndexBinaryFlat representation at 1/64th of the float64
+    footprint. The hash check replays fit + packing in DuckDB,
+    including the strict-comparison boundary and the exact integer
+    sums of distinct powers of two."""
+    from biodata_pipeline_spark.operators.bq import bq_encode_kernel
+
+    emb = _bq_corpus(spark, sf_dir)
+
+    def build():
+        thr = _bq_thr_for(spark, sf_dir)
+        words = bq_encode_kernel(
+            emb.filter(F.col("vec_id") < BQ_CODES_MAX_VEC), thr
+        )
+        return words.select(
+            "vec_id", F.posexplode("bq_words").alias("word_i", "word")
+        )
+
+    return _empty_fallback(
+        spark, build, "vec_id long, word_i int, word long"
+    )
+
+
+def q_bq_hamming_topk(spark, sf_dir):
+    """Symmetric Hamming top-10 for the first 5 queries over packed
+    binary codes (ascending distance, id tie-break): the candidate
+    scan reads 8 bytes + integer xor/popcount per row — q24's ranking
+    problem at the coarsest, cheapest point on the curve. Output
+    carries the raw integer distance: hash-exact with no rounding
+    contract anywhere in the pipeline."""
+    from biodata_pipeline_spark.operators.bq import (
+        bq_encode_kernel,
+        bq_hamming_topk,
+    )
+
+    emb = _bq_corpus(spark, sf_dir)
+
+    def build():
+        thr = _bq_thr_for(spark, sf_dir)
+        codes = bq_encode_kernel(emb, thr)
+        return bq_hamming_topk(
+            _pq_queries(emb, PQ_QUERIES_N), codes, thr, PQ_TOPK
+        )
+
+    return _empty_fallback(
+        spark, build,
+        "query_id long, vec_id long, rank int, hamming int",
+    )
+
+
+def q_bq_recall_audit(spark, sf_dir):
+    """Measured recall@10 of the BQ1 paths vs exact cosine over the
+    100-query audit sample — the honesty row for the 1-bit
+    representation, per variant: codes-only Hamming ranking vs
+    exact-refined top 8·k. 1 bit/dim is the coarse end of the curve;
+    this query records exactly what that costs on THIS corpus and how
+    much the refine funnel repairs, hash-checked end-to-end (every
+    path is deterministic)."""
+    from biodata_pipeline_spark.operators.bq import (
+        bq_encode_kernel,
+        bq_hamming_topk,
+    )
+
+    emb = _bq_corpus(spark, sf_dir)
+
+    def build():
+        thr = _bq_thr_for(spark, sf_dir)
+        codes = bq_encode_kernel(emb, thr)
+        queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
+        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
+            "query_id", "vec_id"
+        ).localCheckpoint()  # reused by both variants + the denominator
+        n_truth = exact.count()
+        out = []
+        for variant, kwargs in (
+            ("bq1", {}),
+            ("refined", {"refine": BQ_REFINE, "vectors": emb}),
+        ):
+            got = bq_hamming_topk(
+                queries, codes, thr, PQ_TOPK, **kwargs
+            ).select("query_id", "vec_id")
+            out.append(
+                exact.join(F.broadcast(got), ["query_id", "vec_id"])
+                .agg(F.count("*").alias("n_hits"))
+                .select(
+                    F.lit(variant).alias("variant"),
+                    "n_hits",
+                    F.round(F.col("n_hits") / F.lit(n_truth), 4).alias(
+                        "recall"
+                    ),
+                )
+            )
+        return out[0].unionByName(out[1])
+
+    return _empty_fallback(
+        spark, build, "variant string, n_hits long, recall double"
+    )
+
+
 def q_embedding_validate(spark, sf_dir):
     """Embedding ingest gate census: classify every vector into its
     defect class — null / wrong_dim / null_element / non_finite /
@@ -939,6 +1081,9 @@ SPARK = {
     "q_sq8_codes": q_sq8_codes,
     "q_sq8_topk": q_sq8_topk,
     "q_sq8_recall_audit": q_sq8_recall_audit,
+    "q_bq_codes": q_bq_codes,
+    "q_bq_hamming_topk": q_bq_hamming_topk,
+    "q_bq_recall_audit": q_bq_recall_audit,
 }
 
 # Dot products and norms are computed with list_sum over an in-order
@@ -1476,6 +1621,84 @@ _SQ_SIMS = f"""
         )"""
 
 
+# --- BQ1 oracle fragments (round 14) ----------------------------------------
+# Pure integer pipeline past the median fit: the fit is an explicit
+# row_number selection (value at ascending position (n+1) div 2 per
+# dimension — no interpolation formula for two engines to disagree on),
+# packing is exact BIGINT sums of distinct powers of two, scoring is
+# bit_count(xor(...)). vecs here carries the finite filter — BQ's fit,
+# candidates, queries, AND exact ground truth share one universe.
+
+_BQ_VECS = """
+        vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                    x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        )"""
+
+_BQ_MED = """
+        bmedr AS (
+            SELECT d.i AS i, CAST(v.embedding[d.i] AS DOUBLE) AS x,
+                   row_number() OVER (
+                       PARTITION BY d.i
+                       ORDER BY CAST(v.embedding[d.i] AS DOUBLE)) AS rn,
+                   count(*) OVER (PARTITION BY d.i) AS n
+            FROM vecs v, generate_series(1, 64) AS d(i)
+        ),
+        bmed AS (SELECT i, x AS thr FROM bmedr WHERE rn = (n + 1) // 2)"""
+
+# packed words, wide: bit (strict >) shifted to its little-endian lane;
+# sum(BIGINT) is HUGEINT in DuckDB, cast back after
+_BQ_WIDE = """
+        bwide AS (
+            SELECT v.vec_id,
+                   CAST(sum(CASE WHEN m.i <= 32
+                                  AND CAST(v.embedding[m.i] AS DOUBLE)
+                                      > m.thr
+                             THEN CAST(1 AS BIGINT) << (m.i - 1)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w0,
+                   CAST(sum(CASE WHEN m.i > 32
+                                  AND CAST(v.embedding[m.i] AS DOUBLE)
+                                      > m.thr
+                             THEN CAST(1 AS BIGINT) << (m.i - 33)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w1
+            FROM vecs v CROSS JOIN bmed m
+            GROUP BY v.vec_id
+        )"""
+
+
+def _bq_ham_sql(n_queries: int) -> str:
+    """Query-side packed words (the same bwide rows — symmetric
+    encoding) crossed with every candidate: integer Hamming."""
+    return f"""
+        bq AS (
+            SELECT vec_id AS query_id, w0, w1 FROM bwide
+            WHERE vec_id < {n_queries}
+        ),
+        bham AS (
+            SELECT q.query_id, v.vec_id,
+                   CAST(bit_count(xor(q.w0, v.w0))
+                        + bit_count(xor(q.w1, v.w1)) AS INTEGER)
+                       AS hamming
+            FROM bq q CROSS JOIN bwide v
+        )"""
+
+
+def _bq_top_sql(name: str, limit: int) -> str:
+    """Id-only per-query top-``limit`` of bham (hamming ASC, vec_id)."""
+    return f"""
+        {name} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY hamming ASC, vec_id)
+                           AS rk
+                FROM bham
+            ) WHERE rk <= {limit}
+        )"""
+
+
 ORACLE = {
     "q_embedding_validate": f"""
         WITH planted AS (
@@ -1910,6 +2133,54 @@ ORACLE = {
                round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
                    AS recall
         FROM ex10 JOIN sq10 USING (query_id, vec_id)
+        UNION ALL
+        SELECT 'refined' AS variant, count(*) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
+                   AS recall
+        FROM ex10 JOIN ref10 USING (query_id, vec_id)
+    """,
+    "q_bq_codes": f"""
+        WITH {_BQ_VECS},
+        {_BQ_MED},
+        {_BQ_WIDE}
+        SELECT vec_id, CAST(0 AS INTEGER) AS word_i, w0 AS word
+        FROM bwide WHERE vec_id < {BQ_CODES_MAX_VEC}
+        UNION ALL
+        SELECT vec_id, CAST(1 AS INTEGER) AS word_i, w1 AS word
+        FROM bwide WHERE vec_id < {BQ_CODES_MAX_VEC}
+    """,
+    "q_bq_hamming_topk": f"""
+        WITH {_BQ_VECS},
+        {_BQ_MED},
+        {_BQ_WIDE},
+        {_bq_ham_sql(PQ_QUERIES_N)},
+        branked AS (
+            SELECT query_id, vec_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, vec_id)
+                       AS rank
+            FROM bham
+        )
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, hamming
+        FROM branked WHERE rank <= {PQ_TOPK}
+    """,
+    "q_bq_recall_audit": f"""
+        WITH {_BQ_VECS},
+        {_BQ_MED},
+        {_BQ_WIDE},
+        {_bq_ham_sql(PQ_AUDIT_QUERIES)},
+        {_bq_top_sql('bq10', PQ_TOPK)},
+        {_bq_top_sql('cand', BQ_REFINE * PQ_TOPK)},
+        {_pq_qn_sql(PQ_AUDIT_QUERIES)},
+        {_PQ_REX},
+        {_pq_top_sql('ref10', 'rex', PQ_TOPK)},
+        {_PQ_EX},
+        {_pq_top_sql('ex10', 'ex', PQ_TOPK)},
+        truth AS (SELECT count(*) AS n FROM ex10)
+        SELECT 'bq1' AS variant, count(*) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
+                   AS recall
+        FROM ex10 JOIN bq10 USING (query_id, vec_id)
         UNION ALL
         SELECT 'refined' AS variant, count(*) AS n_hits,
                round(CAST(count(*) AS DOUBLE) / (SELECT n FROM truth), 4)
