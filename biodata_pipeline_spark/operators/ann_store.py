@@ -691,6 +691,76 @@ def _score_candidates_sq_kernel(
     )
 
 
+def _score_candidates_bq_kernel(
+    cand: DataFrame, query_id: str, id_col: str, thresholds: dict
+) -> DataFrame:
+    """Arrow BQ1 scoring of (query, candidate-words) rows — the binary
+    probe's scorer (round 14): candidates arrive as dim/32 packed
+    words, the query side packs under the SAME thresholds inside the
+    kernel (symmetric encoding, float comparisons + exact integer
+    packing — bit-parity with bq_encode by construction), and the
+    score is the normalized Hamming similarity ``(dim − h) / dim`` —
+    h and dim are exact integers and dim is a power of two, so the
+    division itself is exact; rounding stays JVM-side (house style).
+    Input rows carry (query_id, id, __qe, __nq, words); output
+    (query_id, id, sim). ``__nq`` rides along unused — Hamming needs
+    no norms — keeping the candidate shape shared with every other
+    scorer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from biodata_pipeline_spark.operators.bq import BQ_WORD_BITS, _pop8
+
+    thr = np.array(thresholds["thr"], dtype=np.float64)
+    dim = len(thr)
+    n_words = dim // BQ_WORD_BITS
+    pow2 = (np.int64(1) << np.arange(BQ_WORD_BITS, dtype=np.int64))
+    pop8 = _pop8()
+    in_fields = {f.name: f for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[query_id],
+            in_fields[id_col],
+            StructField("__sim_raw", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {query_id: pdf[query_id], id_col: pdf[id_col],
+                     "__sim_raw": pd.Series([], dtype="float64")}
+                )
+                continue
+            qe = np.array(pdf["__qe"].tolist(), dtype=np.float64)
+            qbits = (qe > thr).astype(np.int64)
+            qw = np.stack(
+                [
+                    qbits[:, w * BQ_WORD_BITS:(w + 1) * BQ_WORD_BITS] @ pow2
+                    for w in range(n_words)
+                ],
+                axis=1,
+            )
+            vw = np.array(pdf["words"].tolist(), dtype=np.int64)
+            x = np.bitwise_xor(qw, vw)
+            h = pop8[x.view(np.uint8)].reshape(len(pdf), -1).sum(axis=1)
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], id_col: pdf[id_col],
+                 "__sim_raw": (dim - h) / float(dim)}
+            )
+
+    return (
+        cand.select(query_id, id_col, "__qe", "words")
+        .mapInPandas(score, out_schema)
+        .select(
+            query_id, id_col,
+            F.round(F.col("__sim_raw"), SIM_ROUND).alias("sim"),
+        )
+    )
+
+
 def _assign_cells(
     df: DataFrame,
     cents: list[list[float]],
@@ -899,6 +969,28 @@ class VectorIndexStore:
             else:
                 SignatureStore._write_batch(
                     spark, sq_coded, f"{self.path}/sq_codes", batch_id
+                )
+        if self.bq_enabled(spark):
+            # same crash contract again: a missing batch in bq_words/
+            # is a thinner binary index, repaired by replaying the
+            # batch. New data encodes under the FITTED thresholds (a
+            # drifted corpus just biases bits toward one side — re-run
+            # enable_bq to refit when it matters).
+            from biodata_pipeline_spark.operators.bq import (
+                bq_encode_kernel,
+            )
+
+            bq_coded = bq_encode_kernel(
+                assigned, self._bq_thresholds(spark),
+                emb_col="emb", words_col="words",
+            ).select("id", "cell", "words")
+            if batch_id is None:
+                bq_coded.write.mode("append").parquet(
+                    f"{self.path}/bq_words"
+                )
+            else:
+                SignatureStore._write_batch(
+                    spark, bq_coded, f"{self.path}/bq_words", batch_id
                 )
         self._n_rows_cache = None  # index grew: re-count at next query()
         return assigned.count()
@@ -1252,6 +1344,79 @@ class VectorIndexStore:
         _write_store_doc(spark, self.path, "sq_meta", bounds)
         return n
 
+    # -- binary quantization (the 1-bit Hamming probe path, r14) ------------
+    def bq_enabled(self, spark) -> bool:
+        doc = _read_store_doc(spark, self.path, "bq_meta")
+        return doc is not None and not doc.get("disabled")
+
+    def _bq_thresholds(self, spark) -> dict:
+        doc = _read_store_doc(spark, self.path, "bq_meta")
+        if doc is None or doc.get("disabled"):
+            raise ValueError(
+                f"no BQ1 layer at {self.path}: enable_bq() fits the "
+                "thresholds before Hamming scoring can run"
+                + (
+                    " (a prior enable_bq did not complete — re-run it)"
+                    if doc is not None
+                    else ""
+                )
+            )
+        return doc
+
+    def enable_bq(self, spark, train_sample: int | None = 100_000) -> int:
+        """Attach a BQ1 layer (the 1-bit end of the curve — see
+        operators/bq.py): per-dimension lower-median thresholds fit on
+        the bounded md5_top_n training sample (a median is a ranked
+        selection — one per-dimension sort, so unlike SQ8's min/max
+        scan the fit cost is bounded by SAMPLING, the pq_fit
+        discipline; thresholds saturate on ~100k rows exactly as
+        codebooks do), every live vector packed to dim/32 words in
+        ``bq_words/`` (batch semantics identical to ``sq_codes/``),
+        and ``query(scoring="bq1"/"bq1_refine")`` scans 8-byte words
+        with integer xor/popcount — the cheapest candidate scan the
+        store has. ``add`` packs each new batch on enroll under the
+        fitted thresholds; re-running refits and fully re-encodes
+        (idempotent). Coexists with the PQ and SQ8 layers.
+
+        Mutation order: the ``enable_sq8`` disable-first protocol
+        verbatim — the thresholds doc IS the codebook and a disabled
+        ``bq_meta`` is the safe direction, so (1) tombstone the doc,
+        (2) retire old word state, (3) write the fresh encode, (4)
+        flip the doc to the new thresholds LAST. Every crash window is
+        visibly off, never silently wrong."""
+        from biodata_pipeline_spark.operators.bq import (
+            bq_encode_kernel,
+            bq_fit,
+        )
+        from biodata_pipeline_spark.operators.sampling import md5_top_n
+
+        cents = self.centroids(spark)  # raises if the store is missing
+        dim = len(cents[0])
+        parts = _index_component_frames(spark, self.path, "assignments")
+        full = parts[0].select("id", "emb", "cell")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("id", "emb", "cell"))
+        live = self._minus_tombstones(spark, full.dropDuplicates(["id"]))
+        fit_src = (
+            live if train_sample is None
+            else md5_top_n(live, train_sample, "id")
+        )
+        thr = bq_fit(fit_src, id_col="id", emb_col="emb", dim=dim)
+        coded = bq_encode_kernel(
+            live, thr, emb_col="emb", words_col="words"
+        ).select("id", "cell", "words").localCheckpoint()
+        n = coded.count()  # materialized BEFORE any store mutation
+        if _read_store_doc(spark, self.path, "bq_meta") is not None:
+            _write_store_doc(
+                spark, self.path, "bq_meta", {"disabled": True}
+            )
+        self._retire_codes_component(spark, "bq_words")
+        SignatureStore._write_batch(
+            spark, coded, f"{self.path}/bq_words", "bq_enable"
+        )
+        _write_store_doc(spark, self.path, "bq_meta", thr)
+        return n
+
     # -- delete ------------------------------------------------------------
     def remove(self, spark, ids) -> int:
         """Tombstone ``ids`` (a DataFrame carrying ``self.id_col``, or a
@@ -1310,6 +1475,8 @@ class VectorIndexStore:
             parts["pq_codes"] = ["cell"]
         if self.sq_enabled(spark):
             parts["sq_codes"] = ["cell"]
+        if self.bq_enabled(spark):
+            parts["bq_words"] = ["cell"]
         return compact_dedup_index(
             spark, self.path, n_buckets=n_buckets, parts=parts,
         )
@@ -1385,6 +1552,7 @@ class VectorIndexStore:
             "compaction_version": int(meta.get("version", 0)),
             "pq": None,
             "sq8": None,
+            "bq1": None,
             "calibration": None,
             # always present (r13 advice: callers probing staleness on an
             # uncalibrated store hit KeyError when this key was conditional)
@@ -1413,6 +1581,9 @@ class VectorIndexStore:
         if self.sq_enabled(spark):
             b = self._sq_bounds(spark)
             out["sq8"] = {"dim": len(b["vmin"])}
+        if self.bq_enabled(spark):
+            t = self._bq_thresholds(spark)
+            out["bq1"] = {"dim": len(t["thr"])}
         cal = _read_store_doc(spark, self.path, "calibration")
         if cal is not None:
             out["calibration"] = cal
@@ -1619,7 +1790,16 @@ class VectorIndexStore:
          - ``"adc_refine"``: ADC first, then the top ``refine``·k live
            candidates per query re-scored exactly against their stored
            vectors — the standard recall repair; the full-vector read
-           touches refine·k rows per query instead of every candidate.
+           touches refine·k rows per query instead of every candidate;
+         - ``"sq8"`` / ``"sq8_refine"`` (requires ``enable_sq8``):
+           candidates scanned as dim byte codes, scored against the
+           midpoint reconstruction — near-exact recall at ~8× less
+           candidate I/O than float64 rows;
+         - ``"bq1"`` / ``"bq1_refine"`` (requires ``enable_bq``):
+           candidates scanned as dim/32 packed words, ranked by
+           integer Hamming (sim is the normalized ``(dim−h)/dim``) —
+           the cheapest scan; pair with the refine arm, which repairs
+           what 1 bit/dim costs.
 
         ``n_probe=4`` is a throughput default, not a recall promise:
         calibrate with ``measured_n_probe(store, queries, target)`` —
@@ -1629,7 +1809,8 @@ class VectorIndexStore:
         no-measurement heuristic (near-exhaustive at high targets; the
         r10 operating-curve tables are in SCALING.md)."""
         if scoring not in (
-            "exact", "adc", "adc_refine", "sq8", "sq8_refine"
+            "exact", "adc", "adc_refine", "sq8", "sq8_refine",
+            "bq1", "bq1_refine",
         ):
             raise ValueError(f"unknown scoring {scoring!r}")
         if scoring.endswith("_refine") and refine < 1:
@@ -1729,11 +1910,10 @@ class VectorIndexStore:
             if not parts:
                 if part_name == "assignments":
                     raise ValueError(f"no index at {self.path}")
-                layer = (
-                    "SQ8 codes at {p}: enable_sq8() first"
-                    if part_name == "sq_codes"
-                    else "PQ codes at {p}: enable_pq() first"
-                )
+                layer = {
+                    "sq_codes": "SQ8 codes at {p}: enable_sq8() first",
+                    "bq_words": "BQ1 words at {p}: enable_bq() first",
+                }.get(part_name, "PQ codes at {p}: enable_pq() first")
                 raise ValueError("no " + layer.format(p=self.path))
             extra = ["cell"] if keep_cell else []
             cand = None
@@ -1860,6 +2040,22 @@ class VectorIndexStore:
             if scoring == "sq8":
                 return _rank(sqs, k)
             return _exact_refine(sqs)
+
+        if scoring in ("bq1", "bq1_refine"):
+            thr = self._bq_thresholds(spark)
+            bcand = _cand_from(
+                _index_component_frames(spark, self.path, "bq_words"),
+                "bq_words",
+                "words",
+            ).filter(
+                F.col("words").isNotNull()  # defective rows: no words
+            )
+            bqs = _score_candidates_bq_kernel(
+                bcand, query_id, self.id_col, thr
+            )
+            if scoring == "bq1":
+                return _rank(bqs, k)
+            return _exact_refine(bqs)
 
         books = self._pq_books(spark)  # refreshes the residual flag too
         residual = self._pq_cache_residual

@@ -1378,3 +1378,186 @@ def test_calibrate_on_residual_store(spark, tmp_path):
         spark, q, target_recall=0.9, k=5
     )
     assert again["reused"] is True and again["refine"] == first["refine"]
+
+
+# --- SQ8 + BQ1 store layers: the byte and binary probe paths (r14) --------
+
+
+def test_enable_sq8_lifecycle(spark, tmp_path):
+    """Full SQ8 layer lifecycle on the store: enable → byte scoring at
+    exhaustive probe ranks the identical twin first; the refined arm's
+    sims equal the exact path's on shared pairs; add() byte-encodes
+    new batches; remove() masks bytes too; compact folds sq_codes with
+    results identical across the fold; the layer persists across
+    reopen."""
+    store = VectorIndexStore(str(tmp_path / "ivf_sq8"))
+    base = _emb(spark).filter(F.col("vec_id") < 200)
+    store.build(base, k=4, iters=1)
+    q = _queries(spark)
+
+    with pytest.raises(ValueError, match="enable_sq8"):
+        store.query(q, 5, scoring="sq8").collect()
+    n = store.enable_sq8(spark)
+    assert n == 200
+
+    got = store.query(q, 5, n_probe=4, scoring="sq8").collect()
+    top = {r.query_id: r for r in got if r.rank == 1}
+    for qid, r in top.items():
+        assert r.vec_id == qid  # 8-bit reconstruction: twin still first
+
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in store.query(q, 5, n_probe=4, scoring="exact").collect()
+    }
+    refined = store.query(
+        q, 5, n_probe=4, scoring="sq8_refine", refine=4
+    ).collect()
+    for r in refined:
+        if (r.query_id, r.vec_id) in exact:
+            assert r.sim == exact[(r.query_id, r.vec_id)]
+
+    # add: the new batch is byte-encoded on enroll and searchable
+    extra = _emb(spark).filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
+    ).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    store.add(extra, batch_id="b2")
+    q2 = extra.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    got2 = store.query(q2, 1, n_probe=4, scoring="sq8").collect()
+    assert all(r.vec_id == r.query_id for r in got2)
+
+    # remove: a tombstoned id is invisible to the byte path pre-compact
+    victim = got2[0].vec_id
+    store.remove(spark, [victim])
+    after = store.query(q2, 5, n_probe=4, scoring="sq8").collect()
+    assert victim not in {r.vec_id for r in after}
+
+    # compact folds sq_codes; byte results identical across the fold
+    pre = {
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, 5, n_probe=4, scoring="sq8").collect()
+    }
+    store.compact(spark, n_buckets=4)
+    post = {
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, 5, n_probe=4, scoring="sq8").collect()
+    }
+    assert pre == post
+
+    # reopen: the layer is a property of the store, not the process
+    reopened = VectorIndexStore(store.path)
+    assert reopened.sq_enabled(spark)
+    d = reopened.describe(spark)
+    assert d["sq8"] == {"dim": 64}
+    got3 = reopened.query(q, 5, n_probe=4, scoring="sq8").collect()
+    assert {(r.query_id, r.vec_id, r.rank, r.sim) for r in got3} == post
+
+
+def test_enable_bq_lifecycle(spark, tmp_path):
+    """Full BQ1 layer lifecycle: enable → Hamming scoring at exhaustive
+    probe ranks the identical twin first (its distance is 0, sim 1.0);
+    the refined arm's sims equal the exact path's on shared pairs;
+    add()/remove()/compact/reopen behave exactly like the SQ8 layer."""
+    store = VectorIndexStore(str(tmp_path / "ivf_bq1"))
+    base = _emb(spark).filter(F.col("vec_id") < 200)
+    store.build(base, k=4, iters=1)
+    q = _queries(spark)
+
+    with pytest.raises(ValueError, match="enable_bq"):
+        store.query(q, 5, scoring="bq1").collect()
+    n = store.enable_bq(spark)
+    assert n == 200
+
+    got = store.query(q, 5, n_probe=4, scoring="bq1").collect()
+    top = {r.query_id: r for r in got if r.rank == 1}
+    for qid, r in top.items():
+        assert r.sim == pytest.approx(1.0)  # hamming 0 exists (the twin)
+        assert qid in {
+            g.vec_id for g in got
+            if g.query_id == qid and g.sim == pytest.approx(1.0)
+        }
+
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in store.query(q, 5, n_probe=4, scoring="exact").collect()
+    }
+    refined = store.query(
+        q, 5, n_probe=4, scoring="bq1_refine", refine=8
+    ).collect()
+    for r in refined:
+        if (r.query_id, r.vec_id) in exact:
+            assert r.sim == exact[(r.query_id, r.vec_id)]
+
+    # add + remove on the word component
+    extra = _emb(spark).filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
+    ).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    store.add(extra, batch_id="b2")
+    q2 = extra.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    got2 = store.query(q2, 1, n_probe=4, scoring="bq1").collect()
+    assert all(r.sim == pytest.approx(1.0) for r in got2)
+    victim = got2[0].vec_id
+    store.remove(spark, [victim])
+    after = store.query(q2, 5, n_probe=4, scoring="bq1").collect()
+    assert victim not in {r.vec_id for r in after}
+
+    # compact folds bq_words; results identical across the fold
+    pre = {
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, 5, n_probe=4, scoring="bq1").collect()
+    }
+    store.compact(spark, n_buckets=4)
+    post = {
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in store.query(q, 5, n_probe=4, scoring="bq1").collect()
+    }
+    assert pre == post
+
+    reopened = VectorIndexStore(store.path)
+    assert reopened.bq_enabled(spark)
+    assert reopened.describe(spark)["bq1"] == {"dim": 64}
+
+
+def test_sq8_bq1_disable_first_protocol(spark, tmp_path):
+    """The enable mutation order's crash window is VISIBLE, not wrong:
+    a store whose doc is the `disabled` tombstone (simulating a crash
+    between steps 1 and 4) refuses byte/Hamming scoring with the
+    're-run' message, and reads as layer-off in describe(). All three
+    code layers coexist independently."""
+    from biodata_pipeline_spark.operators.ann_store import (
+        _write_store_doc,
+    )
+
+    store = VectorIndexStore(str(tmp_path / "ivf_proto"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 120), k=4, iters=1)
+    store.enable_sq8(spark)
+    store.enable_bq(spark)
+    store.enable_pq(spark, m=2, k_sub=4)
+    q = _queries(spark, n=2)
+    for scoring in ("sq8", "bq1", "adc", "exact"):
+        assert store.query(q, 3, n_probe=4, scoring=scoring).count() > 0
+    d = store.describe(spark)
+    assert d["sq8"] is not None and d["bq1"] is not None
+
+    # simulate the mid-enable crash: doc tombstoned, scoring dark
+    _write_store_doc(spark, store.path, "bq_meta", {"disabled": True})
+    fresh = VectorIndexStore(store.path)
+    assert not fresh.bq_enabled(spark)
+    assert fresh.describe(spark)["bq1"] is None
+    with pytest.raises(ValueError, match="did not complete"):
+        fresh.query(q, 3, scoring="bq1").collect()
+    # the sibling layers are untouched
+    assert fresh.sq_enabled(spark)
+    assert fresh.query(q, 3, n_probe=4, scoring="sq8").count() > 0
+    # re-running the enable repairs the layer (idempotent)
+    fresh.enable_bq(spark)
+    assert fresh.query(q, 3, n_probe=4, scoring="bq1").count() > 0
