@@ -1417,6 +1417,82 @@ class VectorIndexStore:
         _write_store_doc(spark, self.path, "bq_meta", thr)
         return n
 
+    def sq_drift(self, spark) -> dict:
+        """Measured drift signal for the SQ8 layer — the 'refit when
+        the corpus has drifted' rule as a number instead of prose (the
+        structure_ratio discipline): the fraction of LIVE vectors
+        carrying at least one value OUTSIDE the fitted [min, max]
+        bounds — exactly the rows whose codes saturated at 0/255 under
+        the clamp semantics, i.e. the rows the byte representation can
+        no longer tell apart at the range edge. One column-pruned scan
+        + one agg; call it between batches, not per query. Returns
+        ``{"n_live", "n_clamped", "frac_clamped"}`` — at fit time the
+        fraction is 0 by construction (the bounds COVER the fit
+        corpus), so any growth is pure post-fit drift; re-run
+        ``enable_sq8`` when it stops being a tail."""
+        bounds = self._sq_bounds(spark)
+        mnlit = F.array(*[F.lit(float(v)) for v in bounds["vmin"]])
+        mxlit = F.array(*[F.lit(float(v)) for v in bounds["vmax"]])
+        parts = _index_component_frames(spark, self.path, "assignments")
+        full = parts[0].select("id", "emb")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("id", "emb"))
+        live = self._minus_tombstones(spark, full.dropDuplicates(["id"]))
+        emb = F.col("emb").cast("array<double>")
+        clamped = (
+            F.exists(
+                F.zip_with(emb, mnlit, lambda x, m: x < m), lambda b: b
+            )
+            | F.exists(
+                F.zip_with(emb, mxlit, lambda x, m: x > m), lambda b: b
+            )
+        )
+        row = live.agg(
+            F.count("*").alias("n"),
+            F.sum(clamped.cast("long")).alias("c"),
+        ).collect()[0]
+        n, c = row["n"], row["c"] or 0
+        return {
+            "n_live": n,
+            "n_clamped": c,
+            "frac_clamped": round(c / n, 6) if n else 0.0,
+        }
+
+    def bq_drift(self, spark) -> dict:
+        """Measured drift signal for the BQ1 layer: per-dimension bit
+        balance. Under the fitted lower-median thresholds each
+        dimension splits the fit corpus ~50/50 by construction; as the
+        corpus drifts, dimensions polarize and carry less Hamming
+        signal. Reports the worst per-dimension |P(bit=1) − 0.5| and
+        the mean — re-run ``enable_bq`` when dimensions saturate. One
+        scan into ≤ dim groups."""
+        thr = self._bq_thresholds(spark)["thr"]
+        thrlit = F.array(*[F.lit(float(t)) for t in thr])
+        parts = _index_component_frames(spark, self.path, "assignments")
+        full = parts[0].select("id", "emb")
+        for p in parts[1:]:
+            full = full.unionByName(p.select("id", "emb"))
+        live = self._minus_tombstones(spark, full.dropDuplicates(["id"]))
+        emb = F.col("emb").cast("array<double>")
+        rows = (
+            live.select(
+                F.posexplode(
+                    F.zip_with(emb, thrlit, lambda x, t: (x > t).cast("long"))
+                ).alias("i", "bit")
+            )
+            .groupBy("i")
+            .agg(F.avg("bit").alias("p1"))
+            .collect()  # ≤ dim rows — driver-sized by design
+        )
+        if not rows:
+            return {"n_dims": 0, "max_imbalance": None, "mean_imbalance": None}
+        devs = [abs(r["p1"] - 0.5) for r in rows]
+        return {
+            "n_dims": len(devs),
+            "max_imbalance": round(max(devs), 4),
+            "mean_imbalance": round(sum(devs) / len(devs), 4),
+        }
+
     # -- delete ------------------------------------------------------------
     def remove(self, spark, ids) -> int:
         """Tombstone ``ids`` (a DataFrame carrying ``self.id_col``, or a

@@ -1561,3 +1561,43 @@ def test_sq8_bq1_disable_first_protocol(spark, tmp_path):
     # re-running the enable repairs the layer (idempotent)
     fresh.enable_bq(spark)
     assert fresh.query(q, 3, n_probe=4, scoring="bq1").count() > 0
+
+
+def test_sq_bq_drift_signals(spark, tmp_path):
+    """The 'refit when drifted' rules are measured, not prose: at fit
+    time sq_drift reads 0 by construction (the bounds cover the fit
+    corpus) and bq_drift's bit balance sits near 0.5; enrolling an
+    out-of-range batch moves exactly the clamp fraction, and the
+    signals recover after a refit."""
+    store = VectorIndexStore(str(tmp_path / "ivf_drift"))
+    base = _emb(spark).filter(F.col("vec_id") < 150)
+    store.build(base, k=4, iters=1)
+    store.enable_sq8(spark)
+    store.enable_bq(spark)
+
+    d0 = store.sq_drift(spark)
+    assert d0["n_live"] == 150 and d0["n_clamped"] == 0
+    assert d0["frac_clamped"] == 0.0
+    b0 = store.bq_drift(spark)
+    assert b0["n_dims"] == 64
+    assert b0["max_imbalance"] <= 0.2  # median split: ~balanced bits
+
+    # enroll 50 far-out-of-range vectors: every one clamps
+    wild = base.limit(50).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(1.0e6)
+        ).alias("embedding"),
+    )
+    store.add(wild, batch_id="wild")
+    d1 = store.sq_drift(spark)
+    assert d1["n_live"] == 200 and d1["n_clamped"] == 50
+    assert d1["frac_clamped"] == 0.25
+    b1 = store.bq_drift(spark)
+    assert b1["max_imbalance"] > b0["max_imbalance"]  # polarized bits
+
+    # refit: the new bounds cover the grown corpus again
+    store.enable_sq8(spark)
+    store.enable_bq(spark)
+    assert store.sq_drift(spark)["n_clamped"] == 0
+    assert store.bq_drift(spark)["max_imbalance"] <= 0.3
