@@ -140,15 +140,18 @@ HEADLINE = [
     "q_pq_residual_audit",        # r13 — residual vs exact recall, 2 variants
     # round 14 additions (the >1 s policy): the SQ8 scalar-quantization
     # family. The one-scan min/max fit is memoized per (session,
-    # sf_dir) like the PQ books — only the first q_sq8_* key pays it:
-    "q_sq8_codes",                # 0.4 s (+fit) — affine byte encode kernel
-    "q_sq8_topk",                 # 1.2 s — reconstruction-cosine top-10
-    "q_sq8_recall_audit",         # 4.4 s — SQ8 vs exact recall, 2 variants
+    # sf_dir) like the PQ books — only the first q_sq8_* key pays it.
+    # Per-key estimates = the archived BENCH_FULL_latest walls (r15
+    # sync, VERDICT r14 #7 — the host's noise band is ±30%, read them
+    # as magnitudes):
+    "q_sq8_codes",                # 0.3 s (+fit) — affine byte encode kernel
+    "q_sq8_topk",                 # 0.8 s — reconstruction-cosine top-10
+    "q_sq8_recall_audit",         # 3.7 s — SQ8 vs exact recall, 2 variants
     # the BQ1 binary-quantization family (median fit memoized the same
     # way — only the first q_bq_* key pays its ranked scan):
-    "q_bq_codes",                 # 0.6 s (+fit) — packed-word encode kernel
+    "q_bq_codes",                 # 0.3 s (+fit) — packed-word encode kernel
     "q_bq_hamming_topk",          # 0.8 s — integer xor/popcount top-10
-    "q_bq_recall_audit",          # 3.5 s — BQ1 vs exact recall, 2 variants
+    "q_bq_recall_audit",          # 3.4 s — BQ1 vs exact recall, 2 variants
 ]
 
 
@@ -192,6 +195,73 @@ def release_accumulated(spark) -> None:
 FULL_PAYLOAD_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
 )
+
+# Cumulative fresh-JVM anchor walls, per key (VERDICT r14 #2 — shipped
+# r15 after two consecutive false "regression" verdicts): the anchor's
+# 5-keys-in-one-fresh-JVM walls pay a per-JVM JIT/Arrow/codegen
+# warm-up constant the 12-key batched main run amortizes away
+# (q_bpe_pack_ids measured 6.2 s fresh vs 3.6 s warm in the SAME r14
+# run), so comparing fresh walls against prev's WARM walls trips the
+# regression gate on the constant, not the plan. This file keeps each
+# key's last CLEAN-host fresh-JVM wall (same regime: ANCHOR_N-key
+# fresh-JVM batch, warm-up + min-of-2) so the regression arm can
+# compare fresh-to-fresh; it only updates from runs whose own
+# contention evidence is clean, so a loaded day can read the baseline
+# but never poison it.
+ANCHOR_FRESH_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR_FRESH.json"
+)
+
+
+def anchor_fresh_baseline(base_dir: str | None = None) -> dict[str, float]:
+    """Per-key fresh-JVM anchor seconds from the last clean-host
+    measurement of each key (empty when never seeded)."""
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(base_dir, os.path.basename(ANCHOR_FRESH_PATH))
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return {k: float(v) for k, v in doc.get("keys", {}).items()}
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return {}
+
+
+def update_anchor_fresh_baseline(
+    fresh: dict[str, float],
+    cal_factor: float,
+    load1_per_cpu: float,
+    base_dir: str | None = None,
+) -> bool:
+    """Fold this run's fresh-JVM walls into the baseline — ONLY when
+    the run's own contention evidence is clean (calibration factor and
+    loadavg below the anchor-contended gates): a loaded host may
+    consult the baseline but never write it. Returns whether the file
+    was updated."""
+    if cal_factor >= CAL_CONTENDED or load1_per_cpu >= 1.5:
+        return False
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(base_dir, os.path.basename(ANCHOR_FRESH_PATH))
+    keys = anchor_fresh_baseline(base_dir)
+    keys.update(
+        {k: round(float(v), 3) for k, v in fresh.items() if v is not None}
+    )
+    try:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "keys": keys,
+                    "regime": f"fresh-JVM batch of <= {ANCHOR_N} keys, "
+                    "1 warm-up + min-of-2",
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        return False
+    return True
 
 
 def prev_bench(base_dir: str | None = None) -> tuple[int, dict[str, float]] | None:
@@ -548,28 +618,87 @@ def anchor_drifted(
     # the cleaner co-tenant signal, taken after the main run's last
     # child exited but before ours started
     load1_per_cpu = round(load_before[0] / ncpu, 3)
-    return {
+    baseline = anchor_fresh_baseline()
+    out = compare_anchor(
+        keys, timings, fresh, prev_queries, baseline,
+        cal_factor, load1_per_cpu,
+    )
+    # fold this run's fresh walls into the baseline AFTER comparing
+    # against the old one — clean-host gated inside
+    out["baseline_updated"] = update_anchor_fresh_baseline(
+        {k: fresh.get(k) for k in keys}, cal_factor, load1_per_cpu
+    )
+    out.update(
+        {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+            "ncpu": ncpu,
+            "calibration_sec": {"before": cal_before, "after": cal_after},
+            "calibration_factor_vs_idle": cal_factor,
+            "settled_before_anchor": settled,
+        }
+    )
+    return out
+
+
+def compare_anchor(
+    keys: list[str],
+    timings: dict[str, float],
+    fresh: dict[str, float],
+    prev_queries: dict[str, float],
+    baseline: dict[str, float],
+    cal_factor: float,
+    load1_per_cpu: float,
+) -> dict:
+    """The anchor's verdict arithmetic, pure (seam-tested): totals over
+    the drifted keys, plus TWO classifications —
+
+      ``verdict``: fresh-to-fresh (VERDICT r14 #2) — this run's
+        fresh-JVM walls against the stored CLEAN-host fresh-JVM walls
+        for the same keys (like-for-like: both pay the per-JVM warm-up
+        constant), computed over the baseline-covered subset. Falls
+        back to the warm arm when no key is covered (cold start:
+        baseline never seeded).
+      ``verdict_warm_baseline``: the r11-r14 arm (fresh vs prev's warm
+        walls) — kept alongside for cross-validation; its known blind
+        spot is the warm-up constant (two false "regression" rounds).
+    """
+    main_total = round(sum(timings[k] for k in keys), 3)
+    fresh_total = round(sum(fresh.get(k, 0.0) for k in keys), 3)
+    prev_total = round(sum(prev_queries[k] for k in keys), 3)
+    warm_verdict = classify_anchor(
+        main_total, fresh_total, prev_total, cal_factor, load1_per_cpu
+    )
+    covered = [k for k in keys if baseline.get(k, 0) > 0]
+    out = {
         "keys": {
             k: {
                 "main": timings[k],
                 "fresh_jvm": fresh.get(k),
                 "prev": prev_queries[k],
+                "fresh_baseline": baseline.get(k),
             }
             for k in keys
         },
         "main_total": main_total,
         "fresh_total": fresh_total,
         "prev_total": prev_total,
-        "loadavg_before": [round(x, 2) for x in load_before],
-        "loadavg_after": [round(x, 2) for x in load_after],
-        "ncpu": ncpu,
-        "calibration_sec": {"before": cal_before, "after": cal_after},
-        "calibration_factor_vs_idle": cal_factor,
-        "settled_before_anchor": settled,
-        "verdict": classify_anchor(
-            main_total, fresh_total, prev_total, cal_factor, load1_per_cpu
-        ),
+        "n_baseline_covered": len(covered),
+        "fresh_baseline_total": None,
+        "verdict_warm_baseline": warm_verdict,
     }
+    if covered:
+        base_cov = round(sum(baseline[k] for k in covered), 3)
+        fresh_cov = round(sum(fresh.get(k, 0.0) for k in covered), 3)
+        main_cov = round(sum(timings[k] for k in covered), 3)
+        out["fresh_baseline_total"] = base_cov
+        out["fresh_covered_total"] = fresh_cov
+        out["verdict"] = classify_anchor(
+            main_cov, fresh_cov, base_cov, cal_factor, load1_per_cpu
+        )
+    else:
+        out["verdict"] = warm_verdict
+    return out
 
 
 def main() -> None:
@@ -658,7 +787,9 @@ def main() -> None:
             "main_total": payload["anchor"]["main_total"],
             "fresh_total": payload["anchor"]["fresh_total"],
             "prev_total": payload["anchor"]["prev_total"],
+            "fresh_base": payload["anchor"].get("fresh_baseline_total"),
             "verdict": payload["anchor"]["verdict"],
+            "verdict_warm": payload["anchor"].get("verdict_warm_baseline"),
             "cal_factor": payload["anchor"]["calibration_factor_vs_idle"],
         }
     line = json.dumps(compact, separators=(",", ":"))

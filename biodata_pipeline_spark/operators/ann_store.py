@@ -181,12 +181,33 @@ def _books_etag(books: list[list[list[float]]]) -> str:
     ).hexdigest()
 
 
+def _layer_etag(doc: "dict | None") -> "str | None":
+    """Content hash of an SQ8/BQ1 layer doc (bounds / thresholds) —
+    ``_books_etag``'s sibling for the layers whose doc IS the codebook.
+    None when the layer is absent or disabled, so "layer off" and
+    "layer on with these parameters" always fingerprint differently."""
+    import hashlib
+    import json
+
+    if doc is None or doc.get("disabled"):
+        return None
+    return hashlib.md5(
+        json.dumps(doc, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
 # structure_ratio at or above this reads "structure-free": residual
 # quantization measured at parity-at-best with raw codes on such
 # corpora (the r13 1M uniform arm; fixture + rung measurements in
 # SCALING.md r14), so enable_pq(residual=True) warns — k_sub is the
 # binding recall lever there, not the residual representation.
 STRUCTURE_PARITY_RATIO = 0.8
+
+# Cap on the structure-probe sample when enable_pq trains on the full
+# corpus (train_sample=None): the probe's cost must stay bounded even
+# when the fit is deliberately unbounded (ADVICE r14). Matches the
+# production fit path's 100k md5_top_n operating point.
+STRUCTURE_PROBE_CAP = 100_000
 
 
 def _structure_ratio(
@@ -275,6 +296,109 @@ def recommended_n_probe(n_cells: int, target_recall: float = 0.9) -> int:
     return max(1, min(n_cells, math.ceil(target_recall * n_cells)))
 
 
+def recommended_scoring(
+    pq: "dict | None",
+    sq8_attached: bool,
+    bq1_attached: bool,
+) -> dict:
+    """The SCALING.md compression-ladder operating rule as a decision
+    the store makes from its MEASURED signals instead of prose
+    (VERDICT r14 #4): which ``query(scoring=...)`` an operator should
+    ship for this corpus, given what is attached and the
+    structure_ratio measured at the last ``enable_pq``.
+
+    The measured ladder behind each branch (1M-rung tables, SCALING.md
+    r13/r14): PQ's refined recall holds the target only when the
+    coarse cells absorb real spread (structure_ratio ≪ 1 — clustered
+    fixture 0.028; refined recall 0.975 at k_sub=256), and collapses
+    on structure-free corpora (ratio 0.890 uniform — the regime where
+    SQ8 measured recall 1.0 at 8× less scan I/O than float64). BQ1 is
+    the cheapest scan (4.8× fewer bytes than PQ codes) but needs its
+    refine funnel — 0.17 codes-only vs 0.41+ refined worst-case — so
+    alone it ranks with a wide funnel, and next to a higher-resolution
+    layer its role is the coarse FIRST pass. Returns ``{"scoring",
+    "why"}`` plus ``"coarse_filter": "bq1"`` when a BQ1 layer can
+    serve that coarse-first role in front of the primary
+    recommendation. Calibrate the funnel widths with ``calibrate()``
+    (per-scoring measured refine since r15)."""
+    sr = pq.get("structure_ratio") if pq else None
+    bq_note = (
+        " BQ1 stays attached as the coarse first-pass filter "
+        "(coarse_filter)."
+        if bq1_attached
+        else ""
+    )
+    if pq and sr is not None and sr < STRUCTURE_PARITY_RATIO:
+        out = {
+            "scoring": "adc_refine",
+            "why": (
+                f"measured structure_ratio {sr} < "
+                f"{STRUCTURE_PARITY_RATIO}: the coarse cells absorb "
+                "most of the spread — PQ's measured win regime "
+                "(smallest codes per candidate at target recall; "
+                "SCALING.md ladder)." + bq_note
+            ),
+        }
+    elif sq8_attached:
+        out = {
+            "scoring": "sq8_refine",
+            "why": (
+                (
+                    f"measured structure_ratio {sr} >= "
+                    f"{STRUCTURE_PARITY_RATIO} (structure-free): PQ "
+                    "measured parity-at-best here while SQ8 held "
+                    "near-exact recall at 8x less scan I/O than raw "
+                    "(SCALING.md ladder)."
+                    if sr is not None
+                    else "no measured cluster structure on the books: "
+                    "SQ8 is the near-exact default at 8x less scan "
+                    "I/O than raw (SCALING.md ladder)."
+                )
+                + bq_note
+            ),
+        }
+    elif pq and sr is not None:  # structure-free, and no SQ8 to fall to
+        out = {
+            "scoring": "exact",
+            "why": (
+                f"measured structure_ratio {sr} >= "
+                f"{STRUCTURE_PARITY_RATIO} (structure-free) and no SQ8 "
+                "layer attached: the PQ codes measured parity-at-best "
+                "in this regime — enable_sq8() for the byte layer, "
+                "then re-describe." + bq_note
+            ),
+        }
+    elif pq:  # legacy layer that never measured the signal
+        out = {
+            "scoring": "adc_refine",
+            "why": (
+                "PQ attached but structure_ratio unmeasured (legacy "
+                "layer): re-run enable_pq() to measure it; until then "
+                "adc_refine with a calibrated funnel is the attached "
+                "compressed path." + bq_note
+            ),
+        }
+    elif bq1_attached:
+        out = {
+            "scoring": "bq1_refine",
+            "why": (
+                "only the 1-bit layer is attached: integer Hamming "
+                "scan with a WIDE exact-refine funnel (the funnel is "
+                "BQ1's primary recall lever — SCALING.md r14: 0.17 "
+                "codes-only vs 0.41+ refined on the worst case); "
+                "calibrate() measures the width."
+            ),
+        }
+    else:
+        out = {
+            "scoring": "exact",
+            "why": "no compressed layer attached.",
+        }
+    if bq1_attached and out["scoring"] != "bq1_refine":
+        out["coarse_filter"] = "bq1"
+    return out
+
+
 def measured_n_probe(
     store: "VectorIndexStore",
     queries: DataFrame,
@@ -342,9 +466,37 @@ def measured_n_probe(
     return (n_cells, 1.0) if with_recall else n_cells
 
 
-def measured_pq_refine(
+# The three refine-funnel scoring paths and, per path, where a
+# cap-hit-below-target shortfall actually lives — the advice the cap
+# warning names (r15: the funnel calibration covers every compressed
+# representation, not just PQ; for BQ1 the funnel IS the primary
+# recall lever, so its advice is "widen the funnel" first).
+REFINE_SCORINGS = ("adc_refine", "sq8_refine", "bq1_refine")
+
+_REFINE_CAP_ADVICE = {
+    "adc_refine": (
+        "raising refine further cannot close this; the shortfall lives "
+        "in m / k_sub (code resolution): retrain with enable_pq(m=...) "
+        "/ enable_pq(k_sub=...) per the SCALING.md grid"
+    ),
+    "sq8_refine": (
+        "the byte reconstruction itself is losing rank information — "
+        "check sq_drift() (out-of-bounds clamping after corpus drift) "
+        "and re-run enable_sq8 to refit, or score exact"
+    ),
+    "bq1_refine": (
+        "the 1-bit funnel needs more width than the cap allows: raise "
+        "max_refine (the funnel is BQ1's primary recall lever — "
+        "SCALING.md r14 measured 0.17 codes-only vs 0.41+ refined), or "
+        "step up the ladder to sq8/adc scoring"
+    ),
+}
+
+
+def measured_refine(
     store: "VectorIndexStore",
     queries: DataFrame,
+    scoring: str = "adc_refine",
     target_recall: float = 0.9,
     k: int = 10,
     n_probe: int = 4,
@@ -357,27 +509,37 @@ def measured_pq_refine(
     """Cheapest ``refine`` multiplier whose MEASURED recall@k (against
     the exact ranking at the same ``n_probe``) meets ``target_recall``
     on a bounded query sample — ``measured_n_probe``'s sibling for the
-    IVF-PQ path: n_probe prices the probe, refine prices the
-    representation, and the two calibrations compose (total recall ≈
-    probe recall × this one).
+    compressed-representation paths (``scoring`` picks which:
+    ``adc_refine`` / ``sq8_refine`` / ``bq1_refine``): n_probe prices
+    the probe, refine prices the representation, and the two
+    calibrations compose (total recall ≈ probe recall × this one).
 
-    Monotonicity (why first crossing = cheapest): the refine·k ADC
-    shortlist only grows with refine, and the final top-k is the exact
-    re-ranking of that shortlist — a true top-k member in the shortlist
-    can only be displaced by candidates with a strictly higher exact
-    sim, which are themselves true top-k members, so every shortlisted
-    true hit survives and hits = |shortlist ∩ exact top-k|, monotone
-    nondecreasing in refine. The walk doubles refine and terminates at
-    ``max_refine`` (a shortlist that saturates the probed candidates
-    returns the exact-at-n_probe ranking, recall 1.0 vs that truth).
-    Cost: O(log max_refine) bounded queries — run once per
-    corpus/store, not per query batch. If the measured crossing never
-    arrives the cap is returned AND a RuntimeWarning names the recall
-    shortfall (r12 advice: a bare ``max_refine`` was indistinguishable
-    from "target met exactly at the cap") — the shortfall then lives in
-    m (code resolution — see the SCALING.md (m, refine) grid), not
-    refine. With ``with_recall`` the return is ``(refine,
-    measured_recall)``, the unambiguous programmatic form."""
+    Monotonicity (why first crossing = cheapest): the refine·k
+    shortlist — ordered by the compressed score, whichever
+    representation produced it — only grows with refine, and the final
+    top-k is the exact re-ranking of that shortlist; a true top-k
+    member in the shortlist can only be displaced by candidates with a
+    strictly higher exact sim, which are themselves true top-k members,
+    so every shortlisted true hit survives and hits = |shortlist ∩
+    exact top-k|, monotone nondecreasing in refine. The argument never
+    touches HOW the shortlist was ranked, so it covers all three
+    representations identically. The walk doubles refine and
+    terminates at ``max_refine`` (a shortlist that saturates the
+    probed candidates returns the exact-at-n_probe ranking, recall 1.0
+    vs that truth). Cost: O(log max_refine) bounded queries — run once
+    per corpus/store, not per query batch. If the measured crossing
+    never arrives the cap is returned AND a RuntimeWarning names the
+    recall shortfall (r12 advice: a bare ``max_refine`` was
+    indistinguishable from "target met exactly at the cap") with
+    per-representation advice on where the shortfall lives
+    (``_REFINE_CAP_ADVICE``). With ``with_recall`` the return is
+    ``(refine, measured_recall)``, the unambiguous programmatic
+    form."""
+    if scoring not in REFINE_SCORINGS:
+        raise ValueError(
+            f"measured_refine: scoring must be one of {REFINE_SCORINGS}, "
+            f"got {scoring!r}"
+        )
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     sample = (
@@ -398,7 +560,7 @@ def measured_pq_refine(
     refine = 1
     while True:
         got = store.query(
-            sample, k, n_probe=n_probe, scoring="adc_refine",
+            sample, k, n_probe=n_probe, scoring=scoring,
             refine=refine, query_id=query_id, query_emb=query_emb,
         )
         hits = truth.join(
@@ -410,17 +572,39 @@ def measured_pq_refine(
                 import warnings
 
                 warnings.warn(
-                    f"measured_pq_refine: recall {recall:.4f} at the "
-                    f"max_refine={max_refine} cap is below the "
-                    f"{target_recall} target — raising refine further "
-                    "cannot close this; the shortfall lives in m (code "
-                    "resolution): retrain with enable_pq(m=...) per the "
-                    "SCALING.md (m, refine) grid",
+                    f"measured_refine[{scoring}]: recall {recall:.4f} "
+                    f"at the max_refine={max_refine} cap is below the "
+                    f"{target_recall} target — "
+                    + _REFINE_CAP_ADVICE[scoring],
                     RuntimeWarning,
                     stacklevel=2,
                 )
             return (refine, recall) if with_recall else refine
         refine = min(refine * 2, max_refine)
+
+
+def measured_pq_refine(
+    store: "VectorIndexStore",
+    queries: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    max_sample: int = 32,
+    max_refine: int = 64,
+    with_recall: bool = False,
+) -> "int | tuple[int, float]":
+    """``measured_refine`` at ``scoring="adc_refine"`` — the original
+    IVF-PQ form, kept as the named entry point (r12-r14 callers and
+    SCALING.md tables reference it)."""
+    return measured_refine(
+        store, queries, scoring="adc_refine",
+        target_recall=target_recall, k=k, n_probe=n_probe,
+        query_id=query_id, query_emb=query_emb,
+        max_sample=max_sample, max_refine=max_refine,
+        with_recall=with_recall,
+    )
 
 
 # Above this many enrolled index rows, query() scores candidates in the
@@ -1082,7 +1266,21 @@ class VectorIndexStore:
             else md5_top_n(live, train_sample, "id")
         ).persist()  # structure probe + m×(1+iters) Lloyd passes
         try:
-            structure = _structure_ratio(sample, cents)
+            # The structure probe is ALWAYS bounded (ADVICE r14): with
+            # train_sample=None the fit deliberately uses the full
+            # corpus, but the probe's interpreted zip_with subtract +
+            # corpus×dim posexplode shuffle must not ride along as a
+            # full-corpus pass — cap it at the same 100k deterministic
+            # sample the production fit path uses. The ratio is a
+            # variance RATIO: the md5_top_n sample is
+            # content-hash-uniform, so the capped estimate tracks the
+            # full-corpus value (fixture-pinned in tests).
+            probe_src = (
+                sample
+                if train_sample is not None
+                else md5_top_n(live, STRUCTURE_PROBE_CAP, "id")
+            )
+            structure = _structure_ratio(probe_src, cents)
             if (
                 residual
                 and structure is not None
@@ -1667,6 +1865,11 @@ class VectorIndexStore:
                 cal.get("fingerprint", {}),
                 self._fingerprint(spark, n_rows=out["n_live_vectors"]),
             )
+        # the ladder's operating rule, decided from the measured
+        # signals above (VERDICT r14 #4)
+        out["recommended_scoring"] = recommended_scoring(
+            out["pq"], out["sq8"] is not None, out["bq1"] is not None
+        )
         return out
 
     # relative live-row drift beyond which a persisted calibration no
@@ -1677,8 +1880,12 @@ class VectorIndexStore:
 
     def _fingerprint(self, spark, n_rows: int | None = None) -> dict:
         """What the calibration was measured AGAINST: live row count,
-        quantizer size, and the PQ books' content etag (None when no PQ
-        layer / a legacy layer without an etag doc)."""
+        quantizer size, and a content etag per attached compressed
+        layer — PQ books, SQ8 bounds, BQ1 thresholds (each None when
+        the layer is off). Attaching, detaching, or refitting ANY
+        scored representation changes the fingerprint, because the
+        calibration record now speaks for every attached layer's
+        refine funnel (r15), not just PQ's."""
         doc = _read_store_doc(spark, self.path, "pq_etag")
         return {
             "n_rows": (
@@ -1686,13 +1893,25 @@ class VectorIndexStore:
             ),
             "n_cells": len(self.centroids(spark)),
             "books_etag": doc["etag"] if doc else None,
+            "sq_etag": _layer_etag(
+                _read_store_doc(spark, self.path, "sq_meta")
+            ),
+            "bq_etag": _layer_etag(
+                _read_store_doc(spark, self.path, "bq_meta")
+            ),
         }
 
     def _calibration_fresh(self, measured: dict, current: dict) -> bool:
         if measured.get("n_cells") != current.get("n_cells"):
             return False
-        if measured.get("books_etag") != current.get("books_etag"):
-            return False  # retrained books: the refine curve moved
+        # any representation change moves its refine curve: retrained
+        # PQ books, refit SQ8 bounds / BQ1 thresholds, or a layer
+        # newly attached since the record was measured (legacy records
+        # without the sq/bq keys read None — fresh only while those
+        # layers stay off)
+        for key in ("books_etag", "sq_etag", "bq_etag"):
+            if measured.get(key) != current.get(key):
+                return False
         old_n = measured.get("n_rows") or 0
         new_n = current.get("n_rows") or 0
         drift = abs(new_n - old_n) / max(old_n, 1)
@@ -1711,14 +1930,18 @@ class VectorIndexStore:
         force: bool = False,
     ) -> dict:
         """Calibrate-once semantics for the store's measured knobs
-        (VERDICT r12 #4): run ``measured_n_probe`` (and, when a PQ
-        layer is attached, ``measured_pq_refine`` at that n_probe),
-        persist the settings WITH their measured recalls and the corpus
-        fingerprint they were measured against, and on every later call
-        — including from a fresh instance or process — return the
-        stored record without re-measuring, as long as the fingerprint
-        is still fresh (same quantizer, same PQ books, live-row drift
-        within ``CALIBRATION_MAX_DRIFT``).
+        (VERDICT r12 #4; extended to every attached representation in
+        r15 per VERDICT r14 #3): run ``measured_n_probe``, then — for
+        EACH attached compressed layer — ``measured_refine`` at that
+        n_probe (``adc_refine`` for PQ, ``sq8_refine`` for SQ8,
+        ``bq1_refine`` for BQ1; the per-path walk lands in
+        ``doc["scorings"]``), persist the settings WITH their measured
+        recalls and the corpus fingerprint they were measured against,
+        and on every later call — including from a fresh instance or
+        process — return the stored record without re-measuring, as
+        long as the fingerprint is still fresh (same quantizer, same
+        layer etags — attaching or refitting ANY scored layer
+        re-measures — live-row drift within ``CALIBRATION_MAX_DRIFT``).
 
         The point is cost: the measurement is O(log n_cells ·
         log max_refine) bounded queries — 454 s at the 1M rung
@@ -1741,6 +1964,14 @@ class VectorIndexStore:
         stays visible across processes, not just in the process that
         first measured it."""
         fp = self._fingerprint(spark)
+        # which refine funnels this corpus state needs measured
+        attached = []
+        if self.pq_enabled(spark):
+            attached.append("adc_refine")
+        if self.sq_enabled(spark):
+            attached.append("sq8_refine")
+        if self.bq_enabled(spark):
+            attached.append("bq1_refine")
         stored = _read_store_doc(spark, self.path, "calibration")
         if (
             not force
@@ -1749,23 +1980,45 @@ class VectorIndexStore:
             and stored.get("k") == k
             and (stored.get("max_sample") or 0) >= max_sample
             and (
-                not self.pq_enabled(spark)
+                not attached
                 or (stored.get("max_refine") or 0) >= max_refine
+            )
+            # a record measured before the per-scoring extension does
+            # not speak for attached non-PQ layers: re-measure
+            and all(
+                sc in (stored.get("scorings") or {})
+                for sc in attached
+                if sc != "adc_refine" or stored.get("refine") is None
             )
             and self._calibration_fresh(stored.get("fingerprint", {}), fp)
         ):
+            # re-raise every cap shortfall so it stays visible in this
+            # process too (r13 advice, per-scoring since r15)
+            shortfalls = {
+                sc: rec.get("recall")
+                for sc, rec in (stored.get("scorings") or {}).items()
+                if rec.get("recall") is not None
+                and rec["recall"] < target_recall
+            }
             rr = stored.get("refine_recall")
-            if rr is not None and rr < target_recall:
+            if not shortfalls and rr is not None and rr < target_recall:
+                shortfalls = {"adc_refine": rr}  # legacy record shape
+            if shortfalls:
                 import warnings
 
+                detail = ", ".join(
+                    f"{sc}={r}" for sc, r in sorted(shortfalls.items())
+                )
                 warnings.warn(
-                    f"calibrate: reused record's refine recall {rr} is "
-                    f"below the {target_recall} target (measured at the "
-                    f"max_refine={stored.get('max_refine')} cap) — the "
-                    "shortfall lives in the code resolution: retrain "
-                    "with enable_pq(k_sub=...) / enable_pq(m=...) per "
-                    "the SCALING.md grid, or pass force=True to "
-                    "re-measure",
+                    f"calibrate: reused record's refine recall ({detail})"
+                    f" is below the {target_recall} target (measured at "
+                    f"the max_refine={stored.get('max_refine')} cap) — "
+                    "per-path advice: "
+                    + "; ".join(
+                        _REFINE_CAP_ADVICE[sc]
+                        for sc in sorted(shortfalls)
+                    )
+                    + "; or pass force=True to re-measure",
                     RuntimeWarning,
                     stacklevel=2,
                 )
@@ -1782,21 +2035,33 @@ class VectorIndexStore:
             "n_probe_recall": round(np_recall, 4),
             "refine": None,
             "refine_recall": None,
+            # per-scoring refine funnels, one entry per attached layer
+            # (r15): {"adc_refine"/"sq8_refine"/"bq1_refine":
+            #         {"refine": int, "recall": float}}
+            "scorings": {},
             # the measurement budget: reuse only serves requests this
             # record covers (r13 advice)
             "max_sample": max_sample,
-            "max_refine": max_refine if self.pq_enabled(spark) else None,
+            "max_refine": max_refine if attached else None,
             "fingerprint": fp,
         }
-        if self.pq_enabled(spark):
-            refine, rf_recall = measured_pq_refine(
-                self, queries, target_recall, k, n_probe=n_probe,
+        for sc in attached:
+            refine, rf_recall = measured_refine(
+                self, queries, scoring=sc,
+                target_recall=target_recall, k=k, n_probe=n_probe,
                 query_id=query_id, query_emb=query_emb,
                 max_sample=max_sample, max_refine=max_refine,
                 with_recall=True,
             )
-            doc["refine"] = refine
-            doc["refine_recall"] = round(rf_recall, 4)
+            doc["scorings"][sc] = {
+                "refine": refine,
+                "recall": round(rf_recall, 4),
+            }
+        if "adc_refine" in doc["scorings"]:
+            # legacy top-level form: the PQ funnel (r12-r14 callers)
+            doc["refine"] = doc["scorings"]["adc_refine"]["refine"]
+            doc["refine_recall"] = doc["scorings"]["adc_refine"]["recall"]
+            rf_recall = doc["refine_recall"]
             if rf_recall < target_recall:
                 cur_k_sub = len(self._pq_books(spark)[0])
                 rec = recommended_k_sub(fp["n_rows"])

@@ -86,7 +86,10 @@ def bq_fit(
     round differently across engines, and the result is independent of
     partitioning — the same reason sq_fit's min/max needs no
     fold-order pinning. Rows failing the geometry contract are
-    excluded. Returns ``{"thr": [t_0, ..., t_{dim-1}]}``."""
+    excluded. Returns ``{"thr": [t_0, ..., t_{dim-1}]}``. Fit itself is
+    dim-agnostic (one threshold per dimension, any dim — the median
+    unit tests pin dim=1); the ``dim % 32`` packing contract belongs to
+    the encoders, which BOTH enforce it (ADVICE r14)."""
     from pyspark.sql import Window
 
     emb = F.col(emb_col).cast("array<double>")
@@ -190,6 +193,10 @@ def bq_encode_kernel(
 
     thr = np.array(thresholds["thr"], dtype=np.float64)
     dim = len(thr)
+    if dim % BQ_WORD_BITS:
+        raise ValueError(
+            f"bq_encode_kernel: dim {dim} not a multiple of {BQ_WORD_BITS}"
+        )
     n_words = dim // BQ_WORD_BITS
     pow2 = (np.int64(1) << np.arange(BQ_WORD_BITS, dtype=np.int64))
     base = df.filter(

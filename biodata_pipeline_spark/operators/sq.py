@@ -49,6 +49,28 @@ from biodata_pipeline_spark.operators.similarity import SIM_ROUND
 SQ_LEVELS = 256  # 8-bit codes
 
 
+def sq_valid(df: DataFrame, emb_col: str = "embedding", dim: int = 64):
+    """Rows passing the full SQ geometry contract: non-null, ``dim``
+    elements, every element finite — the exact exclusion ``sq_fit``
+    applies internally (ADVICE r14: the declared queries and their
+    oracle must draw fit, codes, queries, AND exact ground truth from
+    THIS one universe, mirroring ``bq_valid``, so a corpus with planted
+    NaN/Inf rows cannot silently diverge the fit bounds between
+    engines)."""
+    emb = F.col(emb_col).cast("array<double>")
+    defective = F.exists(
+        emb,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return df.filter(
+        F.col(emb_col).isNotNull()
+        & (F.size(emb_col) == dim)
+        & ~defective
+    )
+
+
 def sq_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -66,18 +88,8 @@ def sq_fit(
     hazard, so the bounds are bit-identical on any engine regardless
     of partitioning (the reason SQ8 needs no fold-order pinning)."""
     emb = F.col(emb_col).cast("array<double>")
-    defective = F.exists(
-        emb,
-        lambda x: x.isNull()
-        | F.isnan(x)
-        | (F.abs(x) == F.lit(float("inf"))),
-    )
     rows = (
-        df.filter(
-            F.col(emb_col).isNotNull()
-            & (F.size(emb_col) == dim)
-            & ~defective
-        )
+        sq_valid(df, emb_col, dim)
         .select(F.posexplode(emb).alias("i", "x"))
         .groupBy("i")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))

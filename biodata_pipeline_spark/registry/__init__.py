@@ -64,84 +64,82 @@ _ALL_ORACLE = {
 
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
-# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1 / r13 #1).
-# Round-14 rotation, computed from the CORRECTNESS_r01-r13 union (max
-# driver round per key; after r13 the latest rows are 36×r11, 45×r12,
-# 50×r13):
-#   1-6:   the round-14 SQ8 scalar-quantization and BQ1 binary-
-#          quantization families — never driver-checked (new this
-#          round, the standing never-checked-first rule);
-#   7-14:  changed-code-first: round 14 moved the training-sample
-#          selection in pq_fit / enable_pq onto md5_top_n's
-#          bounded-merge path (row-identical, parity-pytest-pinned —
-#          the driver row proves it on current code), so the five PQ
-#          queries + the residual pair rotate back despite their green
-#          r13 rows; q_ivf_cell_assign rides the same rule for the
-#          ann_store.py edits (size-aware k_sub, structure signal,
-#          versioned docs);
-#   15-50: ALL 36 r11-checked keys (VERDICT r13 #1's full list) — the
-#          relational core q05-q08/q10/q12-q15/q17-q23/q27/q30, the
-#          BM25/RRF family, the tokenizer statistics, and the
-#          text-quality/snapshot families.
-# Outside the window this round: the 45 r12-checked and the 50
-# r13-checked — every one has a green driver row within the last
-# two rounds and all are locally re-verifiable by tools/check_oracle.py
-# on current code. After this round no key's latest driver row is
-# older than r12.
+# #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1 / r13 #1 /
+# r14 #1). Round-15 rotation, computed from the CORRECTNESS_r01-r14
+# union (max driver round per key; after r14 the latest rows are
+# 44×r12, 43×r13, 50×r14):
+#   1-6:   changed-code-first: round 15 gave the SQ8 oracle family the
+#          finite-filtered universe its Spark side already used
+#          (ADVICE r14 — _SQ_VECS CTE + _sq_corpus/sq_valid; hash-
+#          identical on the defect-free bench corpus, and the driver
+#          row proves it), and added the dim%32 guard to
+#          bq_encode_kernel — sq.py / bq.py / registry/vector.py SQ8+
+#          BQ1 entries all touched, so the six r14-green keys rotate
+#          straight back;
+#   7-50:  ALL 44 r12-checked keys (VERDICT r14 #1's full list) — the
+#          relational/windowing core q09/q11/q16/q21/q24-q26b/q28/q29/
+#          q31-q35, the analytic cube/grouping-sets/corr family, the
+#          vector q_ivf_ann/kmeans/semantic-dedup/pca/winnow family,
+#          the sampling/mixture/shard/pack families, and the corpus
+#          text-statistics keys.
+# Outside the window this round: the 43 r13-checked and the 44
+# remaining r14-checked — every one has a green driver row within the
+# last two rounds and all are locally re-verifiable by
+# tools/check_oracle.py on current code. After this round no key's
+# latest driver row is older than r13.
 _DRIVER_WINDOW = [
-    # -- block 0: the round-14 SQ8 + BQ1 families — NEVER driver-checked -
+    # -- block 0: changed-code-first — sq.py/bq.py/vector.py SQ8+BQ1 -----
     "q_sq8_codes",
     "q_sq8_topk",
     "q_sq8_recall_audit",
     "q_bq_codes",
     "q_bq_hamming_topk",
     "q_bq_recall_audit",
-    # -- block 1: changed-code-first — pq.py / ann_store.py edits --------
-    "q_pq_codes",
-    "q_pq_adc_topk",
-    "q_pq_ann_refined",
-    "q_pq_recall_audit",
-    "q_pq_train_error",
-    "q_pq_residual_adc",
-    "q_pq_residual_audit",
-    "q_ivf_cell_assign",
-    # -- block 2: the 36 r11-checked keys (VERDICT r13 #1) ---------------
-    "q05_suffix_marker_predicate",
-    "q06_regex_suffix_strip",
-    "q07_word_boundary_match",
-    "q08_comment_prefix_filter",
-    "q09b_exact_dedup_text",
-    "q10_broadcast_dim_join",
-    "q12_semi_join",
-    "q13_anti_join_manifest",
-    "q14_cross_join_grid",
-    "q14b_sweep_grid_literal",
-    "q15_range_join_price_bands",
-    "q17_left_outer_sentinel",
-    "q18_global_avg",
-    "q19_avg_of_group_min",
-    "q20_grouped_count_distinct",
-    "q21b_salted_pricing",
-    "q21c_percentiles",
-    "q22_length_bucket_group",
-    "q23_rollup_revenue",
-    "q27_row_number_rank",
-    "q30_orderby_limit_topk",
-    "q_bm25_multi_topk",
-    "q_bm25_topk",
-    "q_bpe_merge_pairs",
-    "q_bpe_token_count",
-    "q_bpe_train_merges",
-    "q_chunk_documents",
-    "q_corpus_diff",
-    "q_edit_severity",
-    "q_hybrid_rrf",
-    "q_quality_percentile_filter",
-    "q_quality_score",
-    "q_repetition_stats",
-    "q_salted_join_parity",
-    "q_token_stats",
-    "q_word_freq_topk",
+    # -- block 1: ALL 44 r12-checked keys (VERDICT r14 #1) ---------------
+    "q09_exact_dedup",
+    "q11_multiway_join_revenue",
+    "q16_asof_join",
+    "q21_pricing_summary",
+    "q24_cosine_topk",
+    "q25_similarity_join",
+    "q26_retrieval_rank_detail",
+    "q26b_retrieval_rank_summary",
+    "q28_lag_prev_event",
+    "q29_sliding_frame_avg",
+    "q31_per_group_topk",
+    "q31b_collect_ordered",
+    "q32_union_all",
+    "q33_except_difference",
+    "q34_intersect",
+    "q35_tumbling_window",
+    "q_bpe_encode_corpus",
+    "q_contamination_check",
+    "q_corpus_profile",
+    "q_corpus_shuffle",
+    "q_cube_pricing",
+    "q_dedup_clusters",
+    "q_embed_cosine_dedup",
+    "q_grouping_sets_revenue",
+    "q_ivf_ann",
+    "q_kmeans_clusters",
+    "q_lsh_precision_audit",
+    "q_media_inventory",
+    "q_mixture_allocation",
+    "q_mixture_schedule",
+    "q_pack_sequences",
+    "q_passage_dedup",
+    "q_pca_projection",
+    "q_quality_classifier",
+    "q_semantic_dedup",
+    "q_shard_manifest",
+    "q_stats_corr",
+    "q_stratified_split",
+    "q_tfidf_top_terms",
+    "q_token_entropy",
+    "q_unigram_logprob",
+    "q_vocab_oov_rate",
+    "q_weighted_sample",
+    "q_winnow_fingerprints",
 ]
 
 DRIVER_WINDOW_SIZE = 50

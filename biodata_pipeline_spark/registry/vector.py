@@ -751,6 +751,18 @@ SQ_REFINE = 2           # audit's refined arm rescores top 2·k exactly
 _SQ_BOUNDS_MEMO: dict = {}
 
 
+def _sq_corpus(spark, sf_dir):
+    """The SQ geometry contract: non-null, full-dim, every element
+    finite — fit, codes, queries, AND the audit's exact ground truth
+    all draw from this one universe (ADVICE r14: mirrors ``_bq_corpus``
+    so a corpus with planted NaN/Inf rows cannot diverge the fit bounds
+    or the recall denominators between engines; the oracle's
+    ``_SQ_VECS`` CTE applies the identical filter)."""
+    from biodata_pipeline_spark.operators.sq import sq_valid
+
+    return sq_valid(_pq_corpus(spark, sf_dir), dim=EMB_DIM)
+
+
 def _sq_bounds_for(spark, sf_dir):
     """Per-dim [min,max] bounds, memoized per (applicationId, sf_dir)
     like _PQ_BOOKS_MEMO — one corpus scan, deterministic (min/max are
@@ -760,7 +772,7 @@ def _sq_bounds_for(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SQ_BOUNDS_MEMO:
         _SQ_BOUNDS_MEMO[key] = sq_fit(
-            _pq_corpus(spark, sf_dir), dim=EMB_DIM
+            _sq_corpus(spark, sf_dir), dim=EMB_DIM
         )
     return _SQ_BOUNDS_MEMO[key]
 
@@ -775,7 +787,7 @@ def q_sq8_codes(spark, sf_dir):
     degenerate dimension codes 0)."""
     from biodata_pipeline_spark.operators.sq import sq_encode_kernel
 
-    emb = _pq_corpus(spark, sf_dir)
+    emb = _sq_corpus(spark, sf_dir)
 
     def build():
         bounds = _sq_bounds_for(spark, sf_dir)
@@ -802,7 +814,7 @@ def q_sq8_topk(spark, sf_dir):
         sq_topk,
     )
 
-    emb = _pq_corpus(spark, sf_dir)
+    emb = _sq_corpus(spark, sf_dir)
 
     def build():
         bounds = _sq_bounds_for(spark, sf_dir)
@@ -830,7 +842,7 @@ def q_sq8_recall_audit(spark, sf_dir):
         sq_topk,
     )
 
-    emb = _pq_corpus(spark, sf_dir)
+    emb = _sq_corpus(spark, sf_dir)
 
     def build():
         bounds = _sq_bounds_for(spark, sf_dir)
@@ -1576,6 +1588,18 @@ _RPQ_ADC = f"""
 # float64 affine map, reconstruction a plain expression — the oracle
 # runs the FULL 8-bit production resolution.
 
+# vecs with the finite filter — sq_fit's exact defect exclusion
+# (ADVICE r14: _SQ_MM previously fit over the null/len-only _PQ_VECS;
+# hash parity held only because the bench corpus is defect-free). The
+# SQ8 and BQ1 families share this universe; _BQ_VECS aliases it below.
+_SQ_VECS = """
+        vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                    x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        )"""
+
 _SQ_MM = """
         sqmm AS (
             SELECT d.i AS i,
@@ -1629,13 +1653,7 @@ _SQ_SIMS = f"""
 # bit_count(xor(...)). vecs here carries the finite filter — BQ's fit,
 # candidates, queries, AND exact ground truth share one universe.
 
-_BQ_VECS = """
-        vecs AS (
-            SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) = 64
-              AND len(list_filter(embedding,
-                    x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
-        )"""
+_BQ_VECS = _SQ_VECS  # one finite-universe definition for both families
 
 _BQ_MED = """
         bmedr AS (
@@ -2098,14 +2116,14 @@ ORACLE = {
         FROM ex10 JOIN ref10 USING (query_id, vec_id)
     """,
     "q_sq8_codes": f"""
-        WITH {_PQ_VECS},
+        WITH {_SQ_VECS},
         {_SQ_MM},
         {_sq_codes_sql(SQ_CODES_MAX_VEC)}
         SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_i, code
         FROM sqcodes
     """,
     "q_sq8_topk": f"""
-        WITH {_PQ_VECS},
+        WITH {_SQ_VECS},
         {_SQ_MM},
         {_sq_codes_sql()},
         {_SQ_RECON},
@@ -2116,7 +2134,7 @@ ORACLE = {
         FROM ranked WHERE rank <= 10
     """,
     "q_sq8_recall_audit": f"""
-        WITH {_PQ_VECS},
+        WITH {_SQ_VECS},
         {_SQ_MM},
         {_sq_codes_sql()},
         {_SQ_RECON},

@@ -854,6 +854,39 @@ def test_pq_refine_zero_raises(spark, tmp_path):
         store.query(q, 5, n_probe=8, scoring="adc_refine", refine=0)
 
 
+def test_structure_probe_bounded_on_full_corpus_fit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: enable_pq(train_sample=None) deliberately FITS on
+    the full corpus, but the structure PROBE (interpreted zip_with
+    subtract + corpus×dim shuffle) must still run on a capped
+    md5_top_n sample — never a full-corpus pass. Pin by shrinking the
+    cap and capturing what _structure_ratio actually receives."""
+    from biodata_pipeline_spark.operators import ann_store as mod
+
+    seen = {}
+    real = mod._structure_ratio
+
+    def spy(sample, cents, *a, **kw):
+        seen["n"] = sample.count()
+        return real(sample, cents, *a, **kw)
+
+    monkeypatch.setattr(mod, "_structure_ratio", spy)
+    monkeypatch.setattr(mod, "STRUCTURE_PROBE_CAP", 7)
+
+    store = VectorIndexStore(str(tmp_path / "ivf_probe_cap"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 120), k=4, iters=1)
+    store.enable_pq(spark, train_sample=None)  # full-corpus fit
+    assert seen["n"] == 7  # probe capped, not the 120-row corpus
+
+    # an explicit train_sample keeps probing THAT sample (one universe
+    # for fit + probe), not the cap
+    store2 = VectorIndexStore(str(tmp_path / "ivf_probe_ts"))
+    store2.build(_emb(spark).filter(F.col("vec_id") < 120), k=4, iters=1)
+    store2.enable_pq(spark, train_sample=30)
+    assert seen["n"] == 30
+
+
 def test_describe_reports_store_state(spark, tmp_path):
     store = VectorIndexStore(str(tmp_path / "ivf_desc"))
     store.build(_emb(spark).filter(F.col("vec_id") < 100), k=4, iters=1)
@@ -1378,6 +1411,143 @@ def test_calibrate_on_residual_store(spark, tmp_path):
         spark, q, target_recall=0.9, k=5
     )
     assert again["reused"] is True and again["refine"] == first["refine"]
+
+
+# --- per-scoring calibration + the ladder's operating rule (r15) ----------
+
+
+def test_calibrate_covers_all_attached_layers(spark, tmp_path):
+    """VERDICT r14 #3: calibrate() measures a refine funnel for EVERY
+    attached representation (adc/sq8/bq1), persists them under
+    doc["scorings"], serves the record across reopen without
+    re-measuring, and re-measures when a NEW layer attaches (its etag
+    joins the fingerprint)."""
+    import biodata_pipeline_spark.operators.ann_store as mod
+
+    store = VectorIndexStore(str(tmp_path / "ivf_cal_all"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 300), k=4, iters=1)
+    store.enable_pq(spark)
+    store.enable_sq8(spark)
+    q = _queries(spark, n=6)
+    first = store.calibrate(
+        spark, q, target_recall=0.9, k=5, max_sample=6, max_refine=8
+    )
+    assert first["reused"] is False
+    assert set(first["scorings"]) == {"adc_refine", "sq8_refine"}
+    for rec in first["scorings"].values():
+        assert rec["refine"] >= 1 and 0.0 <= rec["recall"] <= 1.0
+    # legacy top-level form still mirrors the PQ funnel
+    assert first["refine"] == first["scorings"]["adc_refine"]["refine"]
+    assert first["fingerprint"]["sq_etag"] is not None
+    assert first["fingerprint"]["bq_etag"] is None
+
+    # reopen: served from the persisted record, no re-measure
+    boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("re-measured despite fresh record")
+    )
+    reopened = VectorIndexStore(store.path)
+    orig_np, orig_rf = mod.measured_n_probe, mod.measured_refine
+    mod.measured_n_probe = mod.measured_refine = boom
+    try:
+        again = reopened.calibrate(
+            spark, q, target_recall=0.9, k=5, max_sample=6, max_refine=8
+        )
+    finally:
+        mod.measured_n_probe, mod.measured_refine = orig_np, orig_rf
+    assert again["reused"] is True
+    assert again["scorings"] == first["scorings"]
+
+    # a newly attached layer joins the fingerprint -> record stale,
+    # re-measure now covers the BQ1 funnel too
+    store.enable_bq(spark)
+    assert VectorIndexStore(store.path).describe(spark)[
+        "calibration_stale"
+    ] is True
+    third = store.calibrate(
+        spark, q, target_recall=0.9, k=5, max_sample=6, max_refine=8
+    )
+    assert third["reused"] is False
+    assert set(third["scorings"]) == {
+        "adc_refine", "sq8_refine", "bq1_refine"
+    }
+    assert third["fingerprint"]["bq_etag"] is not None
+
+
+def test_measured_refine_rejects_unknown_scoring(spark, tmp_path):
+    from biodata_pipeline_spark.operators.ann_store import measured_refine
+
+    with pytest.raises(ValueError, match="scoring must be one of"):
+        measured_refine(None, None, scoring="exact")
+
+
+def test_recommended_scoring_rules():
+    """The SCALING ladder's operating rule, branch by branch (pure
+    decision function; the fixture-pair integration is below)."""
+    from biodata_pipeline_spark.operators.ann_store import (
+        recommended_scoring,
+    )
+
+    assert recommended_scoring(None, False, False)["scoring"] == "exact"
+    # measured structure: PQ's win regime
+    r = recommended_scoring({"structure_ratio": 0.03}, True, True)
+    assert r["scoring"] == "adc_refine" and r["coarse_filter"] == "bq1"
+    # structure-free with a byte layer: SQ8 wins
+    r = recommended_scoring({"structure_ratio": 0.9}, True, False)
+    assert r["scoring"] == "sq8_refine" and "coarse_filter" not in r
+    # structure-free without SQ8: compressed codes measured-lose
+    r = recommended_scoring({"structure_ratio": 0.9}, False, False)
+    assert r["scoring"] == "exact" and "enable_sq8" in r["why"]
+    # legacy PQ layer that never measured the signal
+    r = recommended_scoring({"structure_ratio": None}, False, False)
+    assert r["scoring"] == "adc_refine" and "unmeasured" in r["why"]
+    # SQ8 only (no PQ, no measured structure)
+    assert recommended_scoring(None, True, False)["scoring"] == "sq8_refine"
+    # 1-bit only: wide-funnel Hamming
+    r = recommended_scoring(None, False, True)
+    assert r["scoring"] == "bq1_refine" and "coarse_filter" not in r
+
+
+def test_recommended_scoring_on_fixture_pair(spark, tmp_path):
+    """VERDICT r14 #4 done-criterion: the rule decides correctly on
+    the measured clustered/uniform fixture pair — clustered + PQ →
+    adc_refine; uniform + PQ only → exact (with the enable_sq8
+    pointer); uniform + PQ + SQ8 → sq8_refine."""
+    cl = VectorIndexStore(str(tmp_path / "ivf_rs_clustered"))
+    cl.build(_clustered_vecs(spark), k=4, iters=2)
+    cl.enable_pq(spark, m=2, k_sub=4)
+    rs = cl.describe(spark)["recommended_scoring"]
+    assert rs["scoring"] == "adc_refine"
+
+    un = VectorIndexStore(str(tmp_path / "ivf_rs_uniform"))
+    un.build(_uniformish_vecs(spark), k=4, iters=2)
+    un.enable_pq(spark, m=2, k_sub=4)
+    rs = un.describe(spark)["recommended_scoring"]
+    assert rs["scoring"] == "exact" and "enable_sq8" in rs["why"]
+    un.enable_sq8(spark)
+    rs = un.describe(spark)["recommended_scoring"]
+    assert rs["scoring"] == "sq8_refine"
+
+    # declared-corpus consistency (64-dim, so BQ1 attaches too):
+    # whatever structure the corpus measured, the recommendation
+    # follows the measured branch, with BQ1 in the coarse-first role
+    from biodata_pipeline_spark.operators.ann_store import (
+        STRUCTURE_PARITY_RATIO,
+    )
+
+    dc = VectorIndexStore(str(tmp_path / "ivf_rs_declared"))
+    dc.build(_emb(spark).filter(F.col("vec_id") < 300), k=4, iters=1)
+    dc.enable_pq(spark)
+    dc.enable_sq8(spark)
+    dc.enable_bq(spark)
+    d = dc.describe(spark)
+    sr = d["pq"]["structure_ratio"]
+    expect = (
+        "adc_refine"
+        if sr is not None and sr < STRUCTURE_PARITY_RATIO
+        else "sq8_refine"
+    )
+    assert d["recommended_scoring"]["scoring"] == expect
+    assert d["recommended_scoring"]["coarse_filter"] == "bq1"
 
 
 # --- SQ8 + BQ1 store layers: the byte and binary probe paths (r14) --------

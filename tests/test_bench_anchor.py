@@ -124,6 +124,108 @@ class TestPrevBenchNonce:
         assert queries == {"q1": 1.0, "q2": 2.0}
 
 
+class TestCompareAnchor:
+    """VERDICT r14 #2: the regression arm compares fresh-to-fresh.
+    The scenarios mirror the two observed host days: the r13/r14
+    false-"regression" signature (idle code, fresh walls carrying the
+    per-JVM warm-up constant) and a genuine plan regression."""
+
+    # a 3-key drifted set: main-run walls, this run's fresh-JVM walls,
+    # prev round's WARM walls (systematically below fresh: the batched
+    # run amortizes JVM warm-up), and the stored clean-host fresh walls
+    KEYS = ["a", "b", "c"]
+    TIMINGS = {"a": 5.0, "b": 4.0, "c": 3.0}
+    PREV_WARM = {"a": 3.0, "b": 2.5, "c": 2.0}
+
+    def test_idle_day_false_regression_now_classifies_host_load(self):
+        # the r14 signature: fresh walls land ON the fresh baseline
+        # (the plan did not move) but sit 1.6x over prev's warm walls
+        fresh = {"a": 5.1, "b": 3.9, "c": 3.1}
+        baseline = {"a": 5.0, "b": 4.0, "c": 3.0}
+        out = bench.compare_anchor(
+            self.KEYS, self.TIMINGS, fresh, self.PREV_WARM, baseline,
+            cal_factor=1.0, load1_per_cpu=0.1,
+        )
+        assert out["verdict"] == "host-load"          # fresh ~ fresh-base
+        assert out["verdict_warm_baseline"] == "regression"  # the blind spot
+        assert out["n_baseline_covered"] == 3
+        assert out["fresh_baseline_total"] == 12.0
+        assert out["keys"]["a"]["fresh_baseline"] == 5.0
+
+    def test_genuine_regression_flags_on_both_arms(self):
+        # fresh walls 2x the fresh baseline AND ~ main: the plan moved
+        fresh = {"a": 10.0, "b": 8.0, "c": 6.0}
+        baseline = {"a": 5.0, "b": 4.0, "c": 3.0}
+        timings = {"a": 11.0, "b": 8.5, "c": 6.5}
+        out = bench.compare_anchor(
+            self.KEYS, timings, fresh, self.PREV_WARM, baseline,
+            cal_factor=1.0, load1_per_cpu=0.1,
+        )
+        assert out["verdict"] == "regression"
+        assert out["verdict_warm_baseline"] == "regression"
+
+    def test_loaded_anchor_still_reads_contended(self):
+        fresh = {"a": 10.0, "b": 8.0, "c": 6.0}
+        baseline = {"a": 5.0, "b": 4.0, "c": 3.0}
+        out = bench.compare_anchor(
+            self.KEYS, self.TIMINGS, fresh, self.PREV_WARM, baseline,
+            cal_factor=3.0, load1_per_cpu=0.1,
+        )
+        assert out["verdict"] == "anchor-contended"
+
+    def test_cold_start_falls_back_to_warm_arm(self):
+        fresh = {"a": 5.1, "b": 3.9, "c": 3.1}
+        out = bench.compare_anchor(
+            self.KEYS, self.TIMINGS, fresh, self.PREV_WARM, {},
+            cal_factor=1.0, load1_per_cpu=0.1,
+        )
+        assert out["fresh_baseline_total"] is None
+        assert out["n_baseline_covered"] == 0
+        assert out["verdict"] == out["verdict_warm_baseline"]
+
+    def test_partial_coverage_compares_covered_subset(self):
+        fresh = {"a": 5.1, "b": 3.9, "c": 3.1}
+        baseline = {"a": 5.0}  # only one key ever anchored before
+        out = bench.compare_anchor(
+            self.KEYS, self.TIMINGS, fresh, self.PREV_WARM, baseline,
+            cal_factor=1.0, load1_per_cpu=0.1,
+        )
+        assert out["n_baseline_covered"] == 1
+        assert out["fresh_baseline_total"] == 5.0
+        assert out["fresh_covered_total"] == 5.1
+        assert out["verdict"] == "host-load"
+
+
+class TestAnchorFreshBaseline:
+    def test_clean_run_updates_and_merges(self, tmp_path):
+        d = str(tmp_path)
+        assert bench.anchor_fresh_baseline(d) == {}
+        assert bench.update_anchor_fresh_baseline(
+            {"a": 5.0, "b": None}, cal_factor=1.0, load1_per_cpu=0.1,
+            base_dir=d,
+        )
+        assert bench.anchor_fresh_baseline(d) == {"a": 5.0}  # None skipped
+        assert bench.update_anchor_fresh_baseline(
+            {"b": 4.0}, cal_factor=1.0, load1_per_cpu=0.1, base_dir=d
+        )
+        assert bench.anchor_fresh_baseline(d) == {"a": 5.0, "b": 4.0}
+
+    def test_contended_run_never_writes(self, tmp_path):
+        d = str(tmp_path)
+        bench.update_anchor_fresh_baseline(
+            {"a": 5.0}, cal_factor=1.0, load1_per_cpu=0.1, base_dir=d
+        )
+        # calibration-contended: read-only
+        assert not bench.update_anchor_fresh_baseline(
+            {"a": 50.0}, cal_factor=3.0, load1_per_cpu=0.1, base_dir=d
+        )
+        # loadavg-contended: read-only
+        assert not bench.update_anchor_fresh_baseline(
+            {"a": 50.0}, cal_factor=1.0, load1_per_cpu=2.0, base_dir=d
+        )
+        assert bench.anchor_fresh_baseline(d) == {"a": 5.0}
+
+
 def test_calibrate_host_returns_positive_seconds():
     sec = bench.calibrate_host()
     assert 0.01 < sec < 120.0

@@ -241,3 +241,9 @@ def test_fit_empty_input_raises(spark):
         bq_encode(
             None, {"thr": [0.0] * 33}
         )
+    # ADVICE r14: the Arrow kernel must fail identically — before the
+    # guard it silently truncated the trailing dims (n_words = dim//32)
+    with pytest.raises(ValueError, match="not a multiple"):
+        bq_encode_kernel(
+            None, {"thr": [0.0] * 33}
+        )

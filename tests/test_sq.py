@@ -130,6 +130,37 @@ def test_encode_defect_contract(spark, bounds):
         assert rows[5] is not None
 
 
+def test_fit_and_sq_valid_exclude_planted_defects(spark, emb, bounds):
+    """ADVICE r14 universe contract: a planted NaN/Inf row must change
+    NEITHER the fitted bounds (sq_fit's internal exclusion) NOR the
+    sq_valid universe the declared queries and their oracle draw from —
+    the property that keeps the Spark fit and the oracle's
+    finite-filtered _SQ_VECS CTE on the same corpus when the input is
+    NOT defect-free."""
+    from biodata_pipeline_spark.operators.sq import sq_valid
+
+    planted = spark.createDataFrame(
+        [
+            (900001, [float("nan")] + [99.0] * 63),   # would blow max
+            (900002, [float("-inf")] + [99.0] * 63),  # would blow min
+            (900003, None),
+            (900004, [99.0] * 32),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    poisoned = emb.unionByName(planted)
+    assert sq_fit(poisoned) == bounds  # defect rows fit-invisible
+    valid_ids = {
+        r["vec_id"]
+        for r in sq_valid(poisoned)
+        .filter(F.col("vec_id") >= 900001)
+        .collect()
+    }
+    assert valid_ids == set()  # none enters the shared universe
+    n_clean = emb.count()
+    assert sq_valid(poisoned).count() == n_clean
+
+
 def test_decode_error_bounded_by_half_step(spark, emb, bounds):
     """Midpoint reconstruction: per-dimension error <= rg/512 + ulp —
     the representation's whole value proposition, checked corpus-wide."""
