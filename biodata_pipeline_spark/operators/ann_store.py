@@ -2101,6 +2101,77 @@ class VectorIndexStore:
         )
 
     # -- search -----------------------------------------------------------
+    def query_calibrated(
+        self,
+        queries: DataFrame,
+        k: int,
+        scoring: str | None = None,
+        query_id: str = "query_id",
+        query_emb: str = "query_emb",
+    ) -> DataFrame:
+        """``query`` riding the persisted calibration (r15 — the other
+        half of calibrate-once: measure once per corpus state, then
+        every query ships the measured knobs without the caller
+        re-plumbing numbers). Resolves n_probe from the stored record
+        and, for a ``*_refine`` scoring, the refine width from that
+        scoring's measured funnel (``doc["scorings"]``); with
+        ``scoring=None`` the representation itself comes from
+        ``recommended_scoring`` (upgraded to its ``_refine`` arm when
+        that funnel was calibrated — the measured-win form).
+
+        Raises when no calibration record exists, when it has gone
+        stale (corpus drift / layer refit — re-run ``calibrate()``),
+        or when the requested refine scoring was never measured (layer
+        attached after the record: ``calibrate()`` would have caught
+        it via the fingerprint, so this arises only with an explicit
+        scoring naming a detached layer's path)."""
+        spark = queries.sparkSession
+        cal = _read_store_doc(spark, self.path, "calibration")
+        if cal is None:
+            raise ValueError(
+                f"no calibration record at {self.path}: run "
+                "calibrate() first (query_calibrated is the "
+                "measured-knob path; plain query() takes explicit "
+                "n_probe/refine)"
+            )
+        if not self._calibration_fresh(
+            cal.get("fingerprint", {}), self._fingerprint(spark)
+        ):
+            raise ValueError(
+                f"calibration record at {self.path} is stale (corpus "
+                "drift or a layer attach/refit since it was measured) "
+                "— re-run calibrate()"
+            )
+        scorings = cal.get("scorings") or {}
+        if scoring is None:
+            rec = recommended_scoring(
+                self.describe(spark)["pq"],
+                self.sq_enabled(spark),
+                self.bq_enabled(spark),
+            )["scoring"]
+            scoring = rec
+        if scoring.endswith("_refine"):
+            entry = scorings.get(scoring)
+            if entry is None and scoring == "adc_refine" and cal.get(
+                "refine"
+            ) is not None:
+                entry = {"refine": cal["refine"]}  # legacy record shape
+            if entry is None:
+                raise ValueError(
+                    f"calibration record has no measured funnel for "
+                    f"{scoring!r} — re-run calibrate() with the layer "
+                    "attached"
+                )
+            return self.query(
+                queries, k, n_probe=cal["n_probe"], scoring=scoring,
+                refine=entry["refine"], query_id=query_id,
+                query_emb=query_emb,
+            )
+        return self.query(
+            queries, k, n_probe=cal["n_probe"], scoring=scoring,
+            query_id=query_id, query_emb=query_emb,
+        )
+
     def query(
         self,
         queries: DataFrame,

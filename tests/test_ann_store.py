@@ -1550,6 +1550,48 @@ def test_recommended_scoring_on_fixture_pair(spark, tmp_path):
     assert d["recommended_scoring"]["coarse_filter"] == "bq1"
 
 
+def test_query_calibrated_rides_persisted_knobs(spark, tmp_path):
+    """r15: query_calibrated is calibrate-once's other half — the
+    persisted n_probe + per-scoring refine drive the query without the
+    caller re-plumbing numbers; stale records and unmeasured funnels
+    fail loudly instead of silently querying with wrong knobs."""
+    store = VectorIndexStore(str(tmp_path / "ivf_qcal"))
+    store.build(_emb(spark).filter(F.col("vec_id") < 300), k=4, iters=1)
+    q = _queries(spark, n=5)
+
+    with pytest.raises(ValueError, match="no calibration record"):
+        store.query_calibrated(q, 5)
+
+    store.enable_pq(spark)
+    cal = store.calibrate(
+        spark, q, target_recall=0.9, k=5, max_sample=5, max_refine=8
+    )
+    got = store.query_calibrated(q, 5, scoring="adc_refine").collect()
+    want = store.query(
+        q, 5, n_probe=cal["n_probe"], scoring="adc_refine",
+        refine=cal["scorings"]["adc_refine"]["refine"],
+    ).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in got} == {
+        (r.query_id, r.vec_id, r.rank) for r in want
+    }
+
+    # attaching a layer makes the record stale -> loud, not wrong
+    store.enable_sq8(spark)
+    with pytest.raises(ValueError, match="stale"):
+        store.query_calibrated(q, 5)
+
+    # re-calibrated: scoring=None follows recommended_scoring and the
+    # reopened instance serves the same measured knobs
+    store.calibrate(
+        spark, q, target_recall=0.9, k=5, max_sample=5, max_refine=8
+    )
+    reopened = VectorIndexStore(store.path)
+    auto = reopened.query_calibrated(q, 5)
+    assert auto.count() > 0
+    with pytest.raises(ValueError, match="no measured funnel"):
+        reopened.query_calibrated(q, 5, scoring="bq1_refine")
+
+
 # --- SQ8 + BQ1 store layers: the byte and binary probe paths (r14) --------
 
 
