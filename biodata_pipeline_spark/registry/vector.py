@@ -532,9 +532,9 @@ def q_pq_recall_audit(spark, sf_dir):
         books = _pq_books_for(spark, sf_dir)
         codes = pq_encode_kernel(emb, books)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
-        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
-            "query_id", "vec_id"
-        ).localCheckpoint()  # reused by both variants + the denominator
+        exact = cosine_top_k(
+            queries, emb, PQ_TOPK, use_kernel=True
+        ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
         out = []
         for variant, kwargs in (
@@ -707,9 +707,9 @@ def q_pq_residual_audit(spark, sf_dir):
     def build():
         cents, codes, books = _rpq_state(spark, sf_dir)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
-        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
-            "query_id", "vec_id"
-        ).localCheckpoint()
+        exact = cosine_top_k(
+            queries, emb, PQ_TOPK, use_kernel=True
+        ).select("query_id", "vec_id").localCheckpoint()
         n_truth = exact.count()
         out = []
         for variant, kwargs in (
@@ -848,9 +848,9 @@ def q_sq8_recall_audit(spark, sf_dir):
         bounds = _sq_bounds_for(spark, sf_dir)
         codes = sq_encode_kernel(emb, bounds)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
-        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
-            "query_id", "vec_id"
-        ).localCheckpoint()  # reused by both variants + the denominator
+        exact = cosine_top_k(
+            queries, emb, PQ_TOPK, use_kernel=True
+        ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
         out = []
         for variant, kwargs in (
@@ -990,9 +990,9 @@ def q_bq_recall_audit(spark, sf_dir):
         thr = _bq_thr_for(spark, sf_dir)
         codes = bq_encode_kernel(emb, thr)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
-        exact = cosine_top_k(queries, emb, PQ_TOPK).select(
-            "query_id", "vec_id"
-        ).localCheckpoint()  # reused by both variants + the denominator
+        exact = cosine_top_k(
+            queries, emb, PQ_TOPK, use_kernel=True
+        ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
         out = []
         for variant, kwargs in (

@@ -152,3 +152,48 @@ def test_kernel_query_set_bound_is_enforced(spark, frames):
         retrieval_rank_metrics(
             queries, chunks, kernel_threshold=0, max_query_rows=2
         )
+
+
+def test_cosine_top_k_kernel_is_bit_identical(spark):
+    """OPTIMIZATION r15: the use_kernel scoring path (Arrow numpy fold)
+    must yield exactly the HOF path's rows — ranks AND 9dp sims — on a
+    corpus whose cosines are full of near-ties (unit-ish random vectors),
+    so any fold-order or rounding divergence would reorder something."""
+    import random
+
+    rng = random.Random(15)
+    corpus = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    queries = [
+        (j, [rng.uniform(-1, 1) for _ in range(16)]) for j in range(7)
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, query_emb array<double>"
+    )
+    hof = sorted(
+        cosine_top_k(qdf, cdf, k=10, salt_buckets=4).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    kern = sorted(
+        cosine_top_k(qdf, cdf, k=10, salt_buckets=4, use_kernel=True).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [tuple(r) for r in hof] == [tuple(r) for r in kern]
+
+
+def test_cosine_top_k_kernel_query_bound(spark):
+    """The kernel path's driver collect stays gated by MAX_QUERY_ROWS."""
+    from biodata_pipeline_spark.operators import retrieval
+
+    n = retrieval.MAX_QUERY_ROWS
+    cdf = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    big = spark.range(n + 1).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("query_emb"),
+    )
+    with pytest.raises(ValueError, match="driver-collect bound"):
+        cosine_top_k(big, cdf, k=1, use_kernel=True)
