@@ -489,43 +489,37 @@ def simhash60_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     prefix. Documents with zero tokens produce no row (both engines'
     aggregates drop the empty group identically).
     """
-    # One groupBy(id) with 60 literal-shift bit-sum aggregates + the
-    # token count (OPTIMIZATION r15, guide §2.3/§2.4): the original
-    # formulation exploded 60 (id, bit) rows per (id, tok, cnt) row —
-    # a 60× row blow-up through a hash aggregate — and then paid two
-    # more shuffles (groupBy(id, bit), groupBy(id)). Equivalence is
-    # exact integer algebra, not an approximation: the per-bit vote is
-    #   s_j = Σ_tok cnt·((h>>j & 1)·2 − 1) = 2·S_j − T
-    # with S_j = Σ_occurrences (h>>j & 1) and T = Σ cnt = the doc's
-    # token count, so bit j is set iff s_j > 0 iff 2·S_j > T. Summing
-    # per OCCURRENCE also drops the (id, tok) pre-aggregation (its only
-    # purpose was hashing each distinct token once; md5 per occurrence
-    # is cheaper than the extra shuffle at every scale measured).
-    # Literal Python shift counts keep every expression in codegen —
-    # the same 32-aggregate pattern as the minhash signature above.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("id", md5_int60(F.col("tok")).alias("h"))
-    sums = hashed.groupBy("id").agg(
-        F.count("*").alias("__t"),
-        *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
-                f"__s{j}"
-            )
-            for j in range(60)
-        ],
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_int60(F.col("tok")))
     )
-    fp_bits = [
-        F.when(
-            F.col(f"__s{j}") * 2 > F.col("__t"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(60)
-    ]
-    fp = fp_bits[0]
-    for b in fp_bits[1:]:
-        fp = fp + b
-    return sums.select("id", fp.alias("fp"))
+    # shiftright/shiftleft with a COLUMN bit count is SQL-only (the
+    # PySpark wrappers require a Python int), hence the expr() strings.
+    votes = (
+        tf.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+            F.col("cnt"),
+            F.col("h"),
+        )
+        .groupBy("id", "bit")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1")
+            ).alias("s")
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("fp")
+    )
 
 
 def simhash_recall_audit(

@@ -68,19 +68,34 @@ def _kernel_sim_stream(
         nqs += qmat[:, i] * qmat[:, i]
     nqs = np.sqrt(nqs)
 
+    nq = len(q_rows)
+
     def score(batches):
+        # Emit the (cid, qidx, sim) stream FLAT via repeat/tile/ravel —
+        # all scalar numpy columns on the Arrow fast path. The first cut
+        # returned one array<double> of sims per corpus row and
+        # posexploded it JVM-side; the object-dtype list column fell off
+        # Arrow's vectorized conversion and cost more than the HOF fold
+        # it replaced (measured: the whole audit 1.5-2× SLOWER at 8
+        # cores). Flattening in numpy is pure memory movement.
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             emb = np.array(pdf["__emb"].tolist(), dtype=np.float64)
-            s = np.zeros((n, len(q_rows)))
+            s = np.zeros((n, nq))
             nc = np.zeros(n)
             for i in range(emb.shape[1]):  # in-order fold: bit-parity
                 nc += emb[:, i] * emb[:, i]
                 s += emb[:, [i]] * qmat[:, i][None, :]
             s /= nqs[None, :] * np.sqrt(nc)[:, None]
-            yield pd.DataFrame({"__cid": pdf["__cid"], "__sims": list(s)})
+            yield pd.DataFrame(
+                {
+                    "__cid": np.repeat(pdf["__cid"].to_numpy(), nq),
+                    "__qidx": np.tile(np.arange(nq, dtype=np.int64), n),
+                    "__raw": s.ravel(),
+                }
+            )
 
     spark = queries.sparkSession
     qmeta = spark.createDataFrame(
@@ -90,17 +105,13 @@ def _kernel_sim_stream(
     cid_type = corpus.schema[corpus_id].dataType.simpleString()
     kernel_out = corpus.select(
         F.col(corpus_id).alias("__cid"), F.col(corpus_emb).alias("__emb")
-    ).mapInPandas(score, f"__cid {cid_type}, __sims array<double>")
-    return (
-        kernel_out.select(
-            "__cid", F.posexplode("__sims").alias("__qidx", "__raw")
-        )
-        .join(F.broadcast(qmeta), "__qidx")
-        .select(
-            F.col(query_id),
-            F.col("__cid").alias(corpus_id),
-            F.round("__raw", SIM_ROUND).alias("sim"),
-        )
+    ).mapInPandas(
+        score, f"__cid {cid_type}, __qidx long, __raw double"
+    )
+    return kernel_out.join(F.broadcast(qmeta), "__qidx").select(
+        F.col(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.round("__raw", SIM_ROUND).alias("sim"),
     )
 
 
@@ -113,7 +124,7 @@ def cosine_top_k(
     query_emb: str = "query_emb",
     corpus_emb: str = "embedding",
     salt_buckets: int = 64,
-    use_kernel: bool = False,
+    use_kernel: bool | None = False,
 ) -> DataFrame:
     """Exact top-k by cosine similarity, scalable two-phase ranking.
 
@@ -123,12 +134,17 @@ def cosine_top_k(
     ``use_kernel`` (OPTIMIZATION r15, guide §4.2): score the |Q|×|C|
     stream with the Arrow numpy kernel instead of the interpreted HOF
     fold — bit-identical sims (``_kernel_sim_stream``), rank phases
-    unchanged. Opt-in because it collects the query set driver-side
-    (MAX_QUERY_ROWS gate) and pays a fixed Arrow cost: callers with
-    ~100-query sets over 10k+ corpora (the recall audits' exact ground
-    truth — the measured 16-18 s-CPU stage of every quantization
-    audit) win ~an order of magnitude on the scoring stage; tiny query
-    sets (q24's 5) keep the zero-overhead HOF default."""
+    unchanged. ``None`` = observed-size auto switch (one count job):
+    the kernel engages at ``KERNEL_CORPUS_THRESHOLD``, the same
+    measured crossover as ``retrieval_rank_metrics`` — BELOW it the
+    interpreted fold spread across the cores beats the kernel's fixed
+    costs (queries collect + Arrow worker transfer; measured at sf0.1 ×
+    8 cores: forcing the kernel is ~10% SLOWER per audit key), ABOVE it
+    the per-pair fold dominates and the kernel wins (5× at the 100×
+    probe). ``False`` (default) keeps the zero-overhead HOF path for
+    small callers (q24's 5-query set) with no count job."""
+    if use_kernel is None:
+        use_kernel = corpus.count() >= KERNEL_CORPUS_THRESHOLD
     # Spread the corpus before the broadcast cross join: a compact scan can
     # arrive as one partition, which would serialize |Q|×|C| scoring work.
     nparts = corpus.sparkSession.sparkContext.defaultParallelism

@@ -533,7 +533,7 @@ def q_pq_recall_audit(spark, sf_dir):
         codes = pq_encode_kernel(emb, books)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
         exact = cosine_top_k(
-            queries, emb, PQ_TOPK, use_kernel=True
+            queries, emb, PQ_TOPK, use_kernel=None
         ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
         out = []
@@ -708,7 +708,7 @@ def q_pq_residual_audit(spark, sf_dir):
         cents, codes, books = _rpq_state(spark, sf_dir)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
         exact = cosine_top_k(
-            queries, emb, PQ_TOPK, use_kernel=True
+            queries, emb, PQ_TOPK, use_kernel=None
         ).select("query_id", "vec_id").localCheckpoint()
         n_truth = exact.count()
         out = []
@@ -849,7 +849,7 @@ def q_sq8_recall_audit(spark, sf_dir):
         codes = sq_encode_kernel(emb, bounds)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
         exact = cosine_top_k(
-            queries, emb, PQ_TOPK, use_kernel=True
+            queries, emb, PQ_TOPK, use_kernel=None
         ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
         out = []
@@ -991,7 +991,7 @@ def q_bq_recall_audit(spark, sf_dir):
         codes = bq_encode_kernel(emb, thr)
         queries = _pq_queries(emb, PQ_AUDIT_QUERIES)
         exact = cosine_top_k(
-            queries, emb, PQ_TOPK, use_kernel=True
+            queries, emb, PQ_TOPK, use_kernel=None
         ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
         out = []

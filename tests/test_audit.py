@@ -204,58 +204,3 @@ def test_audit_arg_validation(spark, docs):
     with pytest.raises(ValueError, match="divide"):
         lsh_pair_recall_audit(docs, sign_dims=10, n_bands=4)
 
-
-def test_simhash60_single_aggregate_matches_explode_formulation(spark, docs):
-    """OPTIMIZATION r15: simhash60_md5 now computes all 60 bit votes in
-    ONE groupBy(id) of literal-shift sums (2·S_j > T ⟺ the old explode
-    formulation's s_j > 0 — exact integer algebra). Pin fingerprint
-    equality against the original 60×-explode construction on the test
-    corpus, including tie votes (s_j == 0 ⇒ bit 0)."""
-    from pyspark.sql import functions as F
-
-    from biodata_pipeline_spark.functions.textfn import tokens
-    from biodata_pipeline_spark.operators.audit import (
-        md5_int60,
-        simhash60_md5,
-    )
-
-    got = {r.id: r.fp for r in simhash60_md5(docs).collect()}
-
-    tf = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(tokens(F.col("text"))).alias("tok"),
-        )
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", md5_int60(F.col("tok")))
-    )
-    votes = (
-        tf.select(
-            "id",
-            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-            F.col("cnt"),
-            F.col("h"),
-        )
-        .groupBy("id", "bit")
-        .agg(
-            F.sum(
-                F.col("cnt")
-                * F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1")
-            ).alias("s")
-        )
-    )
-    ref = {
-        r.id: r.fp
-        for r in votes.groupBy("id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("fp")
-        )
-        .collect()
-    }
-    assert got == ref and got
