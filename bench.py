@@ -196,6 +196,30 @@ FULL_PAYLOAD_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
 )
 
+
+def full_payload_path_for_cpus(cpus: int, base_dir: str | None = None) -> str:
+    """Per-core-count full-payload file (VERDICT r15 "what's wrong" #1):
+    the driver runs the full headline at 32 AND 8 cores, and the second
+    run used to clobber BENCH_FULL_latest.json, destroying the 32-core
+    per-key detail. Each core count now also writes its own file; the
+    legacy "latest" path is kept for tooling that reads it, and
+    prev_bench nonce-matches across ALL of them."""
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(base_dir, f"BENCH_FULL_c{cpus}.json")
+
+
+def full_payload_candidates(base_dir: str | None = None) -> list[str]:
+    import glob
+
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+    paths = [os.path.join(base_dir, os.path.basename(FULL_PAYLOAD_PATH))]
+    paths.extend(
+        sorted(glob.glob(os.path.join(base_dir, "BENCH_FULL_c*.json")))
+    )
+    return paths
+
 # Cumulative fresh-JVM anchor walls, per key (VERDICT r14 #2 — shipped
 # r15 after two consecutive false "regression" verdicts): the anchor's
 # 5-keys-in-one-fresh-JVM walls pay a per-JVM JIT/Arrow/codegen
@@ -285,7 +309,6 @@ def prev_bench(base_dir: str | None = None) -> tuple[int, dict[str, float]] | No
 
     if base_dir is None:
         base_dir = os.path.dirname(os.path.abspath(__file__))
-    full_payload_path = os.path.join(base_dir, os.path.basename(FULL_PAYLOAD_PATH))
     best = None
     for path in glob.glob(os.path.join(base_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -305,20 +328,26 @@ def prev_bench(base_dir: str | None = None) -> tuple[int, dict[str, float]] | No
     if best is None:
         return None
     rnd, queries, value, nonce = best
-    try:
-        with open(full_payload_path) as f:
-            full = json.load(f)
-        same_run = (
-            full.get("nonce") == nonce
-            if nonce is not None
-            # legacy artifacts (pre-nonce): total-proximity heuristic
-            else value is not None
-            and abs(full.get("value", -1) - value) < 0.02
-        )
-        if same_run and set(queries) <= set(full.get("queries", {})):
-            queries = full["queries"]
-    except (OSError, json.JSONDecodeError, TypeError):
-        pass
+    # scan every full-payload file (legacy "latest" + per-core-count) for
+    # the one belonging to the SAME run as the driver artifact — the
+    # driver's 8-core re-run writes its own BENCH_FULL_c8.json instead of
+    # destroying the 32-core record (VERDICT r15 "what's wrong" #1)
+    for full_payload_path in full_payload_candidates(base_dir):
+        try:
+            with open(full_payload_path) as f:
+                full = json.load(f)
+            same_run = (
+                full.get("nonce") == nonce
+                if nonce is not None
+                # legacy artifacts (pre-nonce): total-proximity heuristic
+                else value is not None
+                and abs(full.get("value", -1) - value) < 0.02
+            )
+            if same_run and set(queries) <= set(full.get("queries", {})):
+                queries = full["queries"]
+                break
+        except (OSError, json.JSONDecodeError, TypeError):
+            continue
     return rnd, queries
 
 
@@ -468,6 +497,49 @@ ANCHOR_RATIO = 1.15
 CAL_IDLE_SEC = 0.8
 CAL_CONTENDED = 2.0
 
+# Multi-core calibration spin (VERDICT r15 "what's wrong" #5): the
+# single-thread spin can find one free core on a box whose OTHER 31
+# cores are owned by a co-tenant — exactly the load that crushes a
+# 32-way local[32] batch — so the two anchor arms disagreed (c32
+# "regression" vs c8 "host-load") three rounds running. The MT spin
+# runs ncpu threads of cache-resident matmuls; any co-tenant steals
+# timeslices from SOME thread and the barrier wall inflates.
+# Idle reference measured 2026-08-18 on this 32-core box: min-of-3
+# walls 0.77-1.31 s across repeated trials (scheduler jitter band);
+# 1.0 s is the center. The band means the MT factor is only a GATE at
+# CAL_CONTENDED (2.0x) — never a fine-grained correction.
+CAL_MT_IDLE_SEC = 1.0
+
+
+def calibrate_host_mt(n_threads: int | None = None) -> float:
+    """ncpu-thread barrier spin; returns steady wall seconds (min-of-3
+    after one warm pass). Compute-bound 192x192 matmuls stay inside L2
+    so the idle wall does not depend on memory-bandwidth co-tenancy,
+    only on core availability."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    n = n_threads or os.cpu_count() or 1
+    rng = np.random.default_rng(0)
+    mats = [rng.random((192, 192)) for _ in range(n)]
+
+    def spin_one(a):
+        b = a.copy()
+        for _ in range(60):
+            b = a @ b
+            b /= np.abs(b).max()
+        return float(b[0, 0])
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            list(ex.map(spin_one, mats))
+        return time.perf_counter() - t0
+
+    run()
+    return round(min(run() for _ in range(3)), 3)
+
 
 def calibrate_host() -> float:
     """Fixed single-thread numpy workload; returns steady seconds
@@ -587,6 +659,7 @@ def anchor_drifted(
     settled = wait_for_idle(ncpu)
     load_before = os.getloadavg()
     cal_before = calibrate_host()
+    cal_mt_before = calibrate_host_mt()
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_KEYS"] = ",".join(keys)
@@ -602,6 +675,7 @@ def anchor_drifted(
     )
     load_after = os.getloadavg()
     cal_after = calibrate_host()
+    cal_mt_after = calibrate_host_mt()
     line = next(
         (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')),
         None,
@@ -612,7 +686,16 @@ def anchor_drifted(
     main_total = round(sum(timings[k] for k in keys), 3)
     fresh_total = round(sum(fresh.get(k, 0.0) for k in keys), 3)
     prev_total = round(sum(prev_queries[k] for k in keys), 3)
-    cal_factor = round(max(cal_before, cal_after) / CAL_IDLE_SEC, 2)
+    # the combined factor: contended when EITHER spin says so — the ST
+    # spin sees a fully-saturated box, the MT spin sees partial co-tenant
+    # occupancy the ST spin dodges by finding one free core
+    cal_factor = round(
+        max(
+            max(cal_before, cal_after) / CAL_IDLE_SEC,
+            max(cal_mt_before, cal_mt_after) / CAL_MT_IDLE_SEC,
+        ),
+        2,
+    )
     # load_after's 1-min window covers the anchor child's own Spark work
     # (local[32] can legitimately push it to ~1.0/cpu); load_before is
     # the cleaner co-tenant signal, taken after the main run's last
@@ -634,6 +717,10 @@ def anchor_drifted(
             "loadavg_after": [round(x, 2) for x in load_after],
             "ncpu": ncpu,
             "calibration_sec": {"before": cal_before, "after": cal_after},
+            "calibration_mt_sec": {
+                "before": cal_mt_before,
+                "after": cal_mt_after,
+            },
             "calibration_factor_vs_idle": cal_factor,
             "settled_before_anchor": settled,
         }
@@ -723,6 +810,7 @@ def main() -> None:
     # artifact) and the full payload file, so prev_bench can prove they
     # are the same run instead of guessing from a float total
     payload["nonce"] = uuid.uuid4().hex[:12]
+    payload["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     timings = payload["queries"]
     prev = prev_bench()
     if prev is not None:
@@ -759,11 +847,15 @@ def main() -> None:
     # prev_bench) — subset runs skip the write to avoid clobbering the
     # round artifact with partial data
     if keys_env is None:
-        try:
-            with open(FULL_PAYLOAD_PATH, "w") as f:
-                json.dump(payload, f)
-        except OSError:
-            pass
+        for path in (
+            FULL_PAYLOAD_PATH,
+            full_payload_path_for_cpus(payload["cpus"]),
+        ):
+            try:
+                with open(path, "w") as f:
+                    json.dump(payload, f)
+            except OSError:
+                pass
     # ... then the compact headline line LAST, sized to fit entirely in
     # the driver's 2000-byte stdout tail capture (VERDICT r5 #1): drop
     # "runs", round per-query values to 2dp, and shed the comparison

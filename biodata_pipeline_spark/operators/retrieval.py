@@ -61,7 +61,14 @@ def _kernel_sim_stream(
             "with the HOF path (use_kernel=False) instead"
         )
     if not q_rows:
-        raise ValueError("cosine_top_k kernel path: empty query set")
+        # HOF parity (ADVICE r15): an empty query set cross-joined with
+        # the corpus is an empty scored stream, not an error
+        spark = queries.sparkSession
+        qid_t = queries.schema[query_id].dataType.simpleString()
+        cid_t = corpus.schema[corpus_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{query_id} {qid_t}, {corpus_id} {cid_t}, sim double"
+        )
     qmat = np.array([[float(v) for v in r[query_emb]] for r in q_rows])
     nqs = np.zeros(len(q_rows))
     for i in range(qmat.shape[1]):  # ascending-dim fold ≡ l2_norm's
@@ -103,7 +110,16 @@ def _kernel_sim_stream(
         ["__qidx", query_id],
     )
     cid_type = corpus.schema[corpus_id].dataType.simpleString()
-    kernel_out = corpus.select(
+    # Geometry guard (ADVICE r15): a null or wrong-dim corpus embedding
+    # would crash numpy's stack with an opaque worker error; production
+    # callers pre-filter (``_pq_corpus``/``_sq_corpus``/``bq_valid``) so
+    # this predicate is a no-op there, and for external callers it
+    # matches the HOF path wherever >= k valid rows exist per query
+    # (HOF yields null sims that sort last; the kernel never ranks them).
+    kernel_out = corpus.filter(
+        F.col(corpus_emb).isNotNull()
+        & (F.size(corpus_emb) == int(qmat.shape[1]))
+    ).select(
         F.col(corpus_id).alias("__cid"), F.col(corpus_emb).alias("__emb")
     ).mapInPandas(
         score, f"__cid {cid_type}, __qidx long, __raw double"
@@ -144,7 +160,12 @@ def cosine_top_k(
     probe). ``False`` (default) keeps the zero-overhead HOF path for
     small callers (q24's 5-query set) with no count job."""
     if use_kernel is None:
-        use_kernel = corpus.count() >= KERNEL_CORPUS_THRESHOLD
+        # ">" (not ">=") — the same comparison retrieval_rank_metrics
+        # uses, so the two switches flip at the identical corpus size
+        # (ADVICE r15). Callers that already know the corpus size (the
+        # audits' memoized universe count) pass a computed bool instead
+        # and skip this count job entirely (VERDICT r15 #4).
+        use_kernel = corpus.count() > KERNEL_CORPUS_THRESHOLD
     # Spread the corpus before the broadcast cross join: a compact scan can
     # arrive as one partition, which would serialize |Q|×|C| scoring work.
     nparts = corpus.sparkSession.sparkContext.defaultParallelism

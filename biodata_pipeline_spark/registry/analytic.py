@@ -102,8 +102,16 @@ def q_stats_corr(spark, sf_dir):
     and partitioning). The inputs sit on a 2 dp grid, so their products
     sit on an exact 4 dp grid (a float64 product is within 1 ulp of the
     grid point, far inside the half-grain); the final formula is a fixed
-    float64 op chain over the exact sums — bit-identical anywhere."""
-    li = _t(spark, sf_dir, "lineitem")
+    float64 op chain over the exact sums — bit-identical anywhere.
+
+    Spread before the aggregate (r16): every flop here is in the
+    map-side decimal power sums, one-task-bound on the single-row-group
+    testdata file (measured 1.56x with the spread); decimal sums are
+    exact, so partitioning cannot move the result."""
+    from biodata_pipeline_spark.sources.tables import spread_small_scan
+
+    li = spread_small_scan(_t(spark, sf_dir, "lineitem"), spark, sf_dir,
+                           "lineitem")
     x, y = F.col("l_extendedprice"), F.col("l_discount")
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

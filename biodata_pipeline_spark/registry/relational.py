@@ -377,8 +377,16 @@ def q21c_percentiles(spark, sf_dir):
     distribution-shape aggregates a metrics rollup needs beyond sums.
     Spark ``percentile`` and DuckDB ``quantile_cont`` both compute the
     exact interpolated order statistic; rounding to 4dp absorbs ulp
-    differences in the interpolation arithmetic."""
-    li = _t(spark, sf_dir, "lineitem")
+    differences in the interpolation arithmetic.
+
+    The scan is spread before the aggregate (r16): the exact-percentile
+    partial agg buffers every value, and the single-row-group testdata
+    file pins that work to one task; order statistics are
+    partitioning-independent, so the spread cannot change the result."""
+    from biodata_pipeline_spark.sources.tables import spread_small_scan
+
+    li = spread_small_scan(_t(spark, sf_dir, "lineitem"), spark, sf_dir,
+                           "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
@@ -484,8 +492,16 @@ def q_percentile_accuracy_audit(spark, sf_dir):
     scale. Fully deterministic rank selection — the audit-twin pattern
     (cf. the recall audits): the bounds are oracle-checkable even though
     the sketch's own output is not. Output: (l_returnflag, n_rows,
-    median_lo, median_hi, p95_lo, p95_hi, exact_median, exact_p95)."""
-    li = _t(spark, sf_dir, "lineitem")
+    median_lo, median_hi, p95_lo, p95_hi, exact_median, exact_p95).
+
+    Spread like q21c (r16): rank selection and exact percentiles are
+    partitioning-independent, and the scan-side work (projection +
+    percentile buffers) is one-task-bound on the single-row-group
+    testdata file otherwise (measured 1.3x)."""
+    from biodata_pipeline_spark.sources.tables import spread_small_scan
+
+    li = spread_small_scan(_t(spark, sf_dir, "lineitem"), spark, sf_dir,
+                           "lineitem")
     bounds = _percentile_rank_bounds(li, acc=10_000)
     exact = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(

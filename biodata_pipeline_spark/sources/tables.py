@@ -84,3 +84,57 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to all of them."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+# Post-scan spread gate (OPTIMIZATION r16): only inputs smaller than
+# this are worth a pre-aggregation repartition — above it the scan has
+# enough row groups for split-level parallelism and a fact-table
+# shuffle before a partial aggregation is a scale anti-pattern.
+# Env-overridable for cluster tuning; 256 MiB local default.
+import os as _os
+
+SPREAD_MAX_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SPREAD_MAX_MB", "256")
+) * (1 << 20)
+
+
+def spread_small_scan(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Spread a CPU-heavy aggregate's input across the cores when the
+    scan itself cannot (OPTIMIZATION r16, guide §2.6 idle capacity).
+
+    Parquet scan tasks read whole row groups, and the harness testdata
+    is written as ONE row group per file — so the 10.8 MB lineitem scan
+    runs ONE working task no matter how the splits are configured
+    (VERDICT r15 #1's openCostInBytes floor only manufactures empty
+    tasks; measured, see OPTIMIZATION_r16.md). For the keys whose CPU
+    is concentrated in that scan-side partial aggregate (exact
+    percentiles, decimal power sums), moving the rows once (~11 MB)
+    buys 32-way parallelism: measured 1.2-1.6x per key
+    (tools/probe_spread_ab.py, interleaved fresh-JVM A/B).
+
+    Scale safety: the repartition only applies when the table's on-disk
+    size is under ``SPREAD_MAX_BYTES`` — at production sizes the scan
+    has row groups >> cores and the branch never fires (and a fact
+    shuffle ahead of a partial agg would be a pessimization). Non-local
+    paths (object stores) skip the spread. Results are unchanged: the
+    consumers aggregate with order-independent exact arithmetic
+    (decimal-grid sums, exact order statistics)."""
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if _os.path.isfile(path):
+            size = _os.path.getsize(path)
+        elif _os.path.isdir(path):
+            size = sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _, files in _os.walk(path)
+                for f in files
+            )
+        else:
+            return df
+    except OSError:
+        return df
+    if size >= SPREAD_MAX_BYTES:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)

@@ -203,4 +203,3 @@ def test_audit_arg_validation(spark, docs):
         minhash_recall_audit(docs, thresholds=())
     with pytest.raises(ValueError, match="divide"):
         lsh_pair_recall_audit(docs, sign_dims=10, n_bands=4)
-

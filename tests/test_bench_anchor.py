@@ -231,6 +231,47 @@ def test_calibrate_host_returns_positive_seconds():
     assert 0.01 < sec < 120.0
 
 
+def test_calibrate_host_mt_returns_positive_seconds():
+    # 4 threads (not ncpu) keeps the unit test cheap; the function's
+    # contract — a positive steady wall — is thread-count independent
+    sec = bench.calibrate_host_mt(n_threads=4)
+    assert 0.01 < sec < 120.0
+
+
+class TestPerCpuFullPayload:
+    """VERDICT r15 "what's wrong" #1: the driver's 8-core re-run used to
+    clobber BENCH_FULL_latest.json; per-core-count files plus a
+    candidate scan in prev_bench make the 32-core record durable."""
+
+    def test_nonce_match_found_in_per_cpu_file(self, tmp_path):
+        artifact = {
+            "parsed": {
+                "queries": {"q1": 1.0},
+                "value": 3.0,
+                "nonce": "run32",
+            }
+        }
+        # "latest" holds the CLOBBERING 8-core run; the c32 file holds
+        # the matching full payload
+        (tmp_path / "BENCH_r99.json").write_text(json.dumps(artifact))
+        (tmp_path / "BENCH_FULL_latest.json").write_text(
+            json.dumps({"queries": {"q1": 9.0}, "value": 9.0, "nonce": "run8"})
+        )
+        (tmp_path / "BENCH_FULL_c32.json").write_text(
+            json.dumps(
+                {"queries": {"q1": 1.0, "q2": 2.0}, "value": 3.0,
+                 "nonce": "run32"}
+            )
+        )
+        rnd, queries = bench.prev_bench(base_dir=str(tmp_path))
+        assert rnd == 99
+        assert queries == {"q1": 1.0, "q2": 2.0}
+
+    def test_path_for_cpus(self, tmp_path):
+        p = bench.full_payload_path_for_cpus(8, base_dir=str(tmp_path))
+        assert p.endswith("BENCH_FULL_c8.json")
+
+
 def test_wait_for_idle_drains_then_returns_true():
     """r12: the anchor false-positived a 1.14x quiet-host result into a
     1.75x "regression" because it calibrated while the main run's

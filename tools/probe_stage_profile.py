@@ -90,9 +90,6 @@ def main() -> int:
         for s in sorted(
             stages, key=lambda s: -s.get("executorRunTime", 0)
         )[:8]:
-            dur = None
-            if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
-                pass
             print(
                 f"  stage {s['stageId']:4d} tasks={s.get('numCompleteTasks', 0):4d} "
                 f"run={s.get('executorRunTime', 0)/1000:6.2f}s "

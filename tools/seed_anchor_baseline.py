@@ -76,9 +76,17 @@ def main() -> int:
             bench.wait_for_idle(ncpu)
             load1 = os.getloadavg()[0] / ncpu
             cal = bench.calibrate_host()
+            cal_mt = bench.calibrate_host_mt()
             walls = measure_chunk(chunk, sf_dir)
             cal_after = bench.calibrate_host()
-            cal_factor = round(max(cal, cal_after) / bench.CAL_IDLE_SEC, 2)
+            cal_mt_after = bench.calibrate_host_mt()
+            cal_factor = round(
+                max(
+                    max(cal, cal_after) / bench.CAL_IDLE_SEC,
+                    max(cal_mt, cal_mt_after) / bench.CAL_MT_IDLE_SEC,
+                ),
+                2,
+            )
             if walls is None:
                 continue
             if bench.update_anchor_fresh_baseline(
