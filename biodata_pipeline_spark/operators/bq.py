@@ -320,29 +320,24 @@ def bq_hamming_kernel(
     )
 
 
-def bq_hamming_topk(
+def bq_hamming_ranked(
     queries: DataFrame,
     codes: DataFrame,
     thresholds: dict,
-    k: int,
-    refine: int = 0,
-    vectors: DataFrame | None = None,
+    n: int,
     query_id: str = "query_id",
     query_emb: str = "query_emb",
     id_col: str = "vec_id",
-    emb_col: str = "embedding",
     words_col: str = "bq_words",
 ) -> DataFrame:
-    """Top-``k`` per query by Hamming distance over packed binary codes
-    (ascending, id tie-break) — symmetric: the query encodes under the
-    same thresholds, and the candidate scan is 8 bytes + integer ops
-    per row. ``refine=r`` with ``vectors`` re-scores the top ``r·k``
-    exactly (rank/tie-break contract, sim at 9dp); without refine the
-    output carries the raw integer ``hamming`` — the one ranking in
-    the engine with no rounding contract at all."""
+    """Top-``n`` Hamming candidates per query with their rank —
+    ``(query_id, id_col, rank, hamming)``, rank 1..n by (hamming asc,
+    id asc). The shared front half of ``bq_hamming_topk`` (r16): the
+    audit derives BOTH its variants from one ranked stream (top-k =
+    ``rank <= k`` of the top-``r·k``), so the |Q|×|C| crossJoin +
+    Hamming fold + window run once per audit instead of once per
+    variant."""
     from pyspark.sql import Window
-
-    from biodata_pipeline_spark.operators.similarity import SIM_ROUND
 
     q = (
         bq_encode(
@@ -368,26 +363,39 @@ def bq_hamming_topk(
     w = Window.partitionBy(query_id).orderBy(
         F.col("hamming").asc(), F.col(id_col)
     )
-    if not refine:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id, id_col, "rank", "hamming")
-        )
-    if vectors is None:
-        raise ValueError("bq_hamming_topk: refine>0 requires vectors")
-    cand = (
-        scored.withColumn("__brk", F.row_number().over(w))
-        .filter(F.col("__brk") <= refine * k)
-        .select(query_id, id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(query_id, id_col, "rank", "hamming")
     )
+
+
+def exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of a bounded candidate set — the refine arm
+    shared by ``bq_hamming_topk`` and the audit: join the candidates'
+    true vectors, score round(dot/(nq·nc), 9), take top-``k`` per query
+    (sim desc, id tie-break)."""
+    from pyspark.sql import Window
+
+    from biodata_pipeline_spark.operators.similarity import SIM_ROUND
+
     qe = queries.select(
         F.col(query_id),
         F.col(query_emb).cast("array<double>").alias("__qe"),
         l2_norm(F.col(query_emb)).alias("__nq"),
     ).dropDuplicates([query_id])
     exact = (
-        cand.join(vectors.select(id_col, emb_col), id_col)
+        cand.select(query_id, id_col)
+        .join(vectors.select(id_col, emb_col), id_col)
         .join(qe, query_id)
         .select(
             query_id,
@@ -406,4 +414,45 @@ def bq_hamming_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", "sim")
+    )
+
+
+def bq_hamming_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    thresholds: dict,
+    k: int,
+    refine: int = 0,
+    vectors: DataFrame | None = None,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    words_col: str = "bq_words",
+) -> DataFrame:
+    """Top-``k`` per query by Hamming distance over packed binary codes
+    (ascending, id tie-break) — symmetric: the query encodes under the
+    same thresholds, and the candidate scan is 8 bytes + integer ops
+    per row. ``refine=r`` with ``vectors`` re-scores the top ``r·k``
+    exactly (rank/tie-break contract, sim at 9dp); without refine the
+    output carries the raw integer ``hamming`` — the one ranking in
+    the engine with no rounding contract at all. (r16: composed from
+    ``bq_hamming_ranked`` + ``exact_rerank``; plans and results are
+    unchanged — the composition exists so the audit can share the
+    ranked stream across its variants.)"""
+    cols = dict(
+        query_id=query_id, query_emb=query_emb, id_col=id_col,
+        words_col=words_col,
+    )
+    if not refine:
+        return bq_hamming_ranked(queries, codes, thresholds, k, **cols)
+    if vectors is None:
+        raise ValueError("bq_hamming_topk: refine>0 requires vectors")
+    cand = bq_hamming_ranked(
+        queries, codes, thresholds, refine * k, **cols
+    )
+    return exact_rerank(
+        cand, queries, vectors, k,
+        query_id=query_id, query_emb=query_emb, id_col=id_col,
+        emb_col=emb_col,
     )

@@ -1010,10 +1010,20 @@ def q_bq_recall_audit(spark, sf_dir):
     exact-refined top 8·k. 1 bit/dim is the coarse end of the curve;
     this query records exactly what that costs on THIS corpus and how
     much the refine funnel repairs, hash-checked end-to-end (every
-    path is deterministic)."""
+    path is deterministic).
+
+    r16: both variants derive from ONE Hamming-ranked candidate stream
+    (``bq_hamming_ranked`` to rank ``BQ_REFINE·k``, localCheckpointed at
+    |Q|·r·k rows — query-set bounded): the bq1 top-k is its
+    ``rank <= k`` prefix (same window, same order — identical rows by
+    construction) and the refined arm exact-rescores it, so the
+    |Q|×|C| crossJoin + Hamming fold + encode kernel run once per audit
+    instead of once per variant (measured: the doubled stream was ~2 of
+    the key's 3 s at 32 cores)."""
     from biodata_pipeline_spark.operators.bq import (
         bq_encode_kernel,
-        bq_hamming_topk,
+        bq_hamming_ranked,
+        exact_rerank,
     )
 
     emb = _bq_corpus(spark, sf_dir)
@@ -1027,14 +1037,16 @@ def q_bq_recall_audit(spark, sf_dir):
             use_kernel=_audit_use_kernel(spark, sf_dir),
         ).select("query_id", "vec_id").localCheckpoint()  # reused by both variants + the denominator
         n_truth = exact.count()
+        ranked = bq_hamming_ranked(
+            queries, codes, thr, BQ_REFINE * PQ_TOPK
+        ).localCheckpoint()  # |Q|·BQ_REFINE·k rows — bounded like exact
+        variants = (
+            ("bq1", ranked.filter(F.col("rank") <= PQ_TOPK)),
+            ("refined", exact_rerank(ranked, queries, emb, PQ_TOPK)),
+        )
         out = []
-        for variant, kwargs in (
-            ("bq1", {}),
-            ("refined", {"refine": BQ_REFINE, "vectors": emb}),
-        ):
-            got = bq_hamming_topk(
-                queries, codes, thr, PQ_TOPK, **kwargs
-            ).select("query_id", "vec_id")
+        for variant, got_df in variants:
+            got = got_df.select("query_id", "vec_id")
             out.append(
                 exact.join(F.broadcast(got), ["query_id", "vec_id"])
                 .agg(F.count("*").alias("n_hits"))

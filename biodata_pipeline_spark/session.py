@@ -37,6 +37,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # OPTIMIZATION r16 (guide §3.1/§9): let the planner pick
+        # shuffled-hash join where its size conditions hold — measured
+        # 0.81-0.94 total across the SMJ-carrying headline keys
+        # (interleaved fresh-JVM A/B, OPTIMIZATION_r16.md change 3);
+        # sort-merge remains the automatic fallback when the build side
+        # would not fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # OPTIMIZATION r16 (guide §2.6): AQE's 1 MB coalesce floor left
+        # the audits' ~4 MB shuffles on 3 reduce tasks (29 idle cores);
+        # 256k keeps small shuffles parallel. Only binds shuffles under
+        # ~cores×256k — production shuffles are governed by the
+        # advisory partition size, so this is a small-input floor, not
+        # a local[32] tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
