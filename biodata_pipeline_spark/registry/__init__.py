@@ -65,81 +65,85 @@ _ALL_ORACLE = {
 # The driver's 50-entry hash-check window, in order, rotated each round
 # so every declared query's driver row stays fresh (VERDICT r4 #3 / r5
 # #2 / r6 #3 / r7 #3 / r9 #2 / r10 #5 / r11 #2 / r12 #1 / r13 #1 /
-# r14 #1). Round-15 rotation, computed from the CORRECTNESS_r01-r14
-# union (max driver round per key; after r14 the latest rows are
-# 44×r12, 43×r13, 50×r14):
-#   1-6:   changed-code-first: round 15 gave the SQ8 oracle family the
-#          finite-filtered universe its Spark side already used
-#          (ADVICE r14 — _SQ_VECS CTE + _sq_corpus/sq_valid; hash-
-#          identical on the defect-free bench corpus, and the driver
-#          row proves it), and added the dim%32 guard to
-#          bq_encode_kernel — sq.py / bq.py / registry/vector.py SQ8+
-#          BQ1 entries all touched, so the six r14-green keys rotate
-#          straight back;
-#   7-50:  ALL 44 r12-checked keys (VERDICT r14 #1's full list) — the
-#          relational/windowing core q09/q11/q16/q21/q24-q26b/q28/q29/
-#          q31-q35, the analytic cube/grouping-sets/corr family, the
-#          vector q_ivf_ann/kmeans/semantic-dedup/pca/winnow family,
-#          the sampling/mixture/shard/pack families, and the corpus
-#          text-statistics keys.
-# Outside the window this round: the 43 r13-checked and the 44
-# remaining r14-checked — every one has a green driver row within the
-# last two rounds and all are locally re-verifiable by
+# r14 #1 / r15 #8). Round-16 rotation, computed from the
+# CORRECTNESS_r01-r15 union (max driver round per key; after r15 the
+# latest rows are 43×r13, 44×r14, 50×r15):
+#   1-7:   changed-code-first — round 16 (optimization) restructured
+#          q_bq_recall_audit to share one Hamming-ranked stream across
+#          its variants and recomposed bq_hamming_topk
+#          (operators/bq.py), added the post-scan spread to
+#          q21c/q_stats_corr (registry/relational.py, analytic.py),
+#          and rederived the PQ/SQ8 audits' kernel gate from the
+#          memoized universe count (registry/vector.py) — every key
+#          whose plan or build changed gets a fresh driver row.
+#          (q_percentile_accuracy_audit also gained the spread; it is
+#          in block 1 as an r13-stale key. q24/q26/q26b saw only
+#          kernel-path guard edits that cannot engage at driver SFs —
+#          their plans are bit-identical, r15-green, and locally
+#          re-proven by tools/check_oracle.py.)
+#   8-50:  ALL 43 r13-checked keys — the temporal/windowing tail
+#          (q35b/q36/q37, sliding/session windows), the LSH/SimHash/
+#          leakage audit family, the dedup/fingerprint/scrub family,
+#          the sampling/pivot/upsert/media keys, and the BPE pinned-
+#          encode family.
+# Outside the window this round: the 44 r14-checked and the 43
+# r15-checked (minus rotations above) — every one has a green driver
+# row within the last two rounds and all are locally re-verifiable by
 # tools/check_oracle.py on current code. After this round no key's
-# latest driver row is older than r13.
+# latest driver row is older than r14.
 _DRIVER_WINDOW = [
-    # -- block 0: changed-code-first — sq.py/bq.py/vector.py SQ8+BQ1 -----
-    "q_sq8_codes",
-    "q_sq8_topk",
-    "q_sq8_recall_audit",
-    "q_bq_codes",
-    "q_bq_hamming_topk",
+    # -- block 0: changed-code-first (r16 optimization touches) ----------
     "q_bq_recall_audit",
-    # -- block 1: ALL 44 r12-checked keys (VERDICT r14 #1) ---------------
-    "q09_exact_dedup",
-    "q11_multiway_join_revenue",
-    "q16_asof_join",
-    "q21_pricing_summary",
-    "q24_cosine_topk",
-    "q25_similarity_join",
-    "q26_retrieval_rank_detail",
-    "q26b_retrieval_rank_summary",
-    "q28_lag_prev_event",
-    "q29_sliding_frame_avg",
-    "q31_per_group_topk",
-    "q31b_collect_ordered",
-    "q32_union_all",
-    "q33_except_difference",
-    "q34_intersect",
-    "q35_tumbling_window",
-    "q_bpe_encode_corpus",
-    "q_contamination_check",
-    "q_corpus_profile",
-    "q_corpus_shuffle",
-    "q_cube_pricing",
-    "q_dedup_clusters",
-    "q_embed_cosine_dedup",
-    "q_grouping_sets_revenue",
-    "q_ivf_ann",
-    "q_kmeans_clusters",
-    "q_lsh_precision_audit",
-    "q_media_inventory",
-    "q_mixture_allocation",
-    "q_mixture_schedule",
-    "q_pack_sequences",
-    "q_passage_dedup",
-    "q_pca_projection",
-    "q_quality_classifier",
-    "q_semantic_dedup",
-    "q_shard_manifest",
+    "q_bq_hamming_topk",
+    "q21c_percentiles",
     "q_stats_corr",
-    "q_stratified_split",
-    "q_tfidf_top_terms",
-    "q_token_entropy",
-    "q_unigram_logprob",
-    "q_vocab_oov_rate",
-    "q_weighted_sample",
-    "q_winnow_fingerprints",
+    "q_pq_recall_audit",
+    "q_pq_residual_audit",
+    "q_sq8_recall_audit",
+    # -- block 1: ALL 43 r13-checked keys (VERDICT r15 #8) ---------------
+    "q01_text_scan_blank_filter",
+    "q02_delimited_comment_filter",
+    "q03_prompt_template_projection",
+    "q04_alpaca_projection",
+    "q21d_approx_percentiles",
+    "q35b_cascade_hourly",
+    "q36_sliding_window",
+    "q37_session_window",
+    "q_ann_bucket_recall",
+    "q_approx_count_distinct",
+    "q_bpe_encode_pinned",
+    "q_bpe_pack_ids",
+    "q_bpe_step_argmax",
+    "q_cms_heavy_hitters",
+    "q_dedup_cc_audit",
+    "q_dedup_survivors_best",
+    "q_dup_source_matrix",
+    "q_embed_quantize",
+    "q_embedding_stats",
+    "q_embedding_validate",
+    "q_fingerprint",
+    "q_group_weighted_sample",
+    "q_hash_sample",
+    "q_lang_guess",
+    "q_leakage_recall_audit",
+    "q_line_dedup_scrub",
+    "q_lsh_pair_recall_audit",
+    "q_lsh_recall_audit",
+    "q_lsh_similarity_join",
+    "q_media_frame_sample",
+    "q_minhash_lsh_dedup",
+    "q_ngram_jaccard_dedup",
+    "q_ntile_distribution",
+    "q_passage_scrub",
+    "q_percentile_accuracy_audit",
+    "q_pii_scrub",
+    "q_pivot_priority_matrix",
+    "q_simhash_dedup",
+    "q_simhash_recall_audit",
+    "q_split_leakage",
+    "q_split_leakage_lsh",
+    "q_sql_region_revenue",
+    "q_upsert_latest",
 ]
 
 DRIVER_WINDOW_SIZE = 50
