@@ -82,3 +82,77 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+# --- slow-probe gate (VERDICT r15 #3) ---------------------------------
+# The full suite outgrew the driver's verification window (~53 min
+# measured 2026-08-18 with --durations; the r15 driver run timed out at
+# ~43% and shipped tests_ok=false despite a green suite). The tests
+# below are the measured >30 s tail — scale probes and lifecycle/
+# calibration PERMUTATIONS whose primary contracts stay covered by the
+# cheaper tests kept in each module (e.g. the pq add/remove/compact
+# lifecycle, the sq8/bq1 protocol, refine-recall and operator-parity
+# checks all still run). They are skipped unless
+# ``SPARK_GRAFT_SLOW_TESTS=1``, which the full local protocol sets:
+#
+#     SPARK_GRAFT_SLOW_TESTS=1 python -m pytest tests/ -q
+SLOW_PROBES = {
+    # scale probe: bounds the pq_fit training scan at a 10x corpus (160s)
+    "tests/test_pq.py::test_fit_train_sample_bounds_the_scan",
+    # ann-store calibration / re-enable / compaction permutations
+    "tests/test_ann_store.py::test_query_calibrated_rides_persisted_knobs",
+    "tests/test_ann_store.py::test_calibrate_invalidates_on_corpus_drift_and_retrain",
+    "tests/test_ann_store.py::test_pq_reenable_after_compact_retires_compacted_codes",
+    "tests/test_ann_store.py::test_pq_residual_reenable_flips_representation",
+    "tests/test_ann_store.py::test_calibrate_covers_all_attached_layers",
+    "tests/test_ann_store.py::test_calibrate_budget_covers_request",
+    "tests/test_ann_store.py::test_calibrate_on_residual_store",
+    "tests/test_ann_store.py::test_pq_books_cross_instance_staleness_guard",
+    "tests/test_ann_store.py::test_calibrate_once_semantics_across_reopen",
+    "tests/test_ann_store.py::test_calibrate_reuse_rewarns_below_target",
+    "tests/test_ann_store.py::test_pq_codes_missing_is_visible_not_wrong",
+    "tests/test_ann_store.py::test_recommended_scoring_on_fixture_pair",
+    "tests/test_ann_store.py::test_measured_pq_refine_cheapest_crossing",
+    "tests/test_ann_store.py::test_pq_reenable_is_idempotent_retrain",
+    "tests/test_ann_store.py::test_enable_pq_size_aware_ksub_default",
+    "tests/test_ann_store.py::test_pq_enable_after_compact_then_compact_again",
+    "tests/test_ann_store.py::test_structure_probe_bounded_on_full_corpus_fit",
+    "tests/test_ann_store.py::test_pq_books_etag_mismatch_fails_loudly",
+    "tests/test_ann_store.py::test_measured_pq_refine_contract_edges",
+    # dedup-index compaction/crash-safety permutations
+    "tests/test_dedup_index.py::test_second_compaction_folds_table_plus_deltas",
+    "tests/test_dedup_index.py::test_compaction_preserves_decisions_and_bounds_files",
+    "tests/test_dedup_index.py::test_meta_pointer_flip_is_crash_safe",
+    "tests/test_dedup_index.py::test_compaction_sweeps_orphaned_version_dirs",
+    "tests/test_dedup_index.py::test_bucketed_layout_removes_stored_side_shuffle",
+    "tests/test_dedup_index.py::test_ingest_gate_remove_unblocks_and_compact_folds",
+    "tests/test_dedup_index.py::test_mixed_mode_replay_exclusion_is_null_safe",
+    # the heavier of the two end-to-end pipeline narratives
+    "tests/test_pipeline_narrative.py::test_build_training_corpus_with_guards",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow scale/lifecycle probe — set SPARK_GRAFT_SLOW_TESTS=1"
+        " (gated per VERDICT r15 #3 so the default suite fits the"
+        " driver's verification window)"
+    )
+    found = set()
+    for item in items:
+        if item.nodeid in SLOW_PROBES:
+            found.add(item.nodeid)
+            item.add_marker(skip)
+    # a renamed/removed test must not rot silently in this list
+    stale = SLOW_PROBES - found
+    if stale and len(found) < len(SLOW_PROBES):
+        # only flag when the whole suite was collected (partial runs
+        # legitimately miss entries)
+        collected = {i.nodeid.rsplit("::", 1)[0] for i in items}
+        missing_modules = {s.rsplit("::", 1)[0] for s in stale}
+        if missing_modules <= collected:
+            raise pytest.UsageError(
+                f"conftest SLOW_PROBES lists unknown tests: {sorted(stale)}"
+            )
